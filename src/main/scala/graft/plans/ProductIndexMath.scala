@@ -1,0 +1,349 @@
+package graft.plans
+
+/** Thrown when a slice's values are absent from a recast product.
+  * Mirrors reference `TaskNotPresentError` (/root/reference/src/productsplit.jl:1-7). */
+final case class TaskNotPresentException(msg: String) extends RuntimeException(msg)
+
+/** A strictly-increasing arithmetic range of `numElems` values
+  * `start, start+step, …` — the engine's model of the reference's
+  * `AbstractRange` iterators (/root/reference/src/productsplit.jl:42-44
+  * requires strictly increasing steps).
+  *
+  * `integral` marks ranges whose values are exact integers (rendered as
+  * Long in Spark schemas); float ranges (e.g. 1:0.5:3,
+  * /root/reference/test/productsplit.jl:20) set it false. Values are
+  * generated as `start + i*step` from the integer index — no
+  * accumulation drift.
+  */
+final case class PRange(start: Double, step: Double, numElems: Long, integral: Boolean) {
+  require(step > 0, "all the ranges need to be strictly increasing")
+  require(numElems >= 0, "range length must be non-negative")
+
+  /** 0-based element access. */
+  def apply(i: Long): Double = start + i * step
+  def head: Double = start
+  def last: Double = apply(numElems - 1)
+  def min: Double = head
+  def max: Double = last
+
+  /** 0-based index of `v`, or -1 if absent. */
+  def indexOf(v: Double): Long = {
+    if (numElems == 0) return -1L
+    val i = math.round((v - start) / step)
+    if (i >= 0 && i < numElems && apply(i) == v) i else -1L
+  }
+  def contains(v: Double): Boolean = indexOf(v) >= 0
+}
+
+object PRange {
+  /** Julia-style `lo:hi` unit range. */
+  def apply(lo: Long, hi: Long): PRange =
+    PRange(lo.toDouble, 1.0, math.max(0L, hi - lo + 1), integral = true)
+  /** Julia-style `lo:step:hi` (number of elements = floor((hi-lo)/step)+1). */
+  def stepped(lo: Long, step: Long, hi: Long): PRange = {
+    val n = if (hi < lo) 0L else (hi - lo) / step + 1
+    PRange(lo.toDouble, step.toDouble, n, integral = true)
+  }
+  def steppedD(lo: Double, step: Double, hi: Double): PRange = {
+    val n = if (hi < lo) 0L else math.floor((hi - lo) / step + 1e-10).toLong + 1
+    PRange(lo, step, n, integral = false)
+  }
+  def oneTo(n: Long): PRange = apply(1L, n)
+}
+
+/** Pure driver-side O(1)/O(log np) partition arithmetic over the outer
+  * (Cartesian) product of ranges — the engine's equivalent of the
+  * reference's `ProductSplit`/`ProductSection` index surface
+  * (/root/reference/src/productsplit.jl). Iteration order is
+  * reverse-lexicographic: dimension 1 varies fastest
+  * (/root/reference/src/productsplit.jl:26-27), so the flat index puts
+  * dim 1 in the least-significant radix position.
+  *
+  * All flat indices here are 0-based internally; the public Julia-parity
+  * accessors (`indexInProduct`, `localIndex`, …) return 1-based values
+  * matching the reference's doctests.
+  */
+object ProductIndexMath {
+
+  /** Mixed-radix weights: w(0)=1, w(k)=len_1*…*len_k. Flat index of a
+    * per-dim 0-based index tuple is sum(idx_k * w(k-1)). Equivalent to
+    * the reference's `togglelevels` (`_cumprod`,
+    * /root/reference/src/productsplit.jl:52-59). */
+  def weights(iters: IndexedSeq[PRange]): IndexedSeq[Long] =
+    iters.scanLeft(1L)((acc, r) => acc * r.numElems).dropRight(1)
+
+  def totalLength(iters: IndexedSeq[PRange]): Long =
+    iters.foldLeft(1L)((acc, r) => acc * r.numElems)
+
+  /** The even contiguous split law: worker `p` of `np` (1-based) over a
+    * collection of `len` elements gets `(drop, take)` with the first
+    * `len mod np` ranks receiving one extra element. Exact mirror of
+    * `nelementsdroptake` (/root/reference/src/productsplit.jl:124-130). */
+  def dropTake(len: Long, np: Int, p: Int): (Long, Long) = {
+    require(1 <= p && p <= np, "processor rank out of range")
+    val d = len / np
+    val r = len % np
+    val drop = d * (p - 1) + math.min(r, p - 1L)
+    val lastind = d * p + math.min(r, p.toLong)
+    (drop, lastind - drop)
+  }
+
+  /** Closed-form inverse of the split law: which 1-based rank owns
+    * 0-based flat index `id`. Used as the in-plan `rank` column and by
+    * tests against `whichproc`'s binary search. */
+  def rankOfIndex(len: Long, np: Int, id: Long): Int = {
+    val d = len / np
+    val r = len % np
+    val boundary = r * (d + 1)
+    if (id < boundary) (id / (d + 1)).toInt + 1
+    else (r + (id - boundary) / d).toInt + 1
+  }
+
+  /** Decode 0-based flat index into per-dimension 0-based indices
+    * (`childindex`, /root/reference/src/productsplit.jl:264-276). */
+  def childIndex(iters: IndexedSeq[PRange], flat: Long): IndexedSeq[Long] = {
+    val w = weights(iters)
+    iters.indices.map(k => (flat / w(k)) % iters(k).numElems)
+  }
+
+  /** Decode 0-based flat index into element values. */
+  def elementAt(iters: IndexedSeq[PRange], flat: Long): IndexedSeq[Double] = {
+    val ci = childIndex(iters, flat)
+    iters.indices.map(k => iters(k)(ci(k)))
+  }
+
+  /** 0-based flat index of `val` in the product, or -1 if absent
+    * (`indexinproduct`, /root/reference/src/productsplit.jl:719-728,
+    * which returns the 1-based form). */
+  def flatIndexOf(iters: IndexedSeq[PRange], value: IndexedSeq[Double]): Long = {
+    require(iters.nonEmpty, "need at least one iterator")
+    require(value.length == iters.length, "value arity must match iterators")
+    val w = weights(iters)
+    var acc = 0L
+    var k = 0
+    while (k < iters.length) {
+      val i = iters(k).indexOf(value(k))
+      if (i < 0) return -1L
+      acc += i * w(k)
+      k += 1
+    }
+    acc
+  }
+
+  /** Julia-parity 1-based `indexinproduct`. */
+  def indexInProduct(iters: IndexedSeq[PRange], value: IndexedSeq[Double]): Option[Long] = {
+    val f = flatIndexOf(iters, value)
+    if (f < 0) None else Some(f + 1)
+  }
+
+  /** Reverse-lexicographic comparison of element tuples: last dimension
+    * most significant (`ReverseLexicographicTuple`,
+    * /root/reference/src/productsplit.jl:743-748). */
+  def revLexCompare(a: IndexedSeq[Double], b: IndexedSeq[Double]): Int = {
+    var k = a.length - 1
+    while (k >= 0) {
+      val c = java.lang.Double.compare(a(k), b(k))
+      if (c != 0) return c
+      k -= 1
+    }
+    0
+  }
+
+  /** Owning 1-based rank of `val` when the product of `iters` is split
+    * over `np` ranks; None if absent. Binary search over ranks exactly
+    * as the reference (`whichproc`,
+    * /root/reference/src/productsplit.jl:774-805). */
+  def whichProc(iters: IndexedSeq[PRange], value: IndexedSeq[Double], np: Int): Option[Int] = {
+    if (iters.indices.exists(k => !iters(k).contains(value(k)))) return None
+    require(np >= 1, "np must be >= 1")
+    if (np == 1) return Some(1)
+    var left = 1
+    var right = np
+    while (left < right) {
+      val mid = (left + right) / 2
+      val ps = productSplit(iters, np, mid)
+      if (ps.isEmpty || revLexCompare(value, ps.firstElement) < 0) right = mid - 1
+      else if (revLexCompare(value, ps.lastElement) > 0) left = mid + 1
+      else return Some(mid)
+    }
+    Some(left)
+  }
+
+  def productSplit(iters: IndexedSeq[PRange], np: Int, p: Int): ProductSlice = {
+    val len = totalLength(iters)
+    val (drop, take) = dropTake(len, np, p)
+    ProductSlice(iters, drop, drop + take - 1)
+  }
+
+  /** Julia-parity section over 1-based inclusive global indices
+    * (`ProductSection`, /root/reference/src/productsplit.jl:89-100). */
+  def productSection(iters: IndexedSeq[PRange], firstInd1: Long, lastInd1: Long): ProductSlice = {
+    val len = totalLength(iters)
+    require(iters.nonEmpty, "need at least one iterator")
+    require(firstInd1 >= 1, "the range of indices must start from a number >= 1")
+    require(lastInd1 <= len, s"the maximum index must be less than or equal to the total number of elements = $len")
+    ProductSlice(iters, firstInd1 - 1, lastInd1 - 1)
+  }
+
+  /** Rank range that would hold `slice`'s values if the (possibly
+    * different) product of `iters` were split over `npNew` ranks
+    * (`procrange_recast`, /root/reference/src/productsplit.jl:831-868).
+    * None for an empty slice; throws [[TaskNotPresentException]] if a
+    * boundary value is absent from `iters`. */
+  def procRangeRecast(iters: IndexedSeq[PRange], slice: ProductSlice, npNew: Int): Option[(Int, Int)] = {
+    if (slice.isEmpty) return None
+    val start = whichProc(iters, slice.firstElement, npNew).getOrElse(
+      throw TaskNotPresentException(s"could not find the task ${slice.firstElement} in the list $iters"))
+    val end =
+      if (slice.length == 1) start
+      else whichProc(iters, slice.lastElement, npNew).getOrElse(
+        throw TaskNotPresentException(s"could not find the task ${slice.lastElement} in the list $iters"))
+    Some((start, end))
+  }
+}
+
+/** A contiguous window `[firstFlat, lastFlat]` (0-based inclusive; empty
+  * when lastFlat < firstFlat) into the outer product of `iters` — the
+  * engine's `ProductSplit`/`ProductSection`
+  * (/root/reference/src/productsplit.jl:33-50,113-122). All point ops
+  * are O(1) arithmetic except the documented O(n) scans. */
+final case class ProductSlice(iters: IndexedSeq[PRange], firstFlat: Long, lastFlat: Long) {
+  import ProductIndexMath._
+
+  def nIterators: Int = iters.length
+  def length: Long = math.max(0L, lastFlat - firstFlat + 1)
+  def isEmpty: Boolean = length == 0L
+
+  /** First/last element values, O(1) (`first`/`last`,
+    * /root/reference/src/productsplit.jl:188-218). */
+  def firstElement: IndexedSeq[Double] = { requireNonEmpty(); elementAt(iters, firstFlat) }
+  def lastElement: IndexedSeq[Double] = { requireNonEmpty(); elementAt(iters, lastFlat) }
+
+  private def requireNonEmpty(): Unit =
+    if (isEmpty) throw new IllegalArgumentException("collection must be non - empty")
+
+  /** O(1) random access, 1-based local index (`getindex`,
+    * /root/reference/src/productsplit.jl:308-324). */
+  def apply(ind1: Long): IndexedSeq[Double] = {
+    require(1 <= ind1 && ind1 <= length, s"index $ind1 out of bounds for slice of length $length")
+    elementAt(iters, firstFlat + ind1 - 1)
+  }
+
+  /** Materialize the slice (lazy iterator ≙ `takedrop`,
+    * /root/reference/src/productsplit.jl:61-65). */
+  def iterator: Iterator[IndexedSeq[Double]] =
+    (firstFlat to lastFlat).iterator.map(elementAt(iters, _))
+  def toVector: Vector[IndexedSeq[Double]] = iterator.toVector
+
+  /** O(1) membership (`in`, /root/reference/src/productsplit.jl:730-740).
+    * The flat-index bound check is equivalent to the reference's
+    * reverse-lex comparison because the flat order IS reverse-lex order
+    * for strictly increasing ranges. */
+  def contains(value: IndexedSeq[Double]): Boolean = {
+    val f = flatIndexOf(iters, value)
+    f >= firstFlat && f <= lastFlat
+  }
+
+  /** 1-based index of `value` within this slice, or None
+    * (`localindex`, /root/reference/src/productsplit.jl:891-896). */
+  def localIndex(value: IndexedSeq[Double]): Option[Long] = {
+    val f = flatIndexOf(iters, value)
+    if (f >= firstFlat && f <= lastFlat) Some(f - firstFlat + 1) else None
+  }
+
+  /** Count of rollovers of dimension `dim` (1-based): how many times it
+    * wraps within the slice (`_nrollovers`,
+    * /root/reference/src/productsplit.jl:370-373). */
+  private def nRollovers(dim: Int): Long =
+    if (dim == nIterators) 0L else nElements(dim + 1) - 1
+
+  /** Number of distinct values of dimension `dim` (1-based) in the
+    * slice, O(1) via rollover analysis (`nelements`,
+    * /root/reference/src/productsplit.jl:406-432). */
+  def nElements(dim: Int): Long = {
+    require(1 <= dim && dim <= nIterators, s"1 <= dims <= N=$nIterators not satisfied for dims=$dim")
+    requireNonEmpty()
+    val k = dim - 1
+    val n = iters(k).numElems
+    val roll = nRollovers(dim)
+    if (roll == 0) {
+      val st = childIndex(iters, firstFlat)(k)
+      val en = childIndex(iters, lastFlat)(k)
+      en - st + 1
+    } else if (roll > 1) n
+    else {
+      val st = childIndex(iters, firstFlat)(k)
+      val en = childIndex(iters, lastFlat)(k)
+      if (st > en) (n - st) + (en + 1) else n
+    }
+  }
+
+  /** Does any dimension after `dim` differ between the first and last
+    * element — i.e. does dim wrap (`_checkrollover`,
+    * /root/reference/src/productsplit.jl:345-368)? */
+  private def rollsOver(dim: Int): Boolean = {
+    val fi = childIndex(iters, firstFlat)
+    val li = childIndex(iters, lastFlat)
+    ((dim + 1) to nIterators).exists(j => fi(j - 1) != li(j - 1))
+  }
+
+  /** O(1) per-dimension extrema (`maximumelement`/`minimumelement`/
+    * `extremaelement`, /root/reference/src/productsplit.jl:456-596). */
+  def maximumElement(dim: Int): Double = {
+    requireNonEmpty()
+    if (dim == nIterators) lastElement(dim - 1)
+    else if (rollsOver(dim)) iters(dim - 1).max
+    else lastElement(dim - 1)
+  }
+
+  def minimumElement(dim: Int): Double = {
+    requireNonEmpty()
+    if (dim == nIterators) firstElement(dim - 1)
+    else if (rollsOver(dim)) iters(dim - 1).min
+    else firstElement(dim - 1)
+  }
+
+  def extremaElement(dim: Int): (Double, Double) =
+    (minimumElement(dim), maximumElement(dim))
+
+  /** Extrema along every dimension (`extremadims`,
+    * /root/reference/src/productsplit.jl:627-634). */
+  def extremaDims: IndexedSeq[(Double, Double)] =
+    (1 to nIterators).map(extremaElement)
+
+  /** Extrema of the leading dims restricted to rows carrying the
+    * min/max last-dim value; one O(n) scan
+    * (`extrema_commonlastdim`,
+    * /root/reference/src/productsplit.jl:664-691). None if empty. */
+  def extremaCommonLastDim: Option[(IndexedSeq[(Double, Double)], IndexedSeq[(Double, Double)])] = {
+    if (isEmpty) return None
+    val n = nIterators
+    val (lastMin, lastMax) = extremaElement(n)
+    val minVals = firstElement.dropRight(1).toArray
+    val maxVals = lastElement.dropRight(1).toArray
+    iterator.foreach { v =>
+      val lastVar = v(n - 1)
+      if (!(lastMin < lastVar && lastVar < lastMax)) {
+        var i = 0
+        while (i < n - 1) {
+          if (lastVar == lastMin) minVals(i) = math.min(minVals(i), v(i))
+          if (lastVar == lastMax) maxVals(i) = math.max(maxVals(i), v(i))
+          i += 1
+        }
+      }
+    }
+    Some((minVals.toIndexedSeq.map(v => (v, lastMin)), maxVals.toIndexedSeq.map(v => (v, lastMax))))
+  }
+
+  /** Project away dimension 1: the ProductSection of distinct remaining
+    * tuples covered by this slice — exact thanks to contiguity
+    * (`dropleading`, /root/reference/src/productsplit.jl:960-968). */
+  def dropLeading: ProductSlice = {
+    requireNonEmpty()
+    require(nIterators > 1, "need at least one iterator")
+    val tailIters = iters.tail
+    val f = flatIndexOf(tailIters, firstElement.tail)
+    val l = flatIndexOf(tailIters, lastElement.tail)
+    ProductSlice(tailIters, f, l)
+  }
+}
