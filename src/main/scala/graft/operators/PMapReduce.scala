@@ -1,0 +1,131 @@
+package graft.operators
+
+import scala.reflect.ClassTag
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import graft.functions.ReduceOp
+import graft.plans.{PRange, ProductIndexMath, ProductSlice}
+import graft.sources.ProductSplitSource
+
+/** The execution operators E1–E4: distributed map + rank-ordered reduce
+  * over partitioned products/zips — the engine's `pmapreduce` family
+  * (/root/reference/src/mapreduce.jl:266-342).
+  *
+  * Spark-first design: per-rank partial aggregation happens inside each
+  * partition (map-side combine ≙ the reference's per-worker serial
+  * `mapreduce`, /root/reference/src/mapreduce.jl:104-124). Commutative
+  * ops then combine partials with `treeReduce` (the two-level
+  * aggregation tree subsumes the reference's host-segmented reduction
+  * tree, /root/reference/src/trees.jl:42-63). Non-commutative ops use
+  * the one semantic Spark doesn't give natively: partials are tagged
+  * with their rank, gathered, sorted by rank, and left-folded — exactly
+  * the reference's root combine (`_maybesort` + `reducechannel`,
+  * /root/reference/src/mapreduce.jl:138-146). There are at most `np`
+  * partials (np = partition count, not row count), so the gather is
+  * O(np), not O(data).
+  *
+  * `init` is folded exactly once, on the driver, after the distributed
+  * reduce — never per partition (the init-once law,
+  * /root/reference/src/mapreduce.jl:110-117).
+  */
+object PMapReduce {
+
+  /** Combine rank-tagged partials respecting the commutativity tag. */
+  private[graft] def reducePartials[B: ClassTag](partials: RDD[(Int, B)], op: ReduceOp[B]): B = {
+    if (op.commutative) {
+      val n = partials.getNumPartitions
+      partials.values.treeReduce(op, depth = if (n > 16) 2 else 1)
+    } else {
+      // Rank-sorted left fold at the root: reference semantics for
+      // non-commutative ops. O(np) values gathered, np = #partitions.
+      partials.collect().sortBy(_._1).map(_._2).reduceLeft(op)
+    }
+  }
+
+  private def foldInit[B](init: Option[B], op: ReduceOp[B], result: B): B =
+    init.map(i => op(i, result)).getOrElse(result)
+
+  /** E2: `f` receives each rank's whole ProductSlice once (MPI-style;
+    * /root/reference/docs/src/pmapreduce.md:58-93), partials reduced by
+    * `op` in rank order. `f` may use every §2.2 point query on the
+    * slice. Fast path: a single rank computes locally with no job
+    * (/root/reference/src/mapreduce.jl:269-277). */
+  def pmapreduceProductSplit[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                                         (f: ProductSlice => B, op: ReduceOp[B],
+                                          init: Option[B] = None): B = {
+    val len = ProductIndexMath.totalLength(iters)
+    val npEff = math.max(1L, math.min(np.toLong, len)).toInt
+    if (npEff == 1) {
+      foldInit(init, op, f(ProductIndexMath.productSplit(iters, 1, 1)))
+    } else {
+      val partials = ProductSplitSource.productSliceRDD(spark, iters, npEff)
+        .mapPartitions(_.map { case (p, slice) => (p, f(slice)) }, preservesPartitioning = true)
+      foldInit(init, op, reducePartials(partials, op))
+    }
+  }
+
+  /** E1 (zip mode): splat the j-th element of every range into `f`,
+    * reduce with `op` (/root/reference/src/mapreduce.jl:266-287). Each
+    * partition left-folds its slice serially (ordered within rank), so
+    * only one partial per rank crosses the network. */
+  def pmapreduce[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                             (f: IndexedSeq[Double] => B, op: ReduceOp[B],
+                              init: Option[B] = None): B = {
+    val len = iters.map(_.numElems).min
+    mapReduceIndexed(spark, len, np, j => f(iters.map(_(j))), op, init)
+  }
+
+  /** E1 (product mode): elements of the full product split across ranks,
+    * each splatted into `f` (`pmapreduce(f, op, product(...))`,
+    * /root/reference/src/mapreduce.jl:18-30,266-287). */
+  def pmapreduceProduct[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                                    (f: IndexedSeq[Double] => B, op: ReduceOp[B],
+                                     init: Option[B] = None): B = {
+    val len = ProductIndexMath.totalLength(iters)
+    mapReduceIndexed(spark, len, np, j => f(ProductIndexMath.elementAt(iters, j)), op, init)
+  }
+
+  private def mapReduceIndexed[B: ClassTag](spark: SparkSession, len: Long, np: Int,
+                                            f: Long => B, op: ReduceOp[B],
+                                            init: Option[B]): B = {
+    require(len > 0, "cannot reduce over an empty collection")
+    val npEff = math.max(1L, math.min(np.toLong, len)).toInt
+    if (npEff == 1) {
+      val total = (0L until len).iterator.map(f).reduceLeft(op)
+      foldInit(init, op, total)
+    } else {
+      val partials = spark.sparkContext.parallelize(1 to npEff, npEff).map { p =>
+        val (drop, take) = ProductIndexMath.dropTake(len, npEff, p)
+        (p, (drop until drop + take).iterator.map(f).reduceLeft(op))
+      }
+      foldInit(init, op, reducePartials(partials, op))
+    }
+  }
+
+  /** E3: `pmap` — ordered per-element results
+    * (/root/reference/src/mapreduce.jl:316-324). Collect preserves
+    * partition (= rank) order, reproducing the `vcat` concatenation. */
+  def pmapbatch[T: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                            (f: IndexedSeq[Double] => T): Vector[T] = {
+    val len = iters.map(_.numElems).min
+    require(len > 0, "cannot map over an empty collection")
+    val npEff = math.max(1L, math.min(np.toLong, len)).toInt
+    if (npEff == 1) (0L until len).iterator.map(j => f(iters.map(_(j)))).toVector
+    else spark.sparkContext.parallelize(1 to npEff, npEff).flatMap { p =>
+      val (drop, take) = ProductIndexMath.dropTake(len, npEff, p)
+      (drop until drop + take).iterator.map(j => f(iters.map(_(j))))
+    }.collect().toVector
+  }
+
+  /** E4: per-rank `f(slice)` gathered in rank order
+    * (/root/reference/src/mapreduce.jl:334-342). */
+  def pmapbatchProductSplit[T: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                                        (f: ProductSlice => T): Vector[T] = {
+    val len = ProductIndexMath.totalLength(iters)
+    val npEff = math.max(1L, math.min(np.toLong, len)).toInt
+    if (npEff == 1) Vector(f(ProductIndexMath.productSplit(iters, 1, 1)))
+    else ProductSplitSource.productSliceRDD(spark, iters, npEff)
+      .map { case (_, slice) => f(slice) }
+      .collect().toVector
+  }
+}
