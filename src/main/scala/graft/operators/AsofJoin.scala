@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward, inclusive) join: for every left row, attach the
+  * right row with the greatest `rightTs <= leftTs` sharing the join
+  * key. The reference has no such operator (SURVEY §2.7) — this is one
+  * of the engine's scale extensions.
+  *
+  * Scale design: NO range cross-join. Both sides are tagged and
+  * unioned, then a single shuffle on the key + an in-partition sort
+  * feeds a running `last(right, ignoreNulls)` window — O(n log n) per
+  * key group, one shuffle total, AQE-friendly. At 100 TB this is the
+  * plan you want: the alternative (per-key cross join + filter +
+  * argmax) explodes quadratically on hot keys.
+  */
+object AsofJoin {
+
+  /** @param rightPayload right-side columns carried onto left rows
+    *                     (null when no right row precedes the left row). */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // A genuinely-NULL struct (not a struct of nulls): last(ignoreNulls)
+    // must skip rows of the opposite side.
+    def nullStruct(df: DataFrame, cols: Seq[String]) =
+      lit(null).cast(org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c))))
+
+    val l = left.select(
+      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_tag"),
+      struct(leftCols.map(col): _*).as("_lrow"),
+      nullStruct(right, rightPayload).as("_rrow"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_tag"),
+      nullStruct(left, leftCols).as("_lrow"),
+      struct(rightPayload.map(col): _*).as("_rrow"))
+    // Right rows sort before left rows at equal ts (_tag 0 < 1) so an
+    // exactly-simultaneous right row is visible to the left row.
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("_match", last(col("_rrow"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+    val out = leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+      rightPayload.map(c => col(s"_match.$c").as(c))
+    matched.select(out: _*)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ReduceOp
+import graft.operators.PMapReduce
+import graft.plans.PRange
+import graft.sources.ProductSplitSource
+
+/** Correctness-gate queries over the engine's own surface (SURVEY §2.1,
+  * §2.3): product-split sources, sections, zips, rank statistics, and
+  * the pmapreduce family. Each has an exact DuckDB oracle built from
+  * `range()` + the same mixed-radix / split-law arithmetic.
+  *
+  * Scale note: every source here is `spark.range` + pure-Column decode —
+  * codegen'd, no shuffle, no UDF; the rank-stats aggregation is the only
+  * shuffle and it is a partial-agg hash aggregate.
+  */
+object CoreQueries {
+
+  // Fixture A: (1:10, 4:6, 1:4), L = 120, np = 7 (SURVEY FIXTURES I5).
+  private val fixA = IndexedSeq(PRange(1L, 10L), PRange(4L, 6L), PRange(1L, 4L))
+  // Fixture B: (1:100, 1:50, 1:40), L = 200_000, np = 32.
+  private val fixB = IndexedSeq(PRange(1L, 100L), PRange(1L, 50L), PRange(1L, 40L))
+  private val names3 = Seq("d1", "d2", "d3")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: ProductSplit decode + split-law rank assignment.
+    "ps_product_decode" -> ((s, _) =>
+      ProductSplitSource.productDF(s, fixA, 7, names3)
+        .withColumnRenamed("rank", "prank")),
+
+    // S2: ProductSection window (1-based global indices 5..11 of (1:5,2:4,1:3)).
+    "ps_section" -> ((s, _) =>
+      ProductSplitSource.sectionDF(s,
+        IndexedSeq(PRange(1L, 5L), PRange(2L, 4L), PRange(1L, 3L)), 5L, 11L, names3, np = 2)),
+
+    // S4: zipped ranges (1:10) zip (2:2:20), np = 4.
+    "ps_zip" -> ((s, _) =>
+      ProductSplitSource.zippedDF(s,
+        IndexedSeq(PRange(1L, 10L), PRange.stepped(2L, 2L, 20L)), 4, Seq("d1", "d2"))
+        .withColumnRenamed("rank", "prank")),
+
+    // P9-P11 distributed analog: per-rank count/distinct/extrema over fixture B.
+    "ps_rank_stats" -> ((s, _) =>
+      ProductSplitSource.productDF(s, fixB, 32, names3)
+        .withColumnRenamed("rank", "prank")
+        .groupBy("prank")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("d1")).as("nd1"),
+          countDistinct(col("d2")).as("nd2"),
+          countDistinct(col("d3")).as("nd3"),
+          min("d1").as("min1"), max("d1").as("max1"),
+          min("d2").as("min2"), max("d2").as("max2"),
+          min("d3").as("min3"), max("d3").as("max3"))),
+
+    // E1 flagship: pmapreduce(x -> x^2, +, 1:100_000) == 333338333350000
+    // (/root/reference/docs/src/pmapreduce.md:32-41).
+    "pmr_sum_squares" -> ((s, _) => {
+      val v = PMapReduce.pmapreduce(s, IndexedSeq(PRange(1L, 100000L)), 32)(
+        t => { val x = t(0).toLong; x * x }, ReduceOp.commutative[Long](_ + _))
+      s.createDataFrame(Seq(Tuple1(v))).toDF("total")
+    }),
+
+    // E1 + R4: elementwise array reduction (sum, sum of squares, count).
+    "pmr_elementwise" -> ((s, _) => {
+      val v = PMapReduce.pmapreduce(s, IndexedSeq(PRange(1L, 10000L)), 32)(
+        t => Array(t(0), t(0) * t(0), 1.0), ReduceOp.elementwiseSum)
+      s.createDataFrame(Seq((v(0), v(1), v(2)))).toDF("s1", "s2", "n")
+    }),
+
+    // E4: per-rank slices gathered in rank order; concatenation restores
+    // the global reverse-lex order (/root/reference/docs/src/pmapreduce.md:79-89).
+    "pmr_product_collect" -> ((s, _) => {
+      val slices = PMapReduce.pmapbatchProductSplit(s,
+        IndexedSeq(PRange(1L, 3L), PRange(1L, 2L)), 4)(_.toVector)
+      val rows = slices.flatten.zipWithIndex.map { case (t, i) =>
+        (i + 1L, t(0).toLong, t(1).toLong)
+      }
+      s.createDataFrame(rows).toDF("ord", "d1", "d2")
+    }),
+
+    // E2 + non-commutative concat: rank-ordered reduce of per-slice
+    // summaries over (1:7,1:5) split 8 ways — exercises the ordered
+    // gather-sort-fold path (/root/reference/src/mapreduce.jl:138-146).
+    "pmr_ordered_concat" -> ((s, _) => {
+      val parts = PMapReduce.pmapreduceProductSplit(s,
+        IndexedSeq(PRange(1L, 7L), PRange(1L, 5L)), 8)(
+        sl => Vector((sl.length, sl.firstElement(0).toLong, sl.lastElement(1).toLong)),
+        ReduceOp.concat[(Long, Long, Long)])
+      val rows = parts.zipWithIndex.map { case ((len, f1, l2), i) =>
+        (i + 1L, len, f1, l2)
+      }
+      s.createDataFrame(rows).toDF("pos", "slice_len", "first_d1", "last_d2")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "ps_product_decode" ->
+      """SELECT id, 1 + (id % 10) AS d1, 4 + ((id // 10) % 3) AS d2,
+        |       1 + ((id // 30) % 4) AS d3,
+        |       CAST(1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS INT) AS prank
+        |FROM (SELECT range AS id FROM range(0, 120)) ORDER BY id""".stripMargin,
+
+    "ps_section" ->
+      """SELECT id, 1 + (id % 5) AS d1, 2 + ((id // 5) % 3) AS d2,
+        |       1 + ((id // 15) % 3) AS d3
+        |FROM (SELECT range AS id FROM range(4, 11)) ORDER BY id""".stripMargin,
+
+    "ps_zip" ->
+      """SELECT id, 1 + id AS d1, 2 + 2 * id AS d2,
+        |       CAST(1 + (CASE WHEN id < 6 THEN id // 3 ELSE 2 + (id - 6) // 2 END) AS INT) AS prank
+        |FROM (SELECT range AS id FROM range(0, 10)) ORDER BY id""".stripMargin,
+
+    "ps_rank_stats" ->
+      """SELECT prank, count(*) AS n,
+        |       count(DISTINCT d1) AS nd1, count(DISTINCT d2) AS nd2, count(DISTINCT d3) AS nd3,
+        |       min(d1) AS min1, max(d1) AS max1, min(d2) AS min2, max(d2) AS max2,
+        |       min(d3) AS min3, max(d3) AS max3
+        |FROM (SELECT CAST(1 + id // 6250 AS INT) AS prank,
+        |             1 + (id % 100) AS d1, 1 + ((id // 100) % 50) AS d2,
+        |             1 + ((id // 5000) % 40) AS d3
+        |      FROM (SELECT range AS id FROM range(0, 200000)))
+        |GROUP BY prank ORDER BY prank""".stripMargin,
+
+    "pmr_sum_squares" ->
+      "SELECT CAST(SUM(x * x) AS BIGINT) AS total FROM (SELECT range + 1 AS x FROM range(0, 100000))",
+
+    "pmr_elementwise" ->
+      """SELECT CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x * x) AS DOUBLE) AS s2,
+        |       CAST(COUNT(*) AS DOUBLE) AS n
+        |FROM (SELECT range + 1 AS x FROM range(0, 10000))""".stripMargin,
+
+    "pmr_product_collect" ->
+      """SELECT CAST(id + 1 AS BIGINT) AS ord, 1 + (id % 3) AS d1, 1 + (id // 3) AS d2
+        |FROM (SELECT range AS id FROM range(0, 6)) ORDER BY ord""".stripMargin,
+
+    // Split law over L=35, np=8: d=4, r=3; drop(p) = 4(p-1)+min(3,p-1).
+    "pmr_ordered_concat" ->
+      """SELECT CAST(p AS BIGINT) AS pos,
+        |       CAST(lastf - firstf + 1 AS BIGINT) AS slice_len,
+        |       1 + (firstf % 7) AS first_d1,
+        |       1 + ((lastf // 7) % 5) AS last_d2
+        |FROM (SELECT p, 4 * (p - 1) + least(3, p - 1) AS firstf,
+        |             4 * p + least(3, p) - 1 AS lastf
+        |      FROM (SELECT range AS p FROM range(1, 9)))
+        |ORDER BY pos""".stripMargin)
+}

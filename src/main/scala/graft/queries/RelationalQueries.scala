@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** Relational surface over the driver's TPC-H-ish tables — the engine's
+  * scale extensions beyond the reference (SURVEY §2.7): aggregation,
+  * multi-way joins, windows, rollup, semi/anti joins, top-k, as-of join,
+  * sessionization. Oracles are exact ANSI SQL for DuckDB.
+  *
+  * Numeric discipline for hash-stable oracles: money columns are cast to
+  * DECIMAL(18,2) BEFORE summation (exact, order-independent) and the
+  * final aggregate is cast to DOUBLE — both engines then produce
+  * bit-identical values. Integral-valued doubles (quantities) sum
+  * exactly in binary, so a BIGINT cast is safe.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier) are
+  * explicitly broadcast; fact-fact joins shuffle on their keys; window
+  * queries partition by high-cardinality keys (no global sort except
+  * top-k, which is orderBy+limit = TakeOrdered, not a full sort).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
+    // default; read it as long nanos and convert (values are µs-aligned,
+    // so the truncation is lossless and matches DuckDB's TIMESTAMP_NS).
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+  private val one = lit(1).cast("decimal(18,2)")
+  /** decimal-exact revenue term: price * (1 - discount). */
+  private def revenue: Column = dec("l_extendedprice") * (one - dec("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // Q3-style: revenue per order for one market segment (join + agg).
+    "q3_segment_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(revenue).cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // Q5-style: revenue by region/nation (4-way join, broadcast dims).
+    "q5_region_revenue" -> ((s, dir) => {
+      val nr = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenue).cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // Window: each customer's highest-value order (rank + tiebreak).
+    "q_window_top_order" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // Rollup with subtotal rows.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"),
+             count(lit(1)).as("n"))),
+
+    // Semi join: customers that have at least one order, counted by nation.
+    "q_semijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))),
+
+    // Anti join: customers with no orders.
+    "q_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey")),
+
+    // Distinct aggregation over the event stream table.
+    "q_event_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"),
+             sum(dec("value")).cast("double").as("sum_value"))),
+
+    // Top-k with deterministic tiebreak (TakeOrdered, not a full sort).
+    "q_topk_orders" -> ((s, dir) => {
+      val top = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+      top.withColumn("rk",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .select("rk", "o_orderkey", "o_totalprice")
+    }),
+
+    // Monthly order aggregate (date_trunc; DATE output for tz-stable compare).
+    "q_monthly_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(dec("o_totalprice")).cast("double").as("sum_price"))),
+
+    // As-of join: each purchase matched to the user's latest signup at-or-before it.
+    "q_asof_purchase_signup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+      AsofJoin.backward(purchases, signups, "user_id", "ts", "ts", Seq("signup_event"))
+        .select("event_id", "user_id", "signup_event")
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user (lag + running sum).
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_segment_revenue" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_nationkey, count(*) AS n_cust FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY 1""".stripMargin,
+
+    "q_event_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+        |       o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_monthly_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_purchase_signup" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS signup_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
