@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, shingling,
+  * fingerprinting, MinHash signatures, SimHash.
+  *
+  * Everything here is a pure `Column` expression (higher-order array
+  * functions, builtin hashes) — no UDFs, so the whole pipeline stays
+  * inside WholeStageCodegen/vectorized evaluation and scales linearly
+  * with executor count. At 100 TB the difference between a codegen'd
+  * expression and a boxed UDF on a text column is the whole job.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct token set (set semantics for Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Character k-gram shingles (distinct). Texts shorter than k yield
+    * one (short) shingle — the whole text. */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** 1-permutation MinHash fingerprint: min MD5 over k-gram shingles —
+    * a deterministic document fingerprint usable as a blocking key. */
+  def minhashFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(charShingles(text, k), s => md5(s.cast("binary"))))
+
+  /** H-permutation MinHash signature as array<bigint>: element j is
+    * min over shingles of murmur3(shingle, j) (hash-family-by-seed-mix;
+    * `hash(c, lit(j))` gives an independent permutation per j). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleCol, s => hash(s, j).cast("long"))))
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `rowsPerBand`, each hashed to one bucket key. Returns
+    * array<struct<band:int, bucket:bigint>> ready to explode. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))))
+          .as("bucket")))
+
+  /** 64-bit SimHash over the token multiset: bit i of the result is set
+    * iff the sum over tokens of ±1 (sign of bit i of xxhash64(token))
+    * is positive. Near-duplicate texts land at small Hamming distance. */
+  def simhash64(tokensCol: Column): Column = {
+    val tokHashes = transform(tokensCol, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => {
+        // shiftright/shiftleft with a Column shift amount need the SQL
+        // function form (the Scala wrappers force a literal Int).
+        val bitSum = aggregate(tokHashes, lit(0),
+          (s, h) => s + when(call_function("shiftright", h, i)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
+      })
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact token-set Jaccard similarity of two texts' token arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  // ---- Quality scoring -------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")
+
+  /** Count of stopword tokens. */
+  def stopwordCount(tokensCol: Column): Column =
+    size(filter(tokensCol, t => t.isInCollection(stopwords)))
+
+  def stopwordRatio(tokensCol: Column): Column =
+    round(stopwordCount(tokensCol).cast("double") / size(tokensCol), 6)
+
+  /** Mean token length (chars excluding whitespace / token count). */
+  def avgWordLen(text: Column): Column =
+    round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      tokenCount(text), 6)
+
+  /** Composite quality score in [0,1]: length credit (capped at 200
+    * tokens) discounted by stopword density. Deterministic arithmetic
+    * mirrored exactly by the DuckDB oracle. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopR = stopwordCount(toks).cast("double") / nTok
+    round(least(nTok, lit(200.0)) / 200.0 * (lit(1.0) - stopR), 6)
+  }
+
+  // ---- Language ID heuristic ------------------------------------------
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  /** n-gram/stopword-profile language ID: argmax of per-language
+    * stopword hits, ties broken by profile order (en > de > fr),
+    * 'und' (undetermined) when no profile matches. */
+  def langId(tokensCol: Column): Column = {
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(filter(tokensCol, t => t.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

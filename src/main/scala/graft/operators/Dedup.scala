@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design principles (the 100 TB contract):
+  *  - Exact dedup is a single hash-shuffle on a 16-byte digest, never
+  *    on the full text.
+  *  - Near-dup never does an all-pairs join: candidates come from
+  *    LSH-bucket equijoins (shuffle on bucket key), and only candidates
+  *    are verified exactly. Bucket skew is capped (`maxBucketSize`) so
+  *    one degenerate bucket can't go quadratic.
+  *  - All hashing is builtin (murmur3/xxhash64/md5) Column expressions —
+  *    codegen'd, no UDF boxing on the hot path.
+  */
+object Dedup {
+
+  /** Exact dedup on a digest of `textCol`: one representative (min id)
+    * per distinct text + the duplicate count. Shuffles 16-byte digests,
+    * not documents. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Rows of `df` minus exact duplicates (keeps the min-id row). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Attach MinHash signature + shingle set:
+    * (idCol, shingles array, sig array<long>). */
+  def withMinhash(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 128, shingleK: Int = 8): DataFrame =
+    df.select(col(idCol), charShingles(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+  /** LSH candidate pairs (id_a < id_b) from banding the signature.
+    * One explode + one shuffle on (band, bucket); per-bucket pair
+    * generation is a self-join of bucket members. `maxBucketSize` drops
+    * degenerate buckets (boilerplate text) that would go quadratic —
+    * standard practice, logged by the caller if needed. */
+  def lshCandidates(sigDf: DataFrame, idCol: String,
+                    bands: Int = 32, rowsPerBand: Int = 4,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val banded = sigDf
+      .select(col(idCol), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val small = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    small
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs: LSH candidates verified with exact shingle
+    * Jaccard >= `threshold`. Joins back to the (small relative to text)
+    * shingle sets only for candidate ids. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 128,
+                          bands: Int = 32, rowsPerBand: Int = 4,
+                          shingleK: Int = 8): DataFrame = {
+    val sigs = withMinhash(df, idCol, textCol, numHashes, shingleK).cache()
+    val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
+    val sa = sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram (token-set) Jaccard pairs, blocked on a cheap
+    * fingerprint (1-perm MinHash) so the join is an equijoin, not a
+    * cross join. Finds pairs sharing their minimum shingle — a
+    * high-recall blocking key for strong near-dups. */
+  def fingerprintJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                              shingleK: Int = 8): DataFrame = {
+    val f = df.select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
+      tokenSet(col(textCol)).as("toks"))
+    val a = f.select(col(idCol).as("id_a"), col("fp"), col("toks").as("toks_a"))
+    val b = f.select(col(idCol).as("id_b"), col("fp"), col("toks").as("toks_b"))
+    a.join(b, "fp")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 16).
+    * Pigeonhole blocking: split the 64-bit hash into 4 16-bit chunks —
+    * any pair within Hamming 3 shares at least one exact chunk, so
+    * candidates come from 4 equijoins on chunk value, then exact
+    * Hamming verification. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
+    val h = df.select(col(idCol), simhash64(tokens(col(textCol))).as("sh"))
+    val chunked = h.select(col(idCol), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)), i =>
+        struct(i.cast("int").as("chunk"),
+          call_function("shiftright", col("sh"), i * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v")))).as("c"))
+      .select(col(idCol), col("sh"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    val a = chunked.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("chunk"), col("v"))
+    val b = chunked.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("chunk"), col("v"))
+    a.join(b, Seq("chunk", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. `blockCol` provides
+    * the blocking key (e.g. an LSH bucket from
+    * [[Similarity.hyperplaneBucket]] or a coarse label) — the join is an
+    * equijoin on it, never all-pairs. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol), col(blockCol).as("blk"),
+      col(vecCol).cast("array<double>").as("v"))
+    val withNorm = v.withColumn("nrm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = withNorm.select(col(idCol).as("id_a"), col("blk"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("blk"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

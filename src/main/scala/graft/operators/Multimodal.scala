@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side architecture is real and tested — schema contract,
+  * partition sizing, per-partition batched iteration (the Scala analog
+  * of `mapInPandas` batch shape), and a deterministic metadata pipeline.
+  * The actual codec call is STUBBED (`fakeDecode`): the container has
+  * no image/audio libraries, so decode derives deterministic pseudo
+  * metadata/features from the bytes. Swapping in a real codec is a
+  * one-function change — the distribution/batching contract stays.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id, modality tag, opaque payload,
+    * typed metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false))), nullable = false)))
+
+  /** Wrap a text table into the media schema (payload = UTF-8 bytes) —
+    * the test-data stand-in for a real binary-blob table. Pure Column
+    * ops; stays in codegen. */
+  def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("modality"),
+      col(textCol).cast("binary").as("content"),
+      struct(col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decode: deterministic pseudo image properties from content
+    * bytes (stands in for an image codec; see object docs). */
+  private[operators] def fakeDecode(content: Array[Byte]): (Int, Int, Double) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < content.length) { h = 31 * h + (content(i) & 0xFF); i += 1 }
+    val width = 64 + math.floorMod(h, 448L).toInt
+    val height = 64 + math.floorMod(h >>> 16, 448L).toInt
+    val meanPx = (math.floorMod(h >>> 32, 256L)).toDouble
+    (width, height, meanPx)
+  }
+
+  /** Decoded schema appended to the media row. */
+  val decodedSchema: StructType = StructType(mediaSchema.fields ++ Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_px", DoubleType, nullable = false)))
+
+  /** Per-partition batched decode — the `mapInPandas` batch contract in
+    * Scala: rows are processed in bounded batches per partition (codec
+    * setup amortized per batch, memory bounded by batchSize × payload). */
+  def decodeImages(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val schema = decodedSchema
+    val rdd = media.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // A real codec would be initialized once per batch here.
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]]("content")
+          val (w, h, m) = fakeDecode(bytes)
+          // Seq[Any]: a bare Seq(w, h, m) would numerically widen the
+          // Ints to Double and break the encoder's IntegerType fields.
+          Row.fromSeq(row.toSeq ++ Seq[Any](w, h, m))
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Feature extraction stub: fixed-size float vector per media row
+    * (stands in for an embedding model; deterministic from bytes). */
+  def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val feats = Array.tabulate(dim) { d =>
+            var h = 0x9E3779B97F4A7C15L * (d + 1)
+            var i = 0
+            while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xFF); i += 1 }
+            ((math.floorMod(h, 2000L) - 1000L).toFloat) / 1000.0f
+          }
+          Row(id, feats.toSeq)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling stub for video payloads: every `stride`-th chunk of
+    * the payload becomes a "frame" row (id, frame_no, frame binary). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    media.select(col("media_id"),
+      posexplode(
+        filter(
+          transform(
+            sequence(lit(0),
+              greatest((length(col("content")) / frameBytes).cast("int") - 1, lit(0))),
+            i => when(i % stride === 0,
+              col("content").substr(i * frameBytes + 1, lit(frameBytes)))),
+          f => f.isNotNull)))
+      .toDF("media_id", "frame_no", "frame")
+}

@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity}
+
+/** Brute-force oracles for the pipeline operators that have no SQL
+  * oracle in the driver gate: MinHash/LSH and SimHash near-dup, ANN
+  * recall, as-of join, multimodal plumbing. The oracle is always an
+  * independent serial Scala computation over collected rows — the
+  * reference's differential-testing contract (SURVEY §5). */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // Synthetic corpus with planted near-duplicates.
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "scan", "join", "filter", "group", "sort",
+      "the", "a", "of", "merge", "window", "hash", "row", "key", "data")
+    def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, doc(60 + rnd.nextInt(40))))
+    // near-dups: copy with a few words changed
+    val dups = (0L until 8L).map { i =>
+      val (_, t) = base(i.toInt)
+      val words = t.split(" ")
+      words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+      (100L + i, words.mkString(" "))
+    }
+    // one exact dup
+    base ++ dups :+ (200L, base(3)._2)
+  }
+
+  private lazy val docsDF: DataFrame = corpus.toDF("doc_id", "text")
+
+  private def tokSet(t: String): Set[String] = t.trim.split("\\s+").toSet
+  private def shingleSet(t: String, k: Int): Set[String] =
+    (if (t.length < k) Seq(t.take(k)) else t.sliding(k).toSeq).toSet
+  private def jac(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  test("exact dedup finds the planted exact duplicate") {
+    val res = Dedup.exact(docsDF, "doc_id", "text")
+      .where(col("n") > 1).collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Long]("keep_id") == 3L)
+    assert(res(0).getAs[Long]("n") == 2L)
+  }
+
+  test("minhash LSH near-dup pairs match brute-force shingle-Jaccard oracle") {
+    val threshold = 0.5
+    val got = Dedup.minhashNearDupPairs(docsDF, "doc_id", "text",
+      threshold = threshold, numHashes = 128, bands = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      j = jac(shingleSet(ta, 8), shingleSet(tb, 8)) if j >= threshold
+    } yield (ia, ib)).toSet
+    // LSH with 32 bands × 4 rows at j>=0.5: P(miss) = (1-j^4)^32 <= 0.13;
+    // planted dups have j ~ 0.9 → recall is effectively certain. All
+    // found pairs are exact-verified, so got ⊆ want always.
+    assert(got.subsetOf(want), s"false positives: ${got.diff(want)}")
+    val planted = want.filter { case (a, b) => b >= 100L || a >= 100L }
+    assert(planted.subsetOf(got), s"missed planted dups: ${planted.diff(got)}")
+  }
+
+  test("simhash pairs are a superset of strong near-dups and verified by hamming") {
+    val got = Dedup.simhashNearDupPairs(docsDF, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    // The exact dup pair must appear at hamming 0.
+    assert(got.exists { case (a, b, h) => a == 3L && b == 200L && h == 0L })
+    // Hamming distances are symmetric-consistent: recompute from the
+    // engine's own simhash column and compare.
+    val sh = docsDF.select(col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) == h, s"pair ($a,$b)")
+    }
+  }
+
+  test("fingerprint jaccard pairs: exact dup has jaccard 1.0") {
+    val got = Dedup.fingerprintJaccardPairs(docsDF, "doc_id", "text")
+      .where(col("id_a") === 3 && col("id_b") === 200).collect()
+    assert(got.length == 1 && got(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("cosineTopK matches brute-force oracle exactly") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where(col("id") < 5).select(col("id").as("qid"), col("vec"))
+    val got = Similarity.cosineTopK(q, df, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (0L until 5L).map { qid =>
+      val qa = vecs(qid.toInt)._2
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qa, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSeq
+    }.toMap
+    assert(got == want)
+  }
+
+  test("annTopK returns subsets of the bucket with exact rerank (sane recall on clusters)") {
+    // Clustered vectors: ANN must find same-cluster neighbors.
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
+    val vecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextDouble() * 0.05))
+    }
+    val df = vecs.toDF("id", "vec")
+    val q = df.where(col("id") < 4).select(col("id").as("qid"), col("vec"))
+    val got = Similarity.annTopK(q, df, k = 3, dim = 16, bits = 4).collect()
+    // every returned neighbor belongs to the query's cluster
+    got.foreach { r =>
+      assert(r.getLong(1) % 4 == r.getLong(0) % 4,
+        s"ANN crossed clusters: ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+    // and every query found at least 1 same-cluster neighbor
+    assert(got.map(_.getLong(0)).distinct.length == 4)
+  }
+
+  test("asof backward join matches serial oracle incl. equal-ts and no-match rows") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 20L, 99L))
+      .toDF("eid", "k", "ts")
+    val right = Seq((7L, 10L, 100L), (8L, 10L, 200L), (9L, 30L, 1L))
+      .toDF("rid", "k", "ts")
+    val got = AsofJoin.backward(left, right.select(col("k"), col("ts"), col("rid")),
+      "k", "ts", "ts", Seq("rid"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(got == Map(
+      1L -> Some(7L),  // equal ts matches
+      2L -> Some(8L),  // latest <= 205
+      3L -> None,      // before all right rows
+      4L -> None))     // key with no right rows
+  }
+
+  test("multimodal: decode is deterministic, schema contract holds, feature dim fixed") {
+    val media = Multimodal.fromDocuments(docsDF, "doc_id", "text", "text")
+    val dec = Multimodal.decodeImages(media, batchSize = 16)
+    assert(dec.schema == Multimodal.decodedSchema)
+    def summary(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "width", "height", "mean_px").orderBy("media_id")
+        .collect().map(_.toSeq.toList).toSeq
+    val rows = dec.orderBy("media_id").collect()
+    assert(rows.length == corpus.length)
+    // deterministic: re-run with a different batch size equals first run
+    assert(summary(dec) == summary(Multimodal.decodeImages(media, batchSize = 7)))
+    // exact dup content decodes identically
+    val byId = rows.map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getDouble(6))).toMap
+    assert(byId(3L) == byId(200L))
+
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 16))
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame"))
+    assert(frames.count() > 0)
+  }
+
+  test("text functions: tokens/quality/langid/fingerprint sanity") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "der hund und die katze ist da"),
+      (3L, "le chat et la mer est un reve")).toDF("doc_id", "text")
+    val toks = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect()
+    assert(toks.toSeq == Seq(4, 7, 8))
+    val langs = df.select(TextFunctions.langId(TextFunctions.tokens(col("text"))))
+      .as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "fr"))
+    val q = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    // fingerprint stability: same text -> same fp
+    val fp = Seq((1L, "hello world hello"), (2L, "hello world hello"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.minhashFingerprint(col("text"))).as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+}
