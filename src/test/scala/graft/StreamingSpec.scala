@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming specs using MemoryStream: the streaming
+  * sessionizer must agree with the batch-window oracle
+  * ([[EventStreams.sessionizeBatch]]) on closed sessions, and the
+  * windowed aggregation must produce the batch answer once the
+  * watermark passes. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Offset from epoch 0: a row at exactly the initial watermark (0)
+  // would be dropped by the late-row filter.
+  private val base = 86400000L
+  private def ts(minutes: Long): Timestamp = new Timestamp(base + minutes * 60000L)
+
+  test("streaming sessionize agrees with the batch oracle on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1: two sessions (gap 45 min > 30); user 2: one session.
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(55), 1, "view", 3.0),   // new session (45 min gap)
+      Event(4, ts(5), 2, "view", 4.0),
+      Event(5, ts(20), 2, "purchase", 5.0),
+      // late watermark-advancer so earlier sessions time out:
+      Event(6, ts(600), 9, "view", 0.0))
+
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance watermark far beyond all sessions to force timeouts
+      input.addData(Event(7, ts(10000), 9, "view", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .where(col("user_id").isin(1, 2))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4))).toSet
+
+      val want = Set(
+        (1L, base, base + 10L * 60000, 2L, 3.0),
+        (1L, base + 55L * 60000, base + 55L * 60000, 1L, 3.0),
+        (2L, base + 5L * 60000, base + 20L * 60000, 2L, 9.0))
+      assert(got == want)
+
+      // batch oracle on the same rows yields the same sessions
+      val batch = EventStreams.sessionizeBatch(
+        events.filter(e => e.user_id <= 2).toDF(), gapSeconds = 1800)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(batch == want)
+    } finally q.stop()
+  }
+
+  test("windowed counts over a stream match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = (0 until 120).map(i =>
+      Event(i.toLong, ts(i.toLong), i % 3L, if (i % 2 == 0) "view" else "click", 1.5))
+
+    val input = MemoryStream[Event]
+    val agg = EventStreams.windowedCounts(input.toDF(), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory")
+      .queryName("win_out").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(Event(999, ts(100000), 9, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+
+      val got = spark.table("win_out")
+        .where(col("w_start") < ts(120))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = EventStreams.windowedCounts(events.toDF(), "1 hour", "10 minutes")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
