@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot per-row loops of the dedup /
+  * similarity operators.
+  *
+  * Why: Spark's higher-order array functions (transform/aggregate/
+  * zip_with) are evaluated interpreted, one Catalyst expression tree
+  * walk per element. A 128-permutation MinHash over ~400 shingles costs
+  * 51k interpreted evaluations per row that way. These expressions do
+  * the same math in a tight JVM loop over the unsafe array data —
+  * 10-40× faster — while staying real Catalyst `Expression`s: null
+  * semantics, column pruning, and filter pushdown around them are
+  * unaffected. (Preference order per the Spark-first contract: builtin
+  * functions > custom Expression > UDF; these are the middle tier,
+  * used only where the builtin form is quadratic-in-practice.)
+  */
+object NativeExprs {
+
+  /** splitmix64 finalizer — the per-permutation mixer. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes — the base shingle/token hash. */
+  @inline private[functions] def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var b = 0
+    while (b < bytes.length) { h ^= bytes(b) & 0xffL; h *= 0x100000001b3L; b += 1 }
+    h
+  }
+
+  /** MinHash signature: element j = min over the input string array of
+    * mix64(fnv64(s) + j*GOLDEN). One pass, H mins updated per element. */
+  case class MinHashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val base = fnv64(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val x = mix64(base + j * 0x9e3779b97f4a7c15L)
+          if (x < mins(j)) mins(j) = x
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over a string array: bit i set iff the ±1 votes of
+    * bit i across element hashes sum positive. */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = mix64(fnv64(arr.getUTF8String(i).getBytes))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+      copy(child = newChild)
+  }
+
+  /** Sequential-order dot product of two array<double> columns (same
+    * left-to-right summation as `aggregate(zip_with(...))` and DuckDB's
+    * list_sum, so cross-engine doubles stay bit-identical). */
+  case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column wrappers -------------------------------------------------
+
+  def minhashSigNative(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+
+  def simhash64Native(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -37,10 +37,21 @@ object TextFunctions {
 
   /** H-permutation MinHash signature as array<bigint>: element j is
     * min over shingles of murmur3(shingle, j) (hash-family-by-seed-mix;
-    * `hash(c, lit(j))` gives an independent permutation per j). */
+    * `hash(c, lit(j))` gives an independent permutation per j).
+    *
+    * Single pass over the shingle array: per shingle compute all H
+    * hashes once and fold with elementwise least. (The naive
+    * H × array_min(transform(...)) form re-traverses the shingle array
+    * H times AND re-inlines the shingle expression H times after
+    * projection collapse — higher-order functions are interpreted, so
+    * that costs H× the whole shingling, ~20× slower at H=128.) */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleCol, s => hash(s, j).cast("long"))))
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), j => hash(s, j).cast("long")),
+        (a, b) => least(a, b)))
 
   /** LSH band keys: the signature split into `bands` bands of
     * `rowsPerBand`, each hashed to one bucket key. Returns
@@ -55,20 +66,33 @@ object TextFunctions {
 
   /** 64-bit SimHash over the token multiset: bit i of the result is set
     * iff the sum over tokens of ±1 (sign of bit i of xxhash64(token))
-    * is positive. Near-duplicate texts land at small Hamming distance. */
+    * is positive. Near-duplicate texts land at small Hamming distance.
+    *
+    * Single pass over tokens: each token's hash is computed once and
+    * expanded to a ±1 vector folded into a 64-wide counter array; the
+    * per-bit-times-per-token form would re-hash every token 64 times. */
   def simhash64(tokensCol: Column): Column = {
-    val tokHashes = transform(tokensCol, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => {
-        // shiftright/shiftleft with a Column shift amount need the SQL
-        // function form (the Scala wrappers force a literal Int).
-        val bitSum = aggregate(tokHashes, lit(0),
-          (s, h) => s + when(call_function("shiftright", h, i)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
+    // shiftright/shiftleft with a Column shift amount need the SQL
+    // function form (the Scala wrappers force a literal Int).
+    val counts = aggregate(
+      tokensCol,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(63)), i =>
+            when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1)
+              .otherwise(-1)),
+          (a, b) => a + b)
       })
+    // Fold counts -> bits referencing `counts` exactly once (an
+    // element_at(counts, i) per bit would re-embed the token aggregate
+    // 64 times after projection collapse).
+    val indexed = zip_with(counts, sequence(lit(0), lit(63)),
+      (c, i) => struct(c.as("c"), i.as("i")))
+    aggregate(indexed, lit(0L), (acc, s) =>
+      acc + when(s.getField("c") > 0,
+        call_function("shiftleft", lit(1L), s.getField("i"))).otherwise(0L))
   }
 
   /** Hamming distance between two 64-bit hashes. */

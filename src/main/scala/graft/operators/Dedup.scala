@@ -33,11 +33,14 @@ object Dedup {
   }
 
   /** Attach MinHash signature + shingle set:
-    * (idCol, shingles array, sig array<long>). */
+    * (idCol, shingles array, sig array<long>). Signature hashing uses
+    * the native expression ([[graft.functions.NativeExprs]]) — the
+    * interpreted HOF form costs H × |shingles| expression-tree walks
+    * per row. */
   def withMinhash(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 128, shingleK: Int = 8): DataFrame =
     df.select(col(idCol), charShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig", graft.functions.NativeExprs.minhashSigNative(col("shingles"), numHashes))
 
   /** LSH candidate pairs (id_a < id_b) from banding the signature.
     * One explode + one shuffle on (band, bucket); per-bucket pair
@@ -84,8 +87,10 @@ object Dedup {
     * high-recall blocking key for strong near-dups. */
   def fingerprintJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                               shingleK: Int = 8): DataFrame = {
+    // cached: both join sides derive from it, and the md5-per-shingle
+    // fingerprint is the expensive part.
     val f = df.select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
-      tokenSet(col(textCol)).as("toks"))
+      tokenSet(col(textCol)).as("toks")).cache()
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("toks").as("toks_a"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("toks").as("toks_b"))
     a.join(b, "fp")
@@ -102,7 +107,8 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
-    val h = df.select(col(idCol), simhash64(tokens(col(textCol))).as("sh"))
+    val h = df.select(col(idCol),
+      graft.functions.NativeExprs.simhash64Native(tokens(col(textCol))).as("sh"))
     val chunked = h.select(col(idCol), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), i =>
         struct(i.cast("int").as("chunk"),
@@ -127,7 +133,7 @@ object Dedup {
     val v = df.select(col(idCol), col(blockCol).as("blk"),
       col(vecCol).cast("array<double>").as("v"))
     val withNorm = v.withColumn("nrm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      sqrt(graft.functions.NativeExprs.dotNative(col("v"), col("v"))))
     val a = withNorm.select(col(idCol).as("id_a"), col("blk"),
       col("v").as("va"), col("nrm").as("na"))
     val b = withNorm.select(col(idCol).as("id_b"), col("blk"),
@@ -135,8 +141,8 @@ object Dedup {
     a.join(b, "blk")
       .where(col("id_a") < col("id_b"))
       .withColumn("sim", round(
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6))
+        graft.functions.NativeExprs.dotNative(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -56,7 +56,7 @@ object PipelineQueries {
 
     // SimHash near-dup pairs (rows-only; spec has brute-force oracle).
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 4)),
 
     // Embedding near-dup: cosine >= 0.4 within label blocks.
     "dd_embed_cosine" -> ((s, dir) =>

@@ -81,7 +81,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // Hamming distances are symmetric-consistent: recompute from the
     // engine's own simhash column and compare.
     val sh = docsDF.select(col("doc_id"),
-      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+      graft.functions.NativeExprs.simhash64Native(TextFunctions.tokens(col("text"))).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (a, b, h) =>
       assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) == h, s"pair ($a,$b)")
