@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (array<float|double>).
   *
   * Baseline: exact brute-force cosine top-k — broadcast the (small)
-  * query set against the corpus, dot products as codegen'd higher-order
-  * functions, then a TWO-PHASE top-k: per-Spark-partition top-k first
-  * (map-side), then top-k of the ~numPartitions*k survivors. The final
-  * shuffle carries k rows per partition per query instead of the whole
-  * corpus — the difference between a working plan and a dead one at
-  * 100 TB.
+  * query set against the corpus, dot products via the native Catalyst
+  * expression, then a rank window whose `rk <= k` filter Spark rewrites
+  * into WindowGroupLimit: map-side partial top-k before the exchange,
+  * final top-k after. The shuffle carries ~k rows per partition per
+  * query instead of the whole corpus — the difference between a working
+  * plan and a dead one at 100 TB.
   *
   * Scale path: random-hyperplane LSH bucketing ([[hyperplaneBucket]]) —
   * an IVF-style coarse quantization; probing only the query's bucket
@@ -40,17 +40,16 @@ object Similarity {
                  vecCol: String = "vec"): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("pid", spark_partition_id())
     val scored = c.crossJoin(broadcast(q))
       .where(col("id") =!= col("qid"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 9))
-      .select("qid", "id", "pid", "sim")
-    // Phase 1: top-k inside each scan partition (no shuffle).
-    val w1 = Window.partitionBy("qid", "pid").orderBy(col("sim").desc, col("id"))
-    val partial = scored.withColumn("r1", row_number().over(w1)).where(col("r1") <= k)
-    // Phase 2: top-k of the survivors (tiny shuffle).
-    val w2 = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    partial.withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .select("qid", "id", "sim")
+    // Single rank window: Spark's WindowGroupLimit rewrites rk<=k into a
+    // map-side partial top-k before the exchange + final top-k after —
+    // the two-phase plan for free, so only ~numPartitions*k rows per
+    // query cross the shuffle.
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("qid", "id", "rk", "sim")
   }
 

@@ -81,6 +81,47 @@ object CoreQueries {
       s.createDataFrame(rows).toDF("ord", "d1", "d2")
     }),
 
+    // P2/P9/P10/P11 driver-side O(1) point ops: per-rank slice length,
+    // distinct counts, extrema — computed with NO Spark job from the
+    // closed-form index arithmetic, then cross-checked against DuckDB's
+    // brute-force aggregation over the decoded product. This is the
+    // ~100ns metadata surface (/root/reference/docs/src/pmapreduce.md:123-158).
+    "ps_point_ops" -> ((s, _) => {
+      val rows = (1 to 7).map { p =>
+        val sl = graft.plans.ProductIndexMath.productSplit(fixA, 7, p)
+        (p, sl.length,
+          sl.nElements(1), sl.nElements(2), sl.nElements(3),
+          sl.minimumElement(1).toLong, sl.maximumElement(1).toLong,
+          sl.minimumElement(2).toLong, sl.maximumElement(2).toLong,
+          sl.minimumElement(3).toLong, sl.maximumElement(3).toLong)
+      }
+      s.createDataFrame(rows).toDF("prank", "n", "nd1", "nd2", "nd3",
+        "min1", "max1", "min2", "max2", "min3", "max3")
+    }),
+
+    // P6 whichproc: owning rank of EVERY product element via the
+    // driver-side binary search — oracle recomputes ranks with the
+    // closed-form split law in SQL.
+    "ps_whichproc" -> ((s, _) => {
+      val rows = for {
+        d3 <- 1L to 4L; d2 <- 4L to 6L; d1 <- 1L to 10L
+      } yield {
+        val rk = graft.plans.ProductIndexMath
+          .whichProc(fixA, IndexedSeq(d1.toDouble, d2.toDouble, d3.toDouble), 7).get
+        (d1, d2, d3, rk)
+      }
+      s.createDataFrame(rows).toDF("d1", "d2", "d3", "prank")
+    }),
+
+    // R7 merge: pmapreduce with Dict-union reduction
+    // (/root/reference/test/paralleltests.jl:502-514).
+    "pmr_merge_dicts" -> ((s, _) => {
+      val m = PMapReduce.pmapreduce(s, IndexedSeq(PRange(1L, 200L)), 16)(
+        t => Map(t(0).toLong -> t(0).toLong * t(0).toLong),
+        ReduceOp.mergeMaps[Long, Long])
+      s.createDataFrame(m.toSeq.sortBy(_._1)).toDF("k", "v")
+    }),
+
     // E2 + non-commutative concat: rank-ordered reduce of per-slice
     // summaries over (1:7,1:5) split 8 ways — exercises the ordered
     // gather-sort-fold path (/root/reference/src/mapreduce.jl:138-146).
@@ -125,6 +166,26 @@ object CoreQueries {
 
     "pmr_sum_squares" ->
       "SELECT CAST(SUM(x * x) AS BIGINT) AS total FROM (SELECT range + 1 AS x FROM range(0, 100000))",
+
+    // Brute-force per-rank stats over the decoded fixture-A product;
+    // the Spark side computed them O(1) on the driver.
+    "ps_point_ops" ->
+      """SELECT CAST(prank AS INT) AS prank, count(*) AS n,
+        |       count(DISTINCT d1) AS nd1, count(DISTINCT d2) AS nd2, count(DISTINCT d3) AS nd3,
+        |       min(d1) AS min1, max(d1) AS max1, min(d2) AS min2, max(d2) AS max2,
+        |       min(d3) AS min3, max(d3) AS max3
+        |FROM (SELECT 1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS prank,
+        |             1 + (id % 10) AS d1, 4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3
+        |      FROM (SELECT range AS id FROM range(0, 120)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ps_whichproc" ->
+      """SELECT 1 + (id % 10) AS d1, 4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3,
+        |       CAST(1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS INT) AS prank
+        |FROM (SELECT range AS id FROM range(0, 120)) ORDER BY id""".stripMargin,
+
+    "pmr_merge_dicts" ->
+      """SELECT x AS k, x * x AS v FROM (SELECT range + 1 AS x FROM range(0, 200)) ORDER BY k""".stripMargin,
 
     "pmr_elementwise" ->
       """SELECT CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x * x) AS DOUBLE) AS s2,
