@@ -122,6 +122,16 @@ object CoreQueries {
       s.createDataFrame(m.toSeq.sortBy(_._1)).toDF("k", "v")
     }),
 
+    // Reference flagship payload (docs/src/index.md:22-45): reduce
+    // large arrays with in-place elementwise sum — per-partition
+    // map-side combine means one 800 KB partial per rank crosses the
+    // "network", not 224 of them. 224 × 100k-double arrays -> one array.
+    "pmr_array_elsum" -> ((s, _) => {
+      val v = PMapReduce.pmapreduce(s, IndexedSeq(PRange(1L, 224L)), 32)(
+        _ => Array.fill(100000)(1.0), ReduceOp.elementwiseSum)
+      s.createDataFrame(Seq((v.length, v(0), v.sum))).toDF("len", "v0", "total")
+    }),
+
     // E2 + non-commutative concat: rank-ordered reduce of per-slice
     // summaries over (1:7,1:5) split 8 ways — exercises the ordered
     // gather-sort-fold path (/root/reference/src/mapreduce.jl:138-146).
@@ -186,6 +196,9 @@ object CoreQueries {
 
     "pmr_merge_dicts" ->
       """SELECT x AS k, x * x AS v FROM (SELECT range + 1 AS x FROM range(0, 200)) ORDER BY k""".stripMargin,
+
+    "pmr_array_elsum" ->
+      "SELECT CAST(100000 AS INT) AS len, CAST(224 AS DOUBLE) AS v0, CAST(224 * 100000 AS DOUBLE) AS total",
 
     "pmr_elementwise" ->
       """SELECT CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x * x) AS DOUBLE) AS s2,
