@@ -8,12 +8,20 @@ import graft.plans.GraftExtensions
   * extensions must be installed at build time. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("extensions-spec")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // Other suites in the same JVM may hold the active session (built
+    // WITHOUT extensions); getOrCreate would return it and skip the
+    // injection. Clear so a fresh session (sharing the context) is
+    // built with our extensions.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   test("graft_minhash_sig / graft_simhash64 / graft_dot are callable from SQL") {
     val r = spark.sql(
