@@ -28,13 +28,23 @@ object ProductSplitSource {
   private def numParts(np: Int, len: Long): Int =
     math.max(1L, math.min(np.toLong, len)).toInt
 
+  /** True integral division (SQL `div`). The Column `/` operator is
+    * DOUBLE division — exact only below 2^53, while products here can
+    * exceed 10^15 elements (the reference benchmarks 4×10^10;
+    * /root/reference/docs/src/pmapreduce.md:133). */
+  private def divL(a: Column, b: Long): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(b))))
+
   /** Decode column for dimension `k` (0-based) of the product given flat
     * `id`. Pure integer arithmetic for integral ranges (exact to 2^63);
     * `start + i*step` for float ranges (no accumulation drift). */
   def decodeColumn(iters: IndexedSeq[PRange], k: Int, idCol: Column): Column = {
     val w = ProductIndexMath.weights(iters)(k)
     val r = iters(k)
-    val childIdx = (idCol.cast("long") / lit(w)).cast("long") % lit(r.numElems)
+    val childIdx = divL(idCol.cast("long"), w) % lit(r.numElems)
     if (r.integral) lit(r.start.toLong) + childIdx * lit(r.step.toLong)
     else lit(r.start) + childIdx.cast("double") * lit(r.step)
   }
@@ -46,8 +56,8 @@ object ProductSplitSource {
     val r = len % np
     val boundary = r * (d + 1)
     val id = idCol.cast("long")
-    (when(id < lit(boundary), (id / lit(d + 1)).cast("long"))
-      .otherwise(lit(r) + ((id - lit(boundary)) / lit(math.max(d, 1L))).cast("long"))
+    (when(id < lit(boundary), divL(id, d + 1))
+      .otherwise(lit(r) + divL(id - lit(boundary), math.max(d, 1L)))
       + lit(1L)).cast("int")
   }
 

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Physical-plan contracts: the scale properties the engine promises
+  * (broadcast dims, no stray shuffles in sources, map-side top-k,
+  * single-shuffle as-of, pruned scans) pinned as assertions so a
+  * regression fails CI, not a 100 TB job. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("product decode is a pure codegen Range+Project: no exchange, no scan") {
+    val p = physical(SparkEntry.queries("ps_product_decode")(spark, dir))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Range"))
+    // "*(n)" prefix marks WholeStageCodegen stages in the plan string.
+    assert(p.contains("*(1)"), p)
+    // the decode must use integral division, never double round-trips
+    assert(!p.contains("as double"), s"double arithmetic leaked into the decode:\n$p")
+  }
+
+  test("decode stays exact beyond 2^53 (double division would corrupt it)") {
+    import graft.plans.{PRange, ProductIndexMath}
+    import graft.sources.ProductSplitSource
+    // L = 10^16 > 2^53: any double round-trip in the id arithmetic
+    // produces wrong tuples at the top of the range.
+    val iters = IndexedSeq(PRange(1L, 1000000L), PRange(1L, 1000000L), PRange(1L, 10000L))
+    val L = ProductIndexMath.totalLength(iters)
+    assert(L == 10000000000000000L)
+    val got = ProductSplitSource.sectionDF(spark, iters, L - 4, L, Seq("d1", "d2", "d3"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ((L - 5) until L).map { flat =>
+      val e = ProductIndexMath.elementAt(iters, flat)
+      (flat, e(0).toLong, e(1).toLong, e(2).toLong)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("section window is range-pruned at the source (no filter operator)") {
+    val df = SparkEntry.queries("ps_section")(spark, dir)
+    val p = physical(df)
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Filter"), "section should prune via range bounds, not a post-filter")
+  }
+
+  test("q5 joins broadcast every dimension table") {
+    val p = physical(SparkEntry.queries("q5_region_revenue")(spark, dir))
+    assert(countOccurrences(p, "BroadcastHashJoin") == 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // partial + final hash aggregation
+    assert(countOccurrences(p, "HashAggregate") == 2, p)
+  }
+
+  test("q1 scan prunes to exactly the referenced columns") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val scanLine = physical(df).linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      df.queryExecution.executedPlan.toString)
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"))
+      assert(scanLine.contains(c), s"missing $c in $scanLine")
+    assert(!scanLine.contains("l_shipdate"), scanLine)
+    assert(!scanLine.contains("l_partkey"), scanLine)
+  }
+
+  test("as-of join is a single shuffle (union + one exchange + window)") {
+    val p = physical(SparkEntry.queries("q_asof_purchase_signup")(spark, dir))
+    assert(countOccurrences(p, "Exchange") == 1, p)
+    assert(p.contains("Union"))
+    assert(p.contains("Window"))
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("top-k queries ride WindowGroupLimit (map-side partial top-k)") {
+    val knn = physical(SparkEntry.queries("knn_cosine")(spark, dir))
+    assert(knn.contains("WindowGroupLimit"), knn)
+    val win = physical(SparkEntry.queries("q_window_top_order")(spark, dir))
+    assert(win.contains("WindowGroupLimit"), win)
+  }
+
+  test("q_topk_orders is TakeOrdered, not a global sort") {
+    val p = physical(SparkEntry.queries("q_topk_orders")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("event filters push down to the parquet scan") {
+    val p = SparkEntry.queries("q_asof_purchase_signup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]") ||
+      p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
+  test("salted aggregate matches plain aggregate and spreads hot keys") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val df = spark.range(10000)
+      .select(when(col("id") % 10 < 9, lit("hot")).otherwise(lit("cold")).as("k"),
+        col("id").cast("double").as("v"))
+    val got = Skew.saltedCountSum(df, Seq("k"), "v", salts = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // plan shape: two aggregation rounds (4 HashAggregates: partial+final × 2)
+    val p = physical(Skew.saltedCountSum(df, Seq("k"), "v", salts = 16))
+    assert(countOccurrences(p, "HashAggregate") == 4, p)
+  }
+
+  test("salted join matches plain join") {
+    val left = spark.range(5000).select(
+      when(col("id") % 5 < 4, lit(1L)).otherwise(col("id") % 100).as("k"),
+      col("id").as("lv"))
+    val right = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("rv"))
+    val got = Skew.saltedJoin(left, right, "k", salts = 8)
+      .agg(count(lit(1)), sum(col("lv") + col("rv"))).collect().head
+    val want = left.join(right, "k")
+      .agg(count(lit(1)), sum(col("lv") + col("rv"))).collect().head
+    assert(got == want)
+  }
+}
