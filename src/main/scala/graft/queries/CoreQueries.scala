@@ -41,6 +41,20 @@ object CoreQueries {
         IndexedSeq(PRange(1L, 10L), PRange.stepped(2L, 2L, 20L)), 4, Seq("d1", "d2"))
         .withColumnRenamed("rank", "prank")),
 
+    // I9 float-range fixture (1:0.5:3, 2:4): drift-free decode via
+    // start + i*step (/root/reference/test/productsplit.jl:20).
+    "ps_float_product" -> ((s, _) =>
+      ProductSplitSource.productDF(s,
+        IndexedSeq(PRange.steppedD(1.0, 0.5, 3.0), PRange(2L, 4L)), 3, Seq("d1", "d2"))
+        .withColumnRenamed("rank", "prank")),
+
+    // E1 at depth: sum over 1:10^8 (large-range distributed reduce).
+    "pmr_sum_large" -> ((s, _) => {
+      val v = PMapReduce.pmapreduce(s, IndexedSeq(PRange(1L, 100000000L)), 32)(
+        t => t(0).toLong, ReduceOp.commutative[Long](_ + _))
+      s.createDataFrame(Seq(Tuple1(v))).toDF("total")
+    }),
+
     // P9-P11 distributed analog: per-rank count/distinct/extrema over fixture B.
     "ps_rank_stats" -> ((s, _) =>
       ProductSplitSource.productDF(s, fixB, 32, names3)
@@ -162,6 +176,15 @@ object CoreQueries {
       """SELECT id, 1 + id AS d1, 2 + 2 * id AS d2,
         |       CAST(1 + (CASE WHEN id < 6 THEN id // 3 ELSE 2 + (id - 6) // 2 END) AS INT) AS prank
         |FROM (SELECT range AS id FROM range(0, 10)) ORDER BY id""".stripMargin,
+
+    // L = 5*3 = 15, np = 3: d = 5, r = 0 -> prank = 1 + id//5.
+    "ps_float_product" ->
+      """SELECT id, CAST(1.0 AS DOUBLE) + (id % 5) * CAST(0.5 AS DOUBLE) AS d1, 2 + (id // 5) AS d2,
+        |       CAST(1 + id // 5 AS INT) AS prank
+        |FROM (SELECT range AS id FROM range(0, 15)) ORDER BY id""".stripMargin,
+
+    "pmr_sum_large" ->
+      "SELECT CAST(SUM(x) AS BIGINT) AS total FROM (SELECT range + 1 AS x FROM range(0, 100000000))",
 
     "ps_rank_stats" ->
       """SELECT prank, count(*) AS n,

@@ -63,6 +63,14 @@ object PipelineQueries {
       Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
         "label", threshold = 0.4)),
 
+    // Embedding near-dup blocked by hyperplane-LSH buckets (the scale
+    // path: no label needed; rows-only, recall checked in spec).
+    "dd_embed_lsh" -> ((s, dir) => {
+      val e = embs(s, dir).withColumn("bkt",
+        Similarity.hyperplaneBucket(col("embedding"), dim = 64, bits = 6))
+      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "bkt", threshold = 0.3)
+    }),
+
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "knn_cosine" -> ((s, dir) => {
       val e = embs(s, dir)

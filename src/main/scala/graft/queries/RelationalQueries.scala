@@ -140,6 +140,12 @@ object RelationalQueries {
         .select("event_id", "user_id", "signup_event")
     }),
 
+    // The streaming windowedCounts transform run in batch mode — same
+    // code path the stream uses (graft.streaming.EventStreams).
+    "q_windowed_counts" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCounts(t(s, dir, "events"), "1 hour", "30 minutes")
+        .withColumn("w_start", unix_timestamp(col("w_start")))),
+
     // Sessionization: 30-minute-gap sessions per user (lag + running sum).
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -227,6 +233,12 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_windowed_counts" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (
