@@ -67,12 +67,20 @@ object PMapReduce {
   /** E1 (zip mode): splat the j-th element of every range into `f`,
     * reduce with `op` (/root/reference/src/mapreduce.jl:266-287). Each
     * partition left-folds its slice serially (ordered within rank), so
-    * only one partial per rank crosses the network. */
+    * only one partial per rank crosses the network. The element tuple
+    * is built in a primitive array (one allocation, no builders) —
+    * this loop runs once per element of potentially 10^8+. */
   def pmapreduce[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
                              (f: IndexedSeq[Double] => B, op: ReduceOp[B],
                               init: Option[B] = None): B = {
     val len = iters.map(_.numElems).min
-    mapReduceIndexed(spark, len, np, j => f(iters.map(_(j))), op, init)
+    val rs = iters.toArray
+    mapReduceIndexed(spark, len, np, { j =>
+      val arr = new Array[Double](rs.length)
+      var k = 0
+      while (k < rs.length) { arr(k) = rs(k)(j); k += 1 }
+      f(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }, op, init)
   }
 
   /** E1 (product mode): elements of the full product split across ranks,
