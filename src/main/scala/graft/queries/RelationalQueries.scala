@@ -91,6 +91,22 @@ object RelationalQueries {
         .agg(sum("l_quantity").cast("long").as("sum_qty"),
              count(lit(1)).as("n"))),
 
+    // Exact percentiles (interpolated) per group.
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))),
+
+    // Cube: all grouping-set combinations.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum("l_quantity").cast("long").as("sum_qty"))),
+
     // Semi join: customers that have at least one order, counted by nation.
     "q_semijoin" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -200,6 +216,18 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
 
     "q_semijoin" ->
       """SELECT c_nationkey, count(*) AS n_cust FROM customer c

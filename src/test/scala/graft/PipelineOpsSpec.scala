@@ -175,6 +175,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("sketches: approx_count_distinct and percentile_approx within error bounds") {
+    val df = spark.range(0, 100000)
+      .select((col("id") % 9173).as("k"), col("id").cast("double").as("v"))
+    val exact = df.select(countDistinct(col("k"))).collect().head.getLong(0)
+    val approx = df.select(approx_count_distinct(col("k"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+    val p50exact = df.select(expr("percentile(v, 0.5)")).collect().head.getDouble(0)
+    val p50approx = df.select(percentile_approx(col("v"), lit(0.5), lit(1000)))
+      .collect().head.getDouble(0)
+    assert(math.abs(p50approx - p50exact) / p50exact < 0.01)
+  }
+
   test("text functions: tokens/quality/langid/fingerprint sanity") {
     val df = Seq((1L, "the quick brown fox"), (2L, "der hund und die katze ist da"),
       (3L, "le chat et la mer est un reve")).toDF("doc_id", "text")
