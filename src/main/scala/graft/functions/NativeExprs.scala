@@ -112,6 +112,35 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Set-Jaccard of two string arrays: |A∩B| / |A∪B| over DISTINCT
+    * elements — the same integer counts as array_intersect/array_union,
+    * so results are bit-identical to the builtin form (and the DuckDB
+    * oracle), computed with hash sets instead of one interpreted tree
+    * walk per element per pair. */
+  case class JaccardExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+      val sb = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var inter = 0
+      var j = 0
+      while (j < b.numElements()) {
+        val s = b.getUTF8String(j)
+        if (sb.add(s) && sa.contains(s)) inter += 1
+        j += 1
+      }
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column wrappers -------------------------------------------------
 
   def minhashSigNative(shingles: Column, numHashes: Int): Column =
@@ -122,5 +151,9 @@ object NativeExprs {
 
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaccardNative(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

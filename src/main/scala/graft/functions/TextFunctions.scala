@@ -98,9 +98,11 @@ object TextFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Exact token-set Jaccard similarity of two texts' token arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  /** Exact token-set Jaccard similarity of two texts' token arrays.
+    * Native hash-set expression — identical integer counts to
+    * array_intersect/array_union, evaluated per pair on the dedup hot
+    * path. */
+  def jaccard(a: Column, b: Column): Column = NativeExprs.jaccardNative(a, b)
 
   // ---- Quality scoring -------------------------------------------------
 
