@@ -156,6 +156,39 @@ object RelationalQueries {
         .select("event_id", "user_id", "signup_event")
     }),
 
+    // JSON extraction from the event props payload.
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))),
+
+    // String functions: LIKE filter, substring key, length stats.
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .where(col("c_name").like("Customer#%"))
+        .groupBy(substring(col("c_name"), 10, 4).as("prefix"))
+        .agg(count(lit(1)).as("n"),
+          max(upper(col("c_mktsegment"))).as("max_seg"),
+          min(length(col("c_name"))).as("min_len"))),
+
+    // Date part extraction and grouping.
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))),
+
+    // Set operations: keys of BUILDING customers minus/intersect orderers.
+    "q_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val orderers = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+      val both = building.intersect(orderers).withColumn("tag", lit("both"))
+      val noOrders = building.except(orderers).withColumn("tag", lit("no_orders"))
+      both.unionByName(noOrders).groupBy("tag").agg(count(lit(1)).as("n"), min("k").as("min_k"))
+    }),
+
     // The streaming windowedCounts transform run in batch mode — same
     // code path the stream uses (graft.streaming.EventStreams).
     "q_windowed_counts" -> ((s, dir) =>
@@ -261,6 +294,35 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT substr(c_name, 10, 4) AS prefix, count(*) AS n,
+        |  max(upper(c_mktsegment)) AS max_seg,
+        |  CAST(min(length(c_name)) AS INT) AS min_len
+        |FROM customer WHERE c_name LIKE 'Customer#%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_setops" ->
+      """WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |orderers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |tagged AS (
+        |  SELECT k, 'both' AS tag FROM (SELECT k FROM building INTERSECT SELECT k FROM orderers)
+        |  UNION ALL
+        |  SELECT k, 'no_orders' AS tag FROM (SELECT k FROM building EXCEPT SELECT k FROM orderers))
+        |SELECT tag, count(*) AS n, min(k) AS min_k FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_windowed_counts" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start, event_type,
