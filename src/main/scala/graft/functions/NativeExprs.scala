@@ -112,6 +112,37 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Random-hyperplane LSH bucket of an array<double> vector: bit j of
+    * the result is the sign of <v, h_j>, hyperplane components derived
+    * deterministically from (seed, j, dim index) via splitmix — no RNG
+    * state, identical on every executor. */
+  case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val h = mix64(seed + j * 1000003L + d * 0x9e3779b97f4a7c15L)
+          // component in [-0.5, 0.5), 3 decimal grid
+          val comp = math.floorMod(h, 1000L).toDouble / 1000.0 - 0.5
+          dot += v.getDouble(d) * comp
+          d += 1
+        }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+      copy(child = newChild)
+  }
+
   /** Set-Jaccard of two string arrays: |A∩B| / |A∪B| over DISTINCT
     * elements — the same integer counts as array_intersect/array_union,
     * so results are bit-identical to the builtin form (and the DuckDB
@@ -156,4 +187,7 @@ object NativeExprs {
   def jaccardNative(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hyperplaneBucketNative(vec: Column, bits: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(vec), bits, seed))
 }

@@ -56,20 +56,12 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (IVF-style coarse cell) for a
     * vector column: `bits` pseudo-random hyperplanes; bit j is the sign
     * of <v, h_j>. Hyperplane components are deterministic pseudo-random
-    * values derived from (j, dim index) via a splitmix-style integer
-    * mix — no RNG state, identical across executors. */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val v = vec.cast("array<double>")
-    (0 until bits).map { j =>
-      val dot = (0 until dim).map { d =>
-        val h = ((seed + j * 1000003L + d * 0x9E3779B97F4A7C15L) ^
-          ((seed + j * 1000003L + d * 0x9E3779B97F4A7C15L) >>> 31))
-        val comp = (h % 1000L).toDouble / 1000.0 - 0.5
-        element_at(v, d + 1) * lit(comp)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * values derived from (seed, j, dim index) — no RNG state, identical
+    * across executors. Native expression: the Column form is a
+    * bits×dim interpreted term tree per row. `dim` is kept for API
+    * stability; the native expression reads the vector's own length. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    graft.functions.NativeExprs.hyperplaneBucketNative(vec.cast("array<double>"), bits, seed)
 
   /** ANN top-k via hyperplane buckets: candidates share the query's
     * bucket; exact cosine rerank inside the bucket. Lower recall than

@@ -21,6 +21,10 @@ import graft.functions.NativeExprs.{DotProductExpr, MinHashSigExpr, SimHash64Exp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer: prune id-bound filters into Range scans (product
+    // section/point lookups on 10^16-element products become O(window)).
+    ext.injectOptimizerRule(_ => RangePruneRule)
+
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),

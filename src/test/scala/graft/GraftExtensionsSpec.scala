@@ -23,6 +23,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  test("RangePruneRule: id-bound filters prune a 10^16-element product scan") {
+    import graft.plans.PRange
+    import graft.sources.ProductSplitSource
+    import org.apache.spark.sql.functions._
+    val iters = IndexedSeq(PRange(1L, 1000000L), PRange(1L, 1000000L), PRange(1L, 10000L))
+    val L = graft.plans.ProductIndexMath.totalLength(iters) // 10^16
+    // WITHOUT the rule this scans 10^16 rows and cannot finish.
+    val df = ProductSplitSource.productDF(spark, iters, 32, Seq("d1", "d2", "d3"))
+      .where(col("id") >= lit(L - 3) && col("id") < lit(L))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(999998L, 999999L, 1000000L))
+    // plan proof: the Range node was narrowed
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains((L - 3).toString), plan)
+  }
+
+  test("RangePruneRule keeps residual predicates and handles empty windows") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000000)
+      .where(col("id") >= 100 && col("id") < 200 && col("id") % 7 === 0)
+    assert(df.count() == (100L until 200L).count(_ % 7 == 0))
+    // contradictory bounds -> empty, not an error
+    assert(spark.range(0, 100).where(col("id") > 50 && col("id") < 10).count() == 0)
+  }
+
   test("graft_minhash_sig / graft_simhash64 / graft_dot are callable from SQL") {
     val r = spark.sql(
       """SELECT graft_minhash_sig(array('ab','cd','ef'), 4) AS sig,

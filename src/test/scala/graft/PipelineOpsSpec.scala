@@ -175,6 +175,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("dd_minhash_lsh on driver testdata: finds every true near-dup pair (brute-force recall)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val threshold = 0.35
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = jac(shingleSet(ta, 8), shingleSet(tb, 8)) if j >= threshold
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val got = SparkEntry.queries("dd_minhash_lsh")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed: ${truth.diff(got)}; extra: ${got.diff(truth)}")
+  }
+
   test("sketches: approx_count_distinct and percentile_approx within error bounds") {
     val df = spark.range(0, 100000)
       .select((col("id") % 9173).as("k"), col("id").cast("double").as("v"))
