@@ -143,6 +143,54 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Winnowing document fingerprint (rolling hash): polynomial rolling
+    * hash over a k-char window slid across the text, then the minimum
+    * hash of each w-hash window kept (rightmost min), deduplicated —
+    * the standard winnowing scheme: two documents sharing a long-enough
+    * substring share a fingerprint hash, robust to position shifts. */
+  case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = bytes.length
+      if (n == 0) return new GenericArrayData(Array.empty[Long])
+      val m = math.max(1, n - k + 1)
+      // rolling polynomial hash base 257 mod 2^64, then mixed
+      val hs = new Array[Long](m)
+      val B = 257L
+      var pow = 1L
+      var i = 1
+      while (i < math.min(k, n)) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < math.min(k, n)) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+      hs(0) = mix64(h)
+      i = 1
+      while (i < m) {
+        h = (h - (bytes(i - 1) & 0xffL) * pow) * B + (bytes(i + k - 1) & 0xffL)
+        hs(i) = mix64(h)
+        i += 1
+      }
+      // winnow: rightmost minimum of each w-window, deduped consecutive
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastPos = -1
+      var s = 0
+      val windows = math.max(1, m - w + 1)
+      while (s < windows) {
+        var minPos = s
+        var j = s
+        val end = math.min(s + w, m)
+        while (j < end) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+        if (minPos != lastPos) { out += hs(minPos); lastPos = minPos }
+        s += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
+      copy(child = newChild)
+  }
+
   /** Set-Jaccard of two string arrays: |A∩B| / |A∪B| over DISTINCT
     * elements — the same integer counts as array_intersect/array_union,
     * so results are bit-identical to the builtin form (and the DuckDB
@@ -190,4 +238,7 @@ object NativeExprs {
 
   def hyperplaneBucketNative(vec: Column, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(vec), bits, seed))
+
+  def winnowFingerprintNative(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprintExpr(ColumnBridge.expression(text), k, w))
 }

@@ -101,6 +101,17 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Resize stub: scales the decoded dimensions (a real impl would
+    * resample pixels; the Spark-side contract — decoded frame in,
+    * resized metadata out, pure projection, no shuffle — is what this
+    * pins). */
+  def resize(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    decoded
+      .withColumn("scale_x", lit(targetW).cast("double") / col("width"))
+      .withColumn("scale_y", lit(targetH).cast("double") / col("height"))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+
   /** Frame sampling stub for video payloads: every `stride`-th chunk of
     * the payload becomes a "frame" row (id, frame_no, frame binary). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =

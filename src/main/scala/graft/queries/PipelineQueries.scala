@@ -31,6 +31,19 @@ object PipelineQueries {
         TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))).as("stop_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // BPE-ish token counting: letter runs / digit runs / single
+    // punctuation — the GPT-2-style pre-tokenizer approximation.
+    "txt_tokens_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .as("n_bpe_tokens"))),
+
+    // Winnowing (rolling-hash) fingerprint — shared hash => shared long
+    // substring; rows-only (native expr; spec checks the law).
+    "fp_winnow" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(graft.functions.NativeExprs.winnowFingerprintNative(col("text"))).as("n_grams"))),
+
     // Language-ID heuristic (stopword profiles, deterministic argmax).
     "txt_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -118,6 +131,11 @@ object PipelineQueries {
         |        (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |        t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
         |        / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_langid" ->

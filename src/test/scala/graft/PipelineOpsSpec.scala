@@ -190,6 +190,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${truth.diff(got)}; extra: ${got.diff(truth)}")
   }
 
+  test("winnowing fingerprint: shared long substrings share hashes; shifts don't matter") {
+    import graft.functions.NativeExprs.winnowFingerprintNative
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"totally different lead-in text $common trailing stuff"),
+      (3L, "nothing in common with the others at all zzz qqq www"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), winnowFingerprintNative(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap12 = fps(1L).intersect(fps(2L)).size
+    val overlap13 = fps(1L).intersect(fps(3L)).size
+    assert(overlap12 > 5, s"shared substring must share fingerprints, got $overlap12")
+    assert(overlap13 <= 1, s"unrelated docs should share ~no fingerprints, got $overlap13")
+    // determinism
+    val again = Seq((1L, s"PREFIX AAA $common SUFFIX BBB")).toDF("doc_id", "text")
+      .select(winnowFingerprintNative(col("text"))).collect().head.getSeq[Long](0).toSet
+    assert(again == fps(1L))
+  }
+
+  test("multimodal resize stub: scales dims, keeps row count, pure projection") {
+    val media = Multimodal.fromDocuments(docsDF, "doc_id", "text", "text")
+    val dec = Multimodal.decodeImages(media)
+    val rs = Multimodal.resize(dec, 224, 224)
+    assert(rs.count() == dec.count())
+    val r = rs.select("width", "height", "scale_x").collect()
+    assert(r.forall(row => row.getInt(0) == 224 && row.getInt(1) == 224))
+    assert(!rs.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("sketches: approx_count_distinct and percentile_approx within error bounds") {
     val df = spark.range(0, 100000)
       .select((col("id") % 9173).as("k"), col("id").cast("double").as("v"))
