@@ -251,31 +251,28 @@ final case class ProductSlice(iters: IndexedSeq[PRange], firstFlat: Long, lastFl
     if (f >= firstFlat && f <= lastFlat) Some(f - firstFlat + 1) else None
   }
 
-  /** Count of rollovers of dimension `dim` (1-based): how many times it
-    * wraps within the slice (`_nrollovers`,
-    * /root/reference/src/productsplit.jl:370-373). */
-  private def nRollovers(dim: Int): Long =
-    if (dim == nIterators) 0L else nElements(dim + 1) - 1
-
   /** Number of distinct values of dimension `dim` (1-based) in the
-    * slice, O(1) via rollover analysis (`nelements`,
-    * /root/reference/src/productsplit.jl:406-432). */
+    * slice, O(1) (`nelements`,
+    * /root/reference/src/productsplit.jl:406-432).
+    *
+    * Closed form: with stride w = weights(dim) the child index of flat
+    * position f is (f/w) mod n, so over a contiguous window [a, b] the
+    * distinct count is min(n, b/w - a/w + 1).
+    *
+    * DELIBERATE DEVIATION: the reference derives rollovers from
+    * `nelements(dims+1) - 1`, which undercounts when a HIGHER dimension
+    * has length 1 (the constant dimension masks the rollovers of the
+    * dimension below it; e.g. (1:4, 5:5, 1:12) split 5, rank 1 —
+    * reference says 2 distinct d1 values, truth is 4). The closed form
+    * is exact for every shape; discovered by the ScalaCheck property
+    * suite (ProductIndexMathProps). */
   def nElements(dim: Int): Long = {
     require(1 <= dim && dim <= nIterators, s"1 <= dims <= N=$nIterators not satisfied for dims=$dim")
     requireNonEmpty()
     val k = dim - 1
     val n = iters(k).numElems
-    val roll = nRollovers(dim)
-    if (roll == 0) {
-      val st = childIndex(iters, firstFlat)(k)
-      val en = childIndex(iters, lastFlat)(k)
-      en - st + 1
-    } else if (roll > 1) n
-    else {
-      val st = childIndex(iters, firstFlat)(k)
-      val en = childIndex(iters, lastFlat)(k)
-      if (st > en) (n - st) + (en + 1) else n
-    }
+    val w = weights(iters)(k)
+    math.min(n, lastFlat / w - firstFlat / w + 1)
   }
 
   /** Does any dimension after `dim` differ between the first and last

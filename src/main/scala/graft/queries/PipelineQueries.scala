@@ -104,6 +104,22 @@ object PipelineQueries {
         .select(col("qid"), col("id"), col("rk"))
     }),
 
+    // Per-label embedding centroid via the typed VectorMean Aggregator
+    // (map-side partial aggregation; one buffer per label/partition).
+    // First four dims exposed for the oracle.
+    "emb_centroid" -> ((s, dir) => {
+      val cent = embs(s, dir)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .groupBy("label")
+        .agg(graft.functions.VectorAgg.vectorMean(col("v")).as("c"),
+          count(lit(1)).as("n"))
+      cent.select(col("label"), col("n"),
+        round(element_at(col("c"), 1), 6).as("c1"),
+        round(element_at(col("c"), 2), 6).as("c2"),
+        round(element_at(col("c"), 3), 6).as("c3"),
+        round(element_at(col("c"), 4), 6).as("c4"))
+    }),
+
     // Multimodal plumbing: binary payload → stub decode → aggregate.
     "mm_decode_stats" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
@@ -181,6 +197,14 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "emb_centroid" ->
+      """SELECT label, count(*) AS n,
+        |  round(AVG(embedding[1]::DOUBLE), 6) AS c1,
+        |  round(AVG(embedding[2]::DOUBLE), 6) AS c2,
+        |  round(AVG(embedding[3]::DOUBLE), 6) AS c3,
+        |  round(AVG(embedding[4]::DOUBLE), 6) AS c4
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dd_embed_cosine" ->
       """WITH v AS (

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Bucketing for co-located joins: writing both fact tables bucketed
+  * on the join key lets the join run with ZERO exchanges — the
+  * pre-shuffle is amortized at write time. This is the 100 TB recipe
+  * for repeated fact-fact joins (SURVEY §7 scale notes). */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("bucketing-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("bucketed fact-fact join plans with no Exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory metastore is fresh each JVM, so DROP won't clean a
+    // previous run's files — remove the locations directly
+    for (t <- Seq("li_b", "ord_b")) {
+      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_b")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_b")
+
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+
+    // correctness against the unbucketed join
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}

@@ -190,6 +190,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${truth.diff(got)}; extra: ${got.diff(truth)}")
   }
 
+  test("VectorSum/VectorMean aggregators match serial oracle across groupings") {
+    import graft.functions.VectorAgg
+    val rnd = new scala.util.Random(17)
+    val data = (0 until 500).map(i => (i % 7, Array.fill(8)(rnd.nextDouble())))
+    val df = data.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(VectorAgg.vectorSum(col("v")).as("s"), VectorAgg.vectorMean(col("v")).as("m"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getSeq[Double](2)))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sum = rows.map(_._2).transpose.map(_.sum)
+      val mean = sum.map(_ / rows.size)
+      val (gs, gm) = got(g)
+      sum.zip(gs).foreach { case (w, x) => assert(math.abs(w - x) < 1e-9) }
+      mean.zip(gm).foreach { case (w, x) => assert(math.abs(w - x) < 1e-9) }
+    }
+  }
+
   test("winnowing fingerprint: shared long substrings share hashes; shifts don't matter") {
     import graft.functions.NativeExprs.winnowFingerprintNative
     val common = "the quick brown fox jumps over the lazy dog again and again"
