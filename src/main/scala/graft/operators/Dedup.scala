@@ -66,7 +66,18 @@ object Dedup {
 
   /** MinHash near-dup pairs: LSH candidates verified with exact shingle
     * Jaccard >= `threshold`. Joins back to the (small relative to text)
-    * shingle sets only for candidate ids. */
+    * shingle sets only for candidate ids.
+    *
+    * Banding is the recall/cost dial: detection probability is
+    * 1-(1-j^r)^b with S-curve midpoint (1/b)^(1/r). The 32×4 default
+    * centers at j ≈ 0.42: recall ≈ 0.99 at j = 0.6, ≈ 1 at j >= 0.7
+    * (the usual dedup range), but only ~0.4 at j = 0.35 — for very low
+    * thresholds use more bands of fewer rows (e.g. 64×2, midpoint
+    * 0.125) and expect a much larger candidate join: corpora with a
+    * shared vocabulary collide constantly on 2-hash bands. Exact
+    * verification removes every false positive and `maxBucketSize`
+    * caps degenerate buckets, so precision is always 1.0 — banding
+    * only trades recall against candidate-join cost. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, numHashes: Int = 128,
                           bands: Int = 32, rowsPerBand: Int = 4,
@@ -99,11 +110,13 @@ object Dedup {
         round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 16).
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Pigeonhole blocking: split the 64-bit hash into 4 16-bit chunks —
-    * any pair within Hamming 3 shares at least one exact chunk, so
-    * candidates come from 4 equijoins on chunk value, then exact
-    * Hamming verification. */
+    * any pair within Hamming <= 3 MUST share at least one exact chunk
+    * (guaranteed recall); for 4 <= maxHamming < 16 the same blocking is
+    * best-effort (a pair could spread one flipped bit into every
+    * chunk). Candidates come from 4 equijoins on chunk value, then
+    * exact Hamming verification. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")

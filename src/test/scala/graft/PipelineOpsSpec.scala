@@ -65,8 +65,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
       j = jac(shingleSet(ta, 8), shingleSet(tb, 8)) if j >= threshold
     } yield (ia, ib)).toSet
-    // LSH with 32 bands × 4 rows at j>=0.5: P(miss) = (1-j^4)^32 <= 0.13;
-    // planted dups have j ~ 0.9 → recall is effectively certain. All
+    // LSH with 32 bands × 4 rows: planted dups have j ~ 0.9 →
+    // P(miss) = (1-0.9^4)^32 ≈ 1e-15, recall effectively certain. All
     // found pairs are exact-verified, so got ⊆ want always.
     assert(got.subsetOf(want), s"false positives: ${got.diff(want)}")
     val planted = want.filter { case (a, b) => b >= 100L || a >= 100L }
