@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the missing half of near-dup dedup: pair detection gives edges;
+  * choosing ONE survivor per duplicate cluster needs the components.
+  *
+  * Algorithm: iterative minimum-label propagation. Each round every
+  * node adopts the smallest label in its closed neighborhood; converges
+  * in O(diameter) rounds. Each round is two shuffles (join + min-agg)
+  * over the edge list — the standard large-graph pattern when the
+  * cluster diameter is small (near-dup clusters are tiny cliques, so
+  * 2-4 rounds in practice). Checkpoint-free: label frames are cached
+  * and the previous round unpersisted to keep lineage bounded.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame (src, dst), undirected.
+    * @return (node, component) where component = min node id reachable. */
+  def run(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .cache()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    // localCheckpoint truncates lineage each round — iterative joins
+    // otherwise stack a plan tree per iteration (planning cost grows
+    // superlinearly and eventually OOMs the driver, long before the
+    // executors feel anything).
+    var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
+    var changedCount = 1L
+    var iter = 0
+    while (changedCount > 0 && iter < maxIter) {
+      // smallest comp among self and neighbors
+      val neighborComp = sym
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "vcomp"), "v")
+        .groupBy(col("u").as("node"))
+        .agg(min("vcomp").as("ncomp"))
+      val next = labels.join(neighborComp, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changedCount = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Keep one representative (min id) per near-dup cluster: rows of
+    * `df` minus every non-minimal member of each component. Nodes not
+    * in any edge survive untouched. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                         srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val comps = run(pairs, srcCol, dstCol)
+    val victims = comps.where(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+}

@@ -76,6 +76,17 @@ object PipelineQueries {
       Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
         "label", threshold = 0.4)),
 
+    // Full dedup: minhash pairs -> connected components -> survivors.
+    // Rows-only (spec holds the BFS oracle); output is the surviving
+    // doc ids with their cluster count.
+    "dd_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      graft.operators.ConnectedComponents.dropNearDuplicates(d, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_survivors"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+    }),
+
     // Embedding near-dup blocked by hyperplane-LSH buckets (the scale
     // path: no label needed; rows-only, recall checked in spec).
     "dd_embed_lsh" -> ((s, dir) => {

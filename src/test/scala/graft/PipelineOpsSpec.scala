@@ -190,6 +190,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${truth.diff(got)}; extra: ${got.diff(truth)}")
   }
 
+  test("connected components match BFS oracle; dropNearDuplicates keeps one per cluster") {
+    import graft.operators.ConnectedComponents
+    val rnd = new scala.util.Random(23)
+    // random sparse graph over 200 nodes
+    val edges = (0 until 150).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val edgeDF = edges.toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(edgeDF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // BFS oracle
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def component(start: Long): Set[Long] = {
+      var seen = Set(start)
+      var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).diff(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    got.keys.foreach { n =>
+      assert(got(n) == component(n).min, s"node $n")
+    }
+    // survivor selection: one row kept per component + all isolated rows
+    val docs = (0L until 200L).map(i => (i, s"text$i")).toDF("doc_id", "t")
+    val kept = ConnectedComponents.dropNearDuplicates(docs, "doc_id", edgeDF)
+      .collect().map(_.getLong(0)).toSet
+    val comps = got.keys.map(component).toSet
+    val isolated = (0L until 200L).toSet.diff(got.keySet)
+    assert(kept == isolated ++ comps.map(_.min))
+  }
+
   test("VectorSum/VectorMean aggregators match serial oracle across groupings") {
     import graft.functions.VectorAgg
     val rnd = new scala.util.Random(17)
