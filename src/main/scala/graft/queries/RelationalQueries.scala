@@ -156,6 +156,17 @@ object RelationalQueries {
         .select("event_id", "user_id", "signup_event")
     }),
 
+    // TPC-H Q6 through the pure-SQL surface (spark.sql over registered
+    // views): filters push to the scan, single partial+final agg.
+    "q6_sql" -> ((s, dir) => {
+      graft.GraftSession.registerTables(s, dir)
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_discount BETWEEN 0.03 AND 0.06 AND l_quantity < 24""".stripMargin)
+    }),
+
     // JSON extraction from the event props payload.
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -294,6 +305,12 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q6_sql" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.03 AND 0.06 AND l_quantity < 24""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

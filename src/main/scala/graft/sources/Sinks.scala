@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output-side helpers — the reference has no sinks (results return to
+  * the caller, SURVEY S7); these are the engine's scale-out write
+  * paths.
+  *
+  * At 100 TB the write layout IS the read performance of every
+  * downstream job: partition columns give directory pruning, in-file
+  * sort gives min/max row-group skipping, `maxRecordsPerFile` bounds
+  * file sizes (no 2 GB monsters, no 10^6 tiny files), and bucketing
+  * pre-pays the shuffle of every future equi-join on the key. */
+object Sinks {
+
+  /** Hive-style partitioned parquet with bounded file sizes and an
+    * in-file sort for row-group min/max skipping. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       sortCols: Seq[String] = Nil,
+                       maxRecordsPerFile: Long = 5000000L): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(df.col): _*) else df
+    sorted.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Bucketed managed table: equi-joins and aggregations on
+    * `bucketCols` plan with no Exchange (see BucketingSpec). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

@@ -23,6 +23,27 @@ class BucketingSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  test("partitioned parquet sink: layout prunes, round-trip equals source") {
+    import graft.sources.Sinks
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("status", col("o_orderstatus"))
+    val out = "/tmp/graft_sink_test"
+    Sinks.writePartitioned(df, out, Seq("status"), sortCols = Seq("o_orderkey"))
+    // directory layout: one subdir per status value
+    val subdirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.forall(_.startsWith("status=")))
+    // partition pruning reaches the file index
+    val pruned = spark.read.parquet(out).where(col("status") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(status"), scan)
+    // round-trip equality
+    val got = spark.read.parquet(out).drop("status")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val want = df.drop("status").orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("bucketed fact-fact join plans with no Exchange") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_b")
