@@ -31,10 +31,10 @@ object Multimodal {
     * the test-data stand-in for a real binary-blob table. Pure Column
     * ops; stays in codegen. */
   def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
-                    sourceCol: String): DataFrame =
+                    sourceCol: String, modality: String = "image"): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
-      lit("image").as("modality"),
+      lit(modality).as("modality"),
       col(textCol).cast("binary").as("content"),
       struct(col(sourceCol).as("source"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
