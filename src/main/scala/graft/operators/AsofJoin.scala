@@ -18,11 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Forward as-of: earliest right row with `rightTs >= leftTs` per
+    * key. Same single-shuffle design, windowed from the other end. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              rightPayload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, rightPayload, backwardMode = false)
+
   /** @param rightPayload right-side columns carried onto left rows
     *                     (null when no right row precedes the left row). */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, rightPayload, backwardMode = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String], backwardMode: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // A genuinely-NULL struct (not a struct of nulls): last(ignoreNulls)
     // must skip rows of the opposite side.
@@ -37,9 +49,13 @@ object AsofJoin {
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_tag"),
       nullStruct(left, leftCols).as("_lrow"),
       struct(rightPayload.map(col): _*).as("_rrow"))
-    // Right rows sort before left rows at equal ts (_tag 0 < 1) so an
-    // exactly-simultaneous right row is visible to the left row.
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_tag"))
+    // Right rows sort "inside" the inclusive bound at equal ts: before
+    // left rows for backward (_tag 0 < 1 ascending), after-start for
+    // forward (descending ts, right still first at the tie).
+    val w = (if (backwardMode)
+      Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc)
+    else
+      Window.partitionBy("_k").orderBy(col("_ts").desc, col("_tag").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("_match", last(col("_rrow"), ignoreNulls = true).over(w))

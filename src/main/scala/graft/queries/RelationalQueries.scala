@@ -190,6 +190,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec("o_totalprice")).cast("double").as("sum_price"))),
 
+    // Pivot-style conditional aggregation (event counts per user bucket).
+    "q_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "view", 1)).as("views"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          count(lit(1)).as("total"))),
+
+    // Correlated-subquery pattern: customers above their nation's mean
+    // balance (window computes the group mean; one shuffle).
+    "q_above_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+      t(s, dir, "customer")
+        .withColumn("nation_avg", avg("c_acctbal").over(w))
+        .where(col("c_acctbal") > col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_above"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+    }),
+
     // Set operations: keys of BUILDING customers minus/intersect orderers.
     "q_setops" -> ((s, dir) => {
       val building = t(s, dir, "customer")
@@ -331,6 +353,22 @@ object RelationalQueries {
         |  count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |  count(*) FILTER (WHERE event_type = 'view') AS views,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |  count(*) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT c_nationkey, count(*) AS n_above,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_setops" ->
       """WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),

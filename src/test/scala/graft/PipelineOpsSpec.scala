@@ -150,6 +150,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       2L -> Some(8L),  // latest <= 205
       3L -> None,      // before all right rows
       4L -> None))     // key with no right rows
+
+    val fwd = AsofJoin.forward(left, right.select(col("k"), col("ts"), col("rid")),
+      "k", "ts", "ts", Seq("rid"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(fwd == Map(
+      1L -> Some(7L),  // equal ts matches forward too
+      2L -> None,      // nothing at or after 205
+      3L -> Some(7L),  // earliest >= 50
+      4L -> None))
   }
 
   test("multimodal: decode is deterministic, schema contract holds, feature dim fixed") {
