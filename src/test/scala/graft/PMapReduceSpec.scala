@@ -160,6 +160,40 @@ class PMapReduceSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("init law on the product-split path: applied once, after the distributed reduce") {
+    for (np <- npSweep) {
+      // Non-commutative concat with init: init must prepend exactly once
+      // (reference init-once law, src/mapreduce.jl:110-117).
+      val got = pmapreduceProductSplit(spark, IndexedSeq(PRange(1, 6)), np)(
+        sl => Vector(sl.firstElement(0).toLong),
+        ReduceOp.concat[Long], init = Some(Vector(-1L)))
+      assert(got.head == -1L, s"np=$np: init must fold exactly once, first")
+      assert(got.count(_ == -1L) == 1, s"np=$np: init folded more than once: $got")
+      // Commutative sum with init over a multi-partition reduce.
+      val sum = pmapreduceProductSplit(spark, IndexedSeq(PRange(1, 100)), np)(
+        _.iterator.map(_(0).toLong).sum,
+        ReduceOp.commutative[Long](_ + _), init = Some(1000L))
+      assert(sum == 5050L + 1000L, s"np=$np")
+    }
+  }
+
+  test("error thrown inside the reduce op propagates to the driver") {
+    val ex = intercept[Exception] {
+      pmapreduce(spark, IndexedSeq(PRange(1, 100)), 4)(
+        v => v(0).toLong,
+        ReduceOp.commutative[Long]((a, b) =>
+          if (a + b > 50) throw new RuntimeException("reduce-boom") else a + b))
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("empty collection reduce throws (reference: reducing over an empty collection)") {
+    intercept[IllegalArgumentException] {
+      pmapreduce(spark, IndexedSeq(PRange(1L, 0L)), 4)(
+        v => v(0), ReduceOp.commutative[Double](_ + _))
+    }
+  }
+
   test("productDF decode matches driver-side math; rank column matches split law") {
     import org.apache.spark.sql.functions.col
     val iters = IndexedSeq(PRange(1, 5), PRange(2, 4), PRange(1, 3))
