@@ -143,6 +143,45 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Minimum MD5 hex over the k-gram shingles of a string — the 1-perm
+    * MinHash fingerprint. Identical output to
+    * array_min(transform(shingles, md5)) and the DuckDB oracle
+    * (min over lowercase hex strings == lexicographic min), without one
+    * interpreted expression-tree walk per shingle. Shingling is done
+    * inside the expression too (substring windows over the UTF8 bytes,
+    * matching substr semantics for ASCII and multi-byte text alike via
+    * code-point windows). */
+  case class MinMd5ShingleExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val n = s.numChars()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var best: String = null
+      val windows = math.max(1, n - k + 1)
+      var i = 0
+      while (i < windows) {
+        val sub = s.substring(i, math.min(i + k, n))
+        md.reset()
+        val dig = md.digest(sub.getBytes)
+        val sb = new java.lang.StringBuilder(32)
+        var b = 0
+        while (b < dig.length) {
+          val v = dig(b) & 0xff
+          sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+          b += 1
+        }
+        val hex = sb.toString
+        if (best == null || hex.compareTo(best) < 0) best = hex
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(best)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinMd5ShingleExpr =
+      copy(child = newChild)
+  }
+
   /** Winnowing document fingerprint (rolling hash): polynomial rolling
     * hash over a k-char window slid across the text, then the minimum
     * hash of each w-hash window kept (rightmost min), deduplicated —
@@ -241,4 +280,7 @@ object NativeExprs {
 
   def winnowFingerprintNative(text: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprintExpr(ColumnBridge.expression(text), k, w))
+
+  def minMd5ShingleNative(text: Column, k: Int = 8): Column =
+    ColumnBridge.column(MinMd5ShingleExpr(ColumnBridge.expression(text), k))
 }

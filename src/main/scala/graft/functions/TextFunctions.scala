@@ -31,9 +31,11 @@ object TextFunctions {
       i => text.substr(i, lit(k))))
 
   /** 1-permutation MinHash fingerprint: min MD5 over k-gram shingles —
-    * a deterministic document fingerprint usable as a blocking key. */
+    * a deterministic document fingerprint usable as a blocking key.
+    * Native expression; bit-identical to
+    * array_min(transform(charShingles, md5)) and the DuckDB oracle. */
   def minhashFingerprint(text: Column, k: Int = 8): Column =
-    array_min(transform(charShingles(text, k), s => md5(s.cast("binary"))))
+    NativeExprs.minMd5ShingleNative(text, k)
 
   /** H-permutation MinHash signature as array<bigint>: element j is
     * min over shingles of murmur3(shingle, j) (hash-family-by-seed-mix;

@@ -199,6 +199,30 @@ class ProductIndexMathSpec extends AnyFunSuite {
     }
   }
 
+  test("point ops are O(1): huge-product queries run in nanosecond class, no scan") {
+    // The reference benchmarks these at ~100 ns on a 4x10^10-element
+    // split (docs/src/pmapreduce.md:133-158). Bound here is deliberately
+    // loose (10 us/op) — the assertion is about complexity class
+    // (no O(n) scan of 10^15 elements), not machine speed.
+    val iters = IndexedSeq(PRange(1L, 100000L), PRange(1L, 100000L), PRange(1L, 100000L))
+    val sl = ProductIndexMath.productSplit(iters, 25000, 1500) // 4x10^10 elems per rank
+    val value = sl(sl.length / 2)
+    val reps = 100000
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0
+    while (i < reps) {
+      if (sl.contains(value)) acc += 1
+      acc += sl.nElements(3)
+      acc += sl.maximumElement(1).toLong
+      acc ^= ProductIndexMath.whichProc(iters, value, 25000).getOrElse(0)
+      i += 1
+    }
+    val perOp = (System.nanoTime() - t0).toDouble / (reps * 4)
+    assert(acc != 0)
+    assert(perOp < 10000, s"point ops took ${perOp}ns each — not O(1)?")
+  }
+
   test("getindex random access matches iteration") {
     val ps = productSplit(IndexedSeq(PRange(1, 5), PRange(2, 4), PRange(1, 3)), 7, 3)
     val rows = ps.toVector
