@@ -52,10 +52,13 @@ object AsofJoin {
     // Right rows sort "inside" the inclusive bound at equal ts: before
     // left rows for backward (_tag 0 < 1 ascending), after-start for
     // forward (descending ts, right still first at the tie).
+    // _rrow as the final sort key makes the choice among right rows
+    // sharing (key, ts) deterministic (left rows all have _rrow null,
+    // so it never reorders left-vs-right).
     val w = (if (backwardMode)
-      Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc)
+      Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc, col("_rrow").asc)
     else
-      Window.partitionBy("_k").orderBy(col("_ts").desc, col("_tag").asc))
+      Window.partitionBy("_k").orderBy(col("_ts").desc, col("_tag").asc, col("_rrow").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("_match", last(col("_rrow"), ignoreNulls = true).over(w))

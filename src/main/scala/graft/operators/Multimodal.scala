@@ -37,7 +37,7 @@ object Multimodal {
       lit(modality).as("modality"),
       col(textCol).cast("binary").as("content"),
       struct(col(sourceCol).as("source"),
-        length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+        octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
   /** STUB decode: deterministic pseudo image properties from content
     * bytes (stands in for an image codec; see object docs). */
