@@ -84,6 +84,34 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup on a key within the watermark horizon: the
+    * streaming face of exact dedup (state = seen keys inside the
+    * watermark window; expired automatically — bounded state at any
+    * input volume). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's signups within [signup, signup + horizon]. Both sides
+    * watermarked so join state is reaped. */
+  def purchaseSignupJoin(events: DataFrame, horizonSeconds: Long = 3600,
+                         watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select("purchase_id", "user_id", "signup_id")
+  }
+
   /** Batch oracle for [[sessionize]]: the same session definition
     * computed with plain windows — used by both the spec and any
     * backfill job (identical semantics across the batch/stream seam;

@@ -76,6 +76,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark keeps first occurrence per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(1), 1, "view", 2.0),   // dup user+type within horizon
+      Event(3, ts(2), 2, "view", 3.0),
+      Event(4, ts(3), 1, "click", 4.0))
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSet
+      assert(got == Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(10, ts(0), 1, "signup", 0.0),
+      Event(11, ts(30), 1, "purchase", 5.0),   // within 1h of signup
+      Event(12, ts(90), 1, "purchase", 6.0),   // outside 1h
+      Event(13, ts(5), 2, "purchase", 7.0),    // no signup
+      Event(14, ts(2000), 9, "view", 0.0))     // watermark advancer
+    val input = MemoryStream[Event]
+    val joined = EventStreams.purchaseSignupJoin(input.toDF(), horizonSeconds = 3600)
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_out").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(Event(15, ts(20000), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == Set((11L, 10L)))
+      val batch = EventStreams.purchaseSignupJoin(events.toDF(), horizonSeconds = 3600)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("windowed counts over a stream match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
