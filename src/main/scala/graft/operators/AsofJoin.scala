@@ -23,16 +23,22 @@ object AsofJoin {
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTs: String, rightTs: String,
               rightPayload: Seq[String]): DataFrame =
-    joinImpl(left, right, key, leftTs, rightTs, rightPayload, backwardMode = false)
+    joinImpl(left, right, Seq(key), leftTs, rightTs, rightPayload, backwardMode = false)
 
   /** @param rightPayload right-side columns carried onto left rows
     *                     (null when no right row precedes the left row). */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightPayload: Seq[String]): DataFrame =
-    joinImpl(left, right, key, leftTs, rightTs, rightPayload, backwardMode = true)
+    joinImpl(left, right, Seq(key), leftTs, rightTs, rightPayload, backwardMode = true)
 
-  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+  /** Multi-column-key backward as-of. */
+  def backwardKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightPayload: Seq[String]): DataFrame =
+    joinImpl(left, right, keys, leftTs, rightTs, rightPayload, backwardMode = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        rightPayload: Seq[String], backwardMode: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -42,13 +48,15 @@ object AsofJoin {
       lit(null).cast(org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c))))
 
     val l = left.select(
-      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_tag"),
-      struct(leftCols.map(col): _*).as("_lrow"),
-      nullStruct(right, rightPayload).as("_rrow"))
+      struct(keys.map(col): _*).as("_k") +: Seq(
+        col(leftTs).as("_ts"), lit(1).as("_tag"),
+        struct(leftCols.map(col): _*).as("_lrow"),
+        nullStruct(right, rightPayload).as("_rrow")): _*)
     val r = right.select(
-      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_tag"),
-      nullStruct(left, leftCols).as("_lrow"),
-      struct(rightPayload.map(col): _*).as("_rrow"))
+      struct(keys.map(col): _*).as("_k") +: Seq(
+        col(rightTs).as("_ts"), lit(0).as("_tag"),
+        nullStruct(left, leftCols).as("_lrow"),
+        struct(rightPayload.map(col): _*).as("_rrow")): _*)
     // Right rows sort "inside" the inclusive bound at equal ts: before
     // left rows for backward (_tag 0 < 1 ascending), after-start for
     // forward (descending ts, right still first at the tie).

@@ -332,6 +332,20 @@ final case class ProductSlice(iters: IndexedSeq[PRange], firstFlat: Long, lastFl
     Some((minVals.toIndexedSeq.map(v => (v, lastMin)), maxVals.toIndexedSeq.map(v => (v, lastMax))))
   }
 
+  /** 1-based inclusive global index window (the reference's
+    * `firstindex`/`lastindex` view of the slice,
+    * /root/reference/src/productsplit.jl:188-218). */
+  def firstIndexGlobal: Long = firstFlat + 1
+  def lastIndexGlobal: Long = lastFlat + 1
+
+  /** Split into two contiguous halves, O(1) — the work-stealing hook
+    * (`SplittablesBase.halve`, /root/reference/src/productsplit.jl:221-233):
+    * left half has exactly `length/2` (floor) elements. */
+  def halve: (ProductSlice, ProductSlice) = {
+    val mid = firstFlat + length / 2
+    (ProductSlice(iters, firstFlat, mid - 1), ProductSlice(iters, mid, lastFlat))
+  }
+
   /** Project away dimension 1: the ProductSection of distinct remaining
     * tuples covered by this slice — exact thanks to contiguity
     * (`dropleading`, /root/reference/src/productsplit.jl:960-968). */

@@ -199,6 +199,18 @@ class ProductIndexMathSpec extends AnyFunSuite {
     }
   }
 
+  test("halve splits contiguously with floor-half left (productsplit.jl:221-233)") {
+    val iters = IndexedSeq(PRange(1L, 5L), PRange(2L, 4L))
+    for (np <- 1 to 6; p <- 1 to np) {
+      val sl = ProductIndexMath.productSplit(iters, np, p)
+      val (a, b) = sl.halve
+      assert(a.length == sl.length / 2)
+      assert(a.length + b.length == sl.length)
+      assert((a.toVector ++ b.toVector) == sl.toVector, s"np=$np p=$p")
+      assert(sl.firstIndexGlobal == sl.firstFlat + 1)
+    }
+  }
+
   test("point ops are O(1): huge-product queries run in nanosecond class, no scan") {
     // The reference benchmarks these at ~100 ns on a 4x10^10-element
     // split (docs/src/pmapreduce.md:133-158). Bound here is deliberately
