@@ -41,6 +41,12 @@ object CoreQueries {
         IndexedSeq(PRange(1L, 10L), PRange.stepped(2L, 2L, 20L)), 4, Seq("d1", "d2"))
         .withColumnRenamed("rank", "prank")),
 
+    // I7 stepped-range fixture (1:2:9, 4:1:6): non-unit-step decode.
+    "ps_stepped_product" -> ((s, _) =>
+      ProductSplitSource.productDF(s,
+        IndexedSeq(PRange.stepped(1L, 2L, 9L), PRange(4L, 6L)), 4, Seq("d1", "d2"))
+        .withColumnRenamed("rank", "prank")),
+
     // I9 float-range fixture (1:0.5:3, 2:4): drift-free decode via
     // start + i*step (/root/reference/test/productsplit.jl:20).
     "ps_float_product" -> ((s, _) =>
@@ -176,6 +182,12 @@ object CoreQueries {
       """SELECT id, 1 + id AS d1, 2 + 2 * id AS d2,
         |       CAST(1 + (CASE WHEN id < 6 THEN id // 3 ELSE 2 + (id - 6) // 2 END) AS INT) AS prank
         |FROM (SELECT range AS id FROM range(0, 10)) ORDER BY id""".stripMargin,
+
+    // L = 5*3 = 15, np = 4: d = 3, r = 3, boundary = 12.
+    "ps_stepped_product" ->
+      """SELECT id, 1 + 2 * (id % 5) AS d1, 4 + ((id // 5) % 3) AS d2,
+        |       CAST(1 + (CASE WHEN id < 12 THEN id // 4 ELSE 3 + (id - 12) // 3 END) AS INT) AS prank
+        |FROM (SELECT range AS id FROM range(0, 15)) ORDER BY id""".stripMargin,
 
     // L = 5*3 = 15, np = 3: d = 5, r = 0 -> prank = 1 + id//5.
     "ps_float_product" ->

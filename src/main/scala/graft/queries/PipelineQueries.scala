@@ -44,6 +44,17 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         size(graft.functions.NativeExprs.winnowFingerprintNative(col("text"))).as("n_grams"))),
 
+    // End-to-end training-data prep: quality-filter then per-language
+    // corpus stats — the composition a real pipeline runs.
+    "q_quality_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .where(col("quality") >= 0.3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg("quality"), 6).as("avg_quality"))),
+
     // Language-ID heuristic (stopword profiles, deterministic argmax).
     "txt_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -159,6 +170,20 @@ object PipelineQueries {
         |        t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
         |        / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |          (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS quality
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality
+        |FROM q WHERE quality >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "txt_tokens_bpe" ->
       """SELECT doc_id,
