@@ -38,7 +38,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The metric line must survive as DATA: inside `sbt run` stdout it
+    // gets buried under [info] prefixes, so also write it to a file
+    // ($SPARK_GRAFT_OUT/bench.json, or ./bench.json) and make it the
+    // very last stdout line (after spark.stop's shutdown logging).
+    val target = java.nio.file.Paths.get(
+      sys.env.get("SPARK_GRAFT_OUT").map(_ + "/bench.json").getOrElse("bench.json"))
+    java.nio.file.Files.writeString(target, line + "\n")
     spark.stop()
+    println(line)
   }
 }

