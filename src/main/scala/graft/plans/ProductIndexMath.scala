@@ -72,8 +72,14 @@ object ProductIndexMath {
   def weights(iters: IndexedSeq[PRange]): IndexedSeq[Long] =
     iters.scanLeft(1L)((acc, r) => acc * r.numElems).dropRight(1)
 
-  def totalLength(iters: IndexedSeq[PRange]): Long =
-    iters.foldLeft(1L)((acc, r) => acc * r.numElems)
+  def totalLength(iters: IndexedSeq[PRange]): Long = {
+    // while-loop, not foldLeft: called on the whichProc hot path, which
+    // must stay allocation-free (no iterator objects).
+    var acc = 1L
+    var k = 0
+    while (k < iters.length) { acc *= iters(k).numElems; k += 1 }
+    acc
+  }
 
   /** The even contiguous split law: worker `p` of `np` (1-based) over a
     * collection of `len` elements gets `(drop, take)` with the first
@@ -114,17 +120,21 @@ object ProductIndexMath {
 
   /** 0-based flat index of `val` in the product, or -1 if absent
     * (`indexinproduct`, /root/reference/src/productsplit.jl:719-728,
-    * which returns the 1-based form). */
+    * which returns the 1-based form). Radix weights are accumulated
+    * incrementally — no weights array is allocated (hot path: the
+    * reference holds this op to the ~100 ns class,
+    * /root/reference/docs/src/pmapreduce.md:133-138). */
   def flatIndexOf(iters: IndexedSeq[PRange], value: IndexedSeq[Double]): Long = {
     require(iters.nonEmpty, "need at least one iterator")
     require(value.length == iters.length, "value arity must match iterators")
-    val w = weights(iters)
     var acc = 0L
+    var scale = 1L
     var k = 0
     while (k < iters.length) {
       val i = iters(k).indexOf(value(k))
       if (i < 0) return -1L
-      acc += i * w(k)
+      acc += i * scale
+      scale *= iters(k).numElems
       k += 1
     }
     acc
@@ -150,20 +160,30 @@ object ProductIndexMath {
   }
 
   /** Owning 1-based rank of `val` when the product of `iters` is split
-    * over `np` ranks; None if absent. Binary search over ranks exactly
-    * as the reference (`whichproc`,
-    * /root/reference/src/productsplit.jl:774-805). */
+    * over `np` ranks; None if absent. Binary search over ranks as in the
+    * reference (`whichproc`, /root/reference/src/productsplit.jl:774-805),
+    * but each probe compares the value's FLAT index against the probed
+    * rank's `[drop, drop+take)` window — flat order IS reverse-lex order
+    * for strictly increasing ranges, so the comparison is identical and
+    * no ProductSlice/tuple is constructed per probe (allocation-free;
+    * the reference holds this to ~100 ns,
+    * /root/reference/docs/src/pmapreduce.md:133-138). */
   def whichProc(iters: IndexedSeq[PRange], value: IndexedSeq[Double], np: Int): Option[Int] = {
-    if (iters.indices.exists(k => !iters(k).contains(value(k)))) return None
     require(np >= 1, "np must be >= 1")
+    val f = flatIndexOf(iters, value)
+    if (f < 0) return None
     if (np == 1) return Some(1)
+    val len = totalLength(iters)
+    val d = len / np
+    val r = len % np
     var left = 1
     var right = np
     while (left < right) {
-      val mid = (left + right) / 2
-      val ps = productSplit(iters, np, mid)
-      if (ps.isEmpty || revLexCompare(value, ps.firstElement) < 0) right = mid - 1
-      else if (revLexCompare(value, ps.lastElement) > 0) left = mid + 1
+      val mid = (left + right) >>> 1
+      val drop = d * (mid - 1) + math.min(r, mid - 1L)
+      val end = d * mid + math.min(r, mid.toLong)
+      if (f < drop) right = mid - 1
+      else if (f >= end) left = mid + 1
       else return Some(mid)
     }
     Some(left)
@@ -200,6 +220,15 @@ object ProductIndexMath {
         throw TaskNotPresentException(s"could not find the task ${slice.lastElement} in the list $iters"))
     Some((start, end))
   }
+
+  /** Zip-mode halve (`SplittablesBase.halve` on a `ZipSplit`,
+    * /root/reference/src/mapreduce.jl:64-67): split a contiguous zip
+    * window `(drop, take)` into two, floor-half left — the same law as
+    * [[ProductSlice.halve]]. Returns ((dropL, takeL), (dropR, takeR)). */
+  def halveZip(drop: Long, take: Long): ((Long, Long), (Long, Long)) = {
+    val takeL = take / 2
+    ((drop, takeL), (drop + takeL, take - takeL))
+  }
 }
 
 /** A contiguous window `[firstFlat, lastFlat]` (0-based inclusive; empty
@@ -210,7 +239,52 @@ object ProductIndexMath {
 final case class ProductSlice(iters: IndexedSeq[PRange], firstFlat: Long, lastFlat: Long) {
   import ProductIndexMath._
 
-  def nIterators: Int = iters.length
+  // Cached primitive radix state: every point op below runs on these
+  // flat arrays with zero per-call allocation — the engine's answer to
+  // the reference's ~100 ns point-op class
+  // (/root/reference/docs/src/pmapreduce.md:133-158). Built once per
+  // slice (N is tiny); plain fields so the slice stays serializable
+  // into Spark closures.
+  private[this] val nDims: Int = iters.length
+  private[this] val starts: Array[Double] = Array.tabulate(nDims)(iters(_).start)
+  private[this] val steps: Array[Double] = Array.tabulate(nDims)(iters(_).step)
+  private[this] val lens: Array[Long] = Array.tabulate(nDims)(iters(_).numElems)
+  private[this] val strides: Array[Long] = {
+    val w = new Array[Long](nDims)
+    var acc = 1L
+    var k = 0
+    while (k < nDims) { w(k) = acc; acc *= lens(k); k += 1 }
+    w
+  }
+
+  /** 0-based per-dim child index of global flat position `flat`. */
+  @inline private def childIdx(flat: Long, k: Int): Long =
+    (flat / strides(k)) % lens(k)
+
+  /** Value of dimension `k` (0-based) at global flat position `flat`. */
+  @inline private def valueAtDim(flat: Long, k: Int): Double =
+    starts(k) + childIdx(flat, k) * steps(k)
+
+  /** 0-based global flat index of `value`, or -1 if absent anywhere in
+    * the full product. Allocation-free (hot path for `contains`/
+    * `localIndex`). */
+  private def flatOf(value: IndexedSeq[Double]): Long = {
+    if (value.length != nDims) return -1L
+    var acc = 0L
+    var k = 0
+    while (k < nDims) {
+      val len = lens(k)
+      if (len == 0) return -1L
+      val v = value(k)
+      val i = math.round((v - starts(k)) / steps(k))
+      if (i < 0 || i >= len || starts(k) + i * steps(k) != v) return -1L
+      acc += i * strides(k)
+      k += 1
+    }
+    acc
+  }
+
+  def nIterators: Int = nDims
   def length: Long = math.max(0L, lastFlat - firstFlat + 1)
   def isEmpty: Boolean = length == 0L
 
@@ -238,16 +312,16 @@ final case class ProductSlice(iters: IndexedSeq[PRange], firstFlat: Long, lastFl
   /** O(1) membership (`in`, /root/reference/src/productsplit.jl:730-740).
     * The flat-index bound check is equivalent to the reference's
     * reverse-lex comparison because the flat order IS reverse-lex order
-    * for strictly increasing ranges. */
+    * for strictly increasing ranges. Allocation-free. */
   def contains(value: IndexedSeq[Double]): Boolean = {
-    val f = flatIndexOf(iters, value)
+    val f = flatOf(value)
     f >= firstFlat && f <= lastFlat
   }
 
   /** 1-based index of `value` within this slice, or None
     * (`localindex`, /root/reference/src/productsplit.jl:891-896). */
   def localIndex(value: IndexedSeq[Double]): Option[Long] = {
-    val f = flatIndexOf(iters, value)
+    val f = flatOf(value)
     if (f >= firstFlat && f <= lastFlat) Some(f - firstFlat + 1) else None
   }
 
@@ -270,34 +344,37 @@ final case class ProductSlice(iters: IndexedSeq[PRange], firstFlat: Long, lastFl
     require(1 <= dim && dim <= nIterators, s"1 <= dims <= N=$nIterators not satisfied for dims=$dim")
     requireNonEmpty()
     val k = dim - 1
-    val n = iters(k).numElems
-    val w = weights(iters)(k)
-    math.min(n, lastFlat / w - firstFlat / w + 1)
+    val w = strides(k)
+    math.min(lens(k), lastFlat / w - firstFlat / w + 1)
   }
 
   /** Does any dimension after `dim` differ between the first and last
     * element — i.e. does dim wrap (`_checkrollover`,
-    * /root/reference/src/productsplit.jl:345-368)? */
+    * /root/reference/src/productsplit.jl:345-368)? Allocation-free. */
   private def rollsOver(dim: Int): Boolean = {
-    val fi = childIndex(iters, firstFlat)
-    val li = childIndex(iters, lastFlat)
-    ((dim + 1) to nIterators).exists(j => fi(j - 1) != li(j - 1))
+    var j = dim // 0-based index of the first HIGHER dimension
+    while (j < nDims) {
+      if (childIdx(firstFlat, j) != childIdx(lastFlat, j)) return true
+      j += 1
+    }
+    false
   }
 
   /** O(1) per-dimension extrema (`maximumelement`/`minimumelement`/
-    * `extremaelement`, /root/reference/src/productsplit.jl:456-596). */
+    * `extremaelement`, /root/reference/src/productsplit.jl:456-596).
+    * Allocation-free: single-dimension decode, no element tuple built. */
   def maximumElement(dim: Int): Double = {
     requireNonEmpty()
-    if (dim == nIterators) lastElement(dim - 1)
-    else if (rollsOver(dim)) iters(dim - 1).max
-    else lastElement(dim - 1)
+    if (dim == nIterators) valueAtDim(lastFlat, dim - 1)
+    else if (rollsOver(dim)) starts(dim - 1) + (lens(dim - 1) - 1) * steps(dim - 1)
+    else valueAtDim(lastFlat, dim - 1)
   }
 
   def minimumElement(dim: Int): Double = {
     requireNonEmpty()
-    if (dim == nIterators) firstElement(dim - 1)
-    else if (rollsOver(dim)) iters(dim - 1).min
-    else firstElement(dim - 1)
+    if (dim == nIterators) valueAtDim(firstFlat, dim - 1)
+    else if (rollsOver(dim)) starts(dim - 1)
+    else valueAtDim(firstFlat, dim - 1)
   }
 
   def extremaElement(dim: Int): (Double, Double) =

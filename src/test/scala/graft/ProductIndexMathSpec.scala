@@ -211,28 +211,45 @@ class ProductIndexMathSpec extends AnyFunSuite {
     }
   }
 
-  test("point ops are O(1): huge-product queries run in nanosecond class, no scan") {
+  test("point ops are O(1): huge-product queries stay under 1 us/op") {
     // The reference benchmarks these at ~100 ns on a 4x10^10-element
-    // split (docs/src/pmapreduce.md:133-158). Bound here is deliberately
-    // loose (10 us/op) — the assertion is about complexity class
-    // (no O(n) scan of 10^15 elements), not machine speed.
+    // split (docs/src/pmapreduce.md:133-158). The hot path is
+    // allocation-free (cached primitive radix arrays, flat-bound
+    // whichProc probes), so even on a loaded shared box the median
+    // per-op cost must stay in the sub-microsecond class — no O(n)
+    // scan of the 10^15-element product, no per-call allocation storm.
     val iters = IndexedSeq(PRange(1L, 100000L), PRange(1L, 100000L), PRange(1L, 100000L))
     val sl = ProductIndexMath.productSplit(iters, 25000, 1500) // 4x10^10 elems per rank
     val value = sl(sl.length / 2)
-    val reps = 100000
-    val t0 = System.nanoTime()
     var acc = 0L
-    var i = 0
-    while (i < reps) {
-      if (sl.contains(value)) acc += 1
-      acc += sl.nElements(3)
-      acc += sl.maximumElement(1).toLong
-      acc ^= ProductIndexMath.whichProc(iters, value, 25000).getOrElse(0)
-      i += 1
+    def run(reps: Int): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) {
+        if (sl.contains(value)) acc += 1
+        acc += sl.nElements(3)
+        acc += sl.maximumElement(1).toLong
+        acc ^= ProductIndexMath.whichProc(iters, value, 25000).getOrElse(0)
+        i += 1
+      }
+      (System.nanoTime() - t0).toDouble / (reps * 4)
     }
-    val perOp = (System.nanoTime() - t0).toDouble / (reps * 4)
+    run(50000) // JIT warm-up — unmeasured
+    val median = Array.fill(5)(run(100000)).sorted.apply(2)
     assert(acc != 0)
-    assert(perOp < 10000, s"point ops took ${perOp}ns each — not O(1)?")
+    assert(median < 1000, s"point ops took ${median}ns each (median of 5) — not O(1)?")
+  }
+
+  test("zip-mode halve splits contiguously with floor-half left (mapreduce.jl:64-67)") {
+    for (len <- Seq(0L, 1L, 2L, 7L, 10L, 101L); np <- 1 to 6; p <- 1 to np) {
+      val (drop, take) = dropTake(len, np, p)
+      val ((dl, tl), (dr, tr)) = ProductIndexMath.halveZip(drop, take)
+      assert(tl == take / 2)
+      assert(tl + tr == take)
+      assert(dl == drop && dr == drop + tl)
+      // concatenation law: left ++ right covers exactly the window
+      assert((dl until dl + tl) ++ (dr until dr + tr) == (drop until drop + take))
+    }
   }
 
   test("getindex random access matches iteration") {
