@@ -143,6 +143,138 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Lowercase hex of an MD5 digest (matches DuckDB's md5()). */
+  private[functions] def md5Hex(dig: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var b = 0
+    while (b < dig.length) {
+      val v = dig(b) & 0xff
+      sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+      b += 1
+    }
+    sb.toString
+  }
+
+  /** 64-bit SimHash over a string array using the first 8 bytes of each
+    * element's MD5 as the per-token hash — bit b (0 = MSB of digest
+    * byte 0) is voted on across tokens. Unlike [[SimHash64Expr]]'s
+    * splitmix/FNV hashing, MD5 is computable in ANSI SQL engines, so a
+    * DuckDB oracle can reproduce the hash bit-for-bit (bit b of the hex
+    * form = bit 3-(b mod 4) of hex digit b/4). The result packs bit b
+    * at position 63-b (big-endian byte order). */
+  case class SimHashMd5Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << (63 - b)); b += 1 }
+      out
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane LSH bucket like [[HyperplaneBucketExpr]], but the
+    * hyperplane components come from a Lehmer LCG (modulus 2^31-1,
+    * multiplier 48271) on the (seed, plane, dim) triple — pure integer
+    * arithmetic that an ANSI SQL oracle can evaluate exactly, unlike
+    * the splitmix mixer. Component grid: (h % 1000)/1000 - 0.5. The dot
+    * product accumulates sequentially over dims (same order as DuckDB's
+    * list_sum), so the sign — and hence the bucket — is bit-identical
+    * cross-engine. */
+  case class HyperplaneBucketLcgExpr(child: Expression, bits: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    private val M = 2147483647L // 2^31 - 1
+    @inline private def comp(j: Int, d: Int): Double = {
+      val x = Math.floorMod(seed * 1000003L + j * 8191L + d * 127L + 1L, M)
+      val h1 = (48271L * x) % M
+      val h2 = (48271L * h1) % M
+      (h2 % 1000L).toDouble / 1000.0 - 0.5
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += v.getDouble(d) * comp(j, d); d += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketLcgExpr =
+      copy(child = newChild)
+  }
+
+  /** Winnowing fingerprint over MD5 window hashes: the k-char windows
+    * of the text are MD5-hashed (lowercase hex), and the rightmost
+    * minimum of each w-window of hashes is selected (per-position
+    * dedup — selected positions are non-decreasing, so consecutive
+    * dedup ≡ distinct). Returns array<struct<pos:int, gh:string>>
+    * ordered by position. Same winnowing law as
+    * [[WinnowFingerprintExpr]] but with an oracle-computable hash
+    * (md5 + substr are ANSI SQL); the rolling-hash form stays the
+    * performance path. */
+  case class WinnowMd5Expr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("gh", StringType, nullable = false))), containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val n = s.numChars()
+      val m = math.max(1, n - k + 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = new Array[String](m)
+      var i = 0
+      while (i < m) {
+        md.reset()
+        hs(i) = md5Hex(md.digest(s.substring(i, math.min(i + k, n)).getBytes))
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var lastPos = -1
+      var st = 0
+      val windows = math.max(1, m - w + 1)
+      while (st < windows) {
+        var minPos = st
+        var j = st
+        val end = math.min(st + w, m)
+        while (j < end) { if (hs(j).compareTo(hs(minPos)) <= 0) minPos = j; j += 1 }
+        if (minPos != lastPos) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            minPos, org.apache.spark.unsafe.types.UTF8String.fromString(hs(minPos)))
+          lastPos = minPos
+        }
+        st += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowMd5Expr =
+      copy(child = newChild)
+  }
+
   /** Minimum MD5 hex over the k-gram shingles of a string — the 1-perm
     * MinHash fingerprint. Identical output to
     * array_min(transform(shingles, md5)) and the DuckDB oracle
@@ -266,6 +398,15 @@ object NativeExprs {
 
   def simhash64Native(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  def simhashMd5Native(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(tokens)))
+
+  def hyperplaneBucketLcgNative(vec: Column, bits: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(HyperplaneBucketLcgExpr(ColumnBridge.expression(vec), bits, seed))
+
+  def winnowMd5Native(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowMd5Expr(ColumnBridge.expression(text), k, w))
 
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(

@@ -118,10 +118,15 @@ object Dedup {
     * chunk). Candidates come from 4 equijoins on chunk value, then
     * exact Hamming verification. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, md5Hash: Boolean = false): DataFrame = {
     require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
-    val h = df.select(col(idCol),
-      graft.functions.NativeExprs.simhash64Native(tokens(col(textCol))).as("sh"))
+    // md5Hash selects the oracle-computable MD5 token hash (same
+    // algorithm; an ANSI SQL engine can reproduce the 64-bit simhash
+    // bit-for-bit). Default stays the faster splitmix/FNV hash.
+    val hashFn: Column => Column =
+      if (md5Hash) graft.functions.NativeExprs.simhashMd5Native
+      else graft.functions.NativeExprs.simhash64Native
+    val h = df.select(col(idCol), hashFn(tokens(col(textCol))).as("sh"))
     val chunked = h.select(col(idCol), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), i =>
         struct(i.cast("int").as("chunk"),
@@ -156,6 +161,46 @@ object Dedup {
       .withColumn("sim", round(
         graft.functions.NativeExprs.dotNative(col("va"), col("vb"))
           / (col("na") * col("nb")), 6))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding near-dup pairs via MULTI-TABLE hyperplane LSH — the real
+    * scale path: `tables` independent hyperplane codes of `bits` bits
+    * each; a pair is a candidate if it collides in ANY table (recall
+    * 1-(1-p^bits)^tables vs p^bits for one table), optionally further
+    * blocked by `extraBlockCols` (e.g. a label/shard column). The
+    * candidate join is an equijoin on (table, bucket [, extras]) —
+    * never all-pairs — and candidates are exact-cosine verified, so
+    * precision is 1.0. Buckets use the LCG hyperplane derivation
+    * ([[graft.functions.NativeExprs.HyperplaneBucketLcgExpr]]), exactly
+    * reproducible by the DuckDB oracle. */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, tables: Int = 4, bits: Int = 4,
+                               seed: Long = 42L,
+                               extraBlockCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
+    val v = df.select((col(idCol) +: extraBlockCols.map(col)) :+
+      col(vecCol).cast("array<double>").as("v"): _*)
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucketLcgNative(col("v"), bits, seed + t).as("bkt"))): _*)
+    val tabled = v.select(col(idCol) +: extraBlockCols.map(col) :+
+      explode(buckets).as("tb"): _*)
+      .select(col(idCol) +: extraBlockCols.map(col) :+
+        col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
+    val joinKeys = Seq("tbl", "bkt") ++ extraBlockCols
+    val a = tabled.withColumnRenamed(idCol, "id_a")
+    val b = tabled.withColumnRenamed(idCol, "id_b")
+    val cands = a.join(b, joinKeys)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair may collide in several tables — verify once
+    val withNorm = v.withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+    val va = withNorm.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = withNorm.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

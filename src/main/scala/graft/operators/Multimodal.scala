@@ -39,16 +39,16 @@ object Multimodal {
       struct(col(sourceCol).as("source"),
         octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decode: deterministic pseudo image properties from content
-    * bytes (stands in for an image codec; see object docs). */
+  /** STUB decode: deterministic pseudo image properties from the MD5 of
+    * the content bytes (stands in for an image codec; see object docs).
+    * MD5-derived so an ANSI SQL oracle can recompute the exact values:
+    * width/height from the first two 16-bit words of the digest,
+    * mean_px from byte 4. */
   private[operators] def fakeDecode(content: Array[Byte]): (Int, Int, Double) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < content.length) { h = 31 * h + (content(i) & 0xFF); i += 1 }
-    val width = 64 + math.floorMod(h, 448L).toInt
-    val height = 64 + math.floorMod(h >>> 16, 448L).toInt
-    val meanPx = (math.floorMod(h >>> 32, 256L)).toDouble
-    (width, height, meanPx)
+    val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+    val w16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    val h16 = ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+    (64 + w16 % 448, 64 + h16 % 448, (d(4) & 0xff).toDouble)
   }
 
   /** Decoded schema appended to the media row. */

@@ -63,16 +63,25 @@ object Similarity {
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     graft.functions.NativeExprs.hyperplaneBucketNative(vec.cast("array<double>"), bits, seed)
 
+  /** LCG-derived hyperplane bucket — same coarse quantization with an
+    * oracle-computable (pure BIGINT arithmetic) hyperplane grid; used
+    * by the driver-gated queries so DuckDB can reproduce the buckets. */
+  def hyperplaneBucketLcg(vec: Column, bits: Int, seed: Long = 42L): Column =
+    graft.functions.NativeExprs.hyperplaneBucketLcgNative(vec.cast("array<double>"), bits, seed)
+
   /** ANN top-k via hyperplane buckets: candidates share the query's
     * bucket; exact cosine rerank inside the bucket. Lower recall than
-    * [[cosineTopK]]; bounded cost. */
+    * [[cosineTopK]]; bounded cost. `lcgBuckets` switches to the
+    * oracle-computable LCG hyperplane derivation. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               bits: Int = 8, qidCol: String = "qid", idCol: String = "id",
-              vecCol: String = "vec"): DataFrame = {
+              vecCol: String = "vec", lcgBuckets: Boolean = false): DataFrame = {
+    def bucket(c: Column): Column =
+      if (lcgBuckets) hyperplaneBucketLcg(c, bits) else hyperplaneBucket(c, dim, bits)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bkt", hyperplaneBucket(col("qv"), dim, bits))
+      .withColumn("bkt", bucket(col("qv")))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bkt", hyperplaneBucket(col("cv"), dim, bits))
+      .withColumn("bkt", bucket(col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     c.join(broadcast(q), "bkt")
       .where(col("id") =!= col("qid"))

