@@ -45,6 +45,70 @@ object PMapReduce {
   private def foldInit[B](init: Option[B], op: ReduceOp[B], result: B): B =
     init.map(i => op(i, result)).getOrElse(result)
 
+  /** T2: host-segmented two-stage reduction for COMMUTATIVE ops — the
+    * reference's `SegmentedOrderedBinaryTree` rationale: reduce WITHIN
+    * each node before anything crosses the network
+    * (/root/reference/src/trees.jl:42-63, docs/src/index.md:34).
+    *
+    * Stage 1 is a shuffle-free locality-aware `coalesce` to one
+    * partition per host — Spark's partition coalescer groups parent
+    * partitions by preferred location, so each group folds HOST-LOCAL
+    * partials through a serial (in-place-friendly) `reduceLeft` with
+    * zero network traffic. Stage 2 ships ONE partial per host to the
+    * driver fold: with H hosts and np ranks carrying an 800 KB array
+    * payload, the driver-bound traffic is H payloads, not np (and
+    * unlike `treeReduce(depth=2)`, no intermediate partial ever
+    * crosses a node boundary before being combined).
+    *
+    * `segments` overrides the segment count for single-host testing;
+    * the reference fakes multi-host topologies the same way
+    * (/root/reference/test/paralleltests.jl:472-485). Commutative-only:
+    * host grouping combines partials in host order, not rank order
+    * (the reference's segmented tree keeps rank order because its
+    * rank->host layout is contiguous by construction; Spark's
+    * scheduler placement is not). */
+  def hostSegmentedReduce[B: ClassTag](spark: SparkSession, partials: RDD[B],
+                                       op: ReduceOp[B],
+                                       segments: Option[Int] = None): B = {
+    require(op.commutative,
+      "host-segmented reduction combines in host order — commutative ops only")
+    val nSeg = math.max(1, segments.getOrElse(
+      new ClusterQuery(spark).nodenames.size))
+    val perHost = partials.coalesce(nSeg)
+      .mapPartitions(it => if (it.hasNext) Iterator(it.reduceLeft(op)) else Iterator.empty)
+      .collect()
+    require(perHost.nonEmpty, "cannot reduce over an empty collection")
+    perHost.reduceLeft(op)
+  }
+
+  /** E1 (zip mode) with the T2 host-segmented combine instead of
+    * `treeReduce` — same per-partition serial fold as [[pmapreduce]],
+    * then [[hostSegmentedReduce]] over the per-rank partials. */
+  def pmapreduceSegmented[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                                      (f: IndexedSeq[Double] => B, op: ReduceOp[B],
+                                       init: Option[B] = None,
+                                       segments: Option[Int] = None): B = {
+    val len = iters.map(_.numElems).min
+    require(len > 0, "cannot reduce over an empty collection")
+    val rs = iters.toArray
+    def elem(j: Long): IndexedSeq[Double] = {
+      val arr = new Array[Double](rs.length)
+      var k = 0
+      while (k < rs.length) { arr(k) = rs(k)(j); k += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+    }
+    val npEff = math.max(1L, math.min(np.toLong, len)).toInt
+    if (npEff == 1) {
+      foldInit(init, op, (0L until len).iterator.map(j => f(elem(j))).reduceLeft(op))
+    } else {
+      val partials = spark.sparkContext.parallelize(1 to npEff, npEff).map { p =>
+        val (drop, take) = ProductIndexMath.dropTake(len, npEff, p)
+        (drop until drop + take).iterator.map(j => f(elem(j))).reduceLeft(op)
+      }
+      foldInit(init, op, hostSegmentedReduce(spark, partials, op, segments))
+    }
+  }
+
   /** E2: `f` receives each rank's whole ProductSlice once (MPI-style;
     * /root/reference/docs/src/pmapreduce.md:58-93), partials reduced by
     * `op` in rank order. `f` may use every §2.2 point query on the

@@ -152,6 +152,18 @@ object CoreQueries {
       s.createDataFrame(Seq((v.length, v(0), v.sum))).toDF("len", "v0", "total")
     }),
 
+    // T2: the same array-payload reduction through the host-segmented
+    // two-stage combine (intra-host serial fold via locality-aware
+    // coalesce, then one partial per host to the driver) — 4 segments
+    // emulate a 4-node topology on local mode, the reference's own
+    // fake-multi-host test pattern (test/paralleltests.jl:472-485).
+    "pmr_hostseg_elsum" -> ((s, _) => {
+      val v = PMapReduce.pmapreduceSegmented(s, IndexedSeq(PRange(1L, 224L)), 32)(
+        _ => Array.fill(100000)(1.0), ReduceOp.elementwiseSum,
+        segments = Some(4))
+      s.createDataFrame(Seq((v.length, v(0), v.sum))).toDF("len", "v0", "total")
+    }),
+
     // E2 + non-commutative concat: rank-ordered reduce of per-slice
     // summaries over (1:7,1:5) split 8 ways — exercises the ordered
     // gather-sort-fold path (/root/reference/src/mapreduce.jl:138-146).
@@ -233,6 +245,9 @@ object CoreQueries {
       """SELECT x AS k, x * x AS v FROM (SELECT range + 1 AS x FROM range(0, 200)) ORDER BY k""".stripMargin,
 
     "pmr_array_elsum" ->
+      "SELECT CAST(100000 AS INT) AS len, CAST(224 AS DOUBLE) AS v0, CAST(224 * 100000 AS DOUBLE) AS total",
+
+    "pmr_hostseg_elsum" ->
       "SELECT CAST(100000 AS INT) AS len, CAST(224 AS DOUBLE) AS v0, CAST(224 * 100000 AS DOUBLE) AS total",
 
     "pmr_elementwise" ->

@@ -101,6 +101,28 @@ class PMapReduceSpec extends AnyFunSuite {
     }
   }
 
+  test("host-segmented reduce equals treeReduce path for every segment count (trees.jl:42-63)") {
+    for (np <- npSweep; segs <- Seq(1, 2, 4, 7, 64)) {
+      val got = pmapreduceSegmented(spark, IndexedSeq(PRange(1, 50)), np)(
+        t => Array(t(0), t(0) * t(0)), ReduceOp.elementwiseSum,
+        segments = Some(segs))
+      // serial oracle: sum 1..50 = 1275, sum of squares = 42925
+      assert(got.toVector == Vector(1275.0, 42925.0), s"np=$np segs=$segs")
+      val withInit = pmapreduceSegmented(spark, IndexedSeq(PRange(1, 50)), np)(
+        t => Array(t(0), 0.0), ReduceOp.elementwiseSum,
+        init = Some(Array(1000.0, 0.0)), segments = Some(segs))
+      assert(withInit(0) == 2275.0, s"init once, np=$np segs=$segs")
+    }
+    // defaults to the real host count (1 in local mode) when unset
+    val auto = pmapreduceSegmented(spark, IndexedSeq(PRange(1, 10)), 4)(
+      t => Array(t(0)), ReduceOp.elementwiseSum)
+    assert(auto.toVector == Vector(55.0))
+    // host order != rank order: non-commutative ops must be rejected
+    val partials = spark.sparkContext.parallelize(Seq(Vector(1), Vector(2)), 2)
+    assertThrows[IllegalArgumentException](
+      graft.operators.PMapReduce.hostSegmentedReduce(spark, partials, ReduceOp.concat[Int]))
+  }
+
   test("BroadcastStack axis-union reduction on OffsetArrays (misctests_singleprocess.jl:55-63)") {
     // golden: BroadcastStack(min,1)(2*ones(2), 3*ones(3)) == [2,2,3]
     val a = OffsetArrayND(IndexedSeq((1, 2)), Array(2.0, 2.0))
