@@ -39,13 +39,16 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "vcomp"), "v")
         .groupBy(col("u").as("node"))
         .agg(min("vcomp").as("ncomp"))
+      // One join per round: the convergence flag rides along into the
+      // (eager) checkpoint, so counting the changed rows is a cheap
+      // scan of checkpointed data — not a second join+shuffle job.
       val next = labels.join(neighborComp, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint()
-      changedCount = next.join(labels.withColumnRenamed("comp", "old"), "node")
-        .where(col("comp") =!= col("old")).count()
-      labels = next
+      changedCount = next.where(col("changed")).count()
+      labels = next.select("node", "comp")
       iter += 1
     }
     sym.unpersist()
