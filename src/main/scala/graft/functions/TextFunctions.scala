@@ -106,6 +106,24 @@ object TextFunctions {
     * path. */
   def jaccard(a: Column, b: Column): Column = NativeExprs.jaccardNative(a, b)
 
+  // ---- Normalization / scrubbing ---------------------------------------
+
+  /** Dedup-pipeline text normalization: lowercase, trim, collapse every
+    * whitespace run to a single space. Pure builtin Columns (codegen'd). */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  // RE2-compatible patterns (no backrefs/lookarounds) so the DuckDB
+  // oracle's regexp_replace behaves identically to Java's.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scrubbing for training corpora: email addresses then
+    * phone-like digit runs replaced with typed placeholders. Order
+    * matters — emails first, or the phone pattern eats their digits. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
   // ---- Quality scoring -------------------------------------------------
 
   private val stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")

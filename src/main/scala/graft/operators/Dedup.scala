@@ -175,10 +175,16 @@ object Dedup {
     * precision is 1.0. Buckets use the LCG hyperplane derivation
     * ([[graft.functions.NativeExprs.HyperplaneBucketLcgExpr]]), exactly
     * reproducible by the DuckDB oracle. */
+  /** @param maxBucketSize drop (table, bucket) groups larger than this
+    *   before pairing — guards degenerate directions (e.g. zero-ish
+    *   vectors all landing in one cell) from going quadratic. Unlimited
+    *   by default; at scale, size `bits` ≈ log2(corpus/targetBucket)
+    *   first and use the cap as the backstop. */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, tables: Int = 4, bits: Int = 4,
                                seed: Long = 42L,
-                               extraBlockCols: Seq[String] = Nil): DataFrame = {
+                               extraBlockCols: Seq[String] = Nil,
+                               maxBucketSize: Int = Int.MaxValue): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
     val v = df.select((col(idCol) +: extraBlockCols.map(col)) :+
       col(vecCol).cast("array<double>").as("v"): _*)
@@ -190,8 +196,14 @@ object Dedup {
       .select(col(idCol) +: extraBlockCols.map(col) :+
         col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
     val joinKeys = Seq("tbl", "bkt") ++ extraBlockCols
-    val a = tabled.withColumnRenamed(idCol, "id_a")
-    val b = tabled.withColumnRenamed(idCol, "id_b")
+    val capped =
+      if (maxBucketSize == Int.MaxValue) tabled
+      else tabled.join(
+        tabled.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= maxBucketSize).select(joinKeys.map(col): _*),
+        joinKeys, "left_semi")
+    val a = capped.withColumnRenamed(idCol, "id_a")
+    val b = capped.withColumnRenamed(idCol, "id_b")
     val cands = a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

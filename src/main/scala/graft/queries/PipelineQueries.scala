@@ -61,6 +61,17 @@ object PipelineQueries {
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
           round(avg("quality"), 6).as("avg_quality"))),
 
+    // Normalization + PII scrubbing: synthetic email/phone spans are
+    // appended deterministically so the redaction regexes do real work
+    // on every row (the corpus itself carries no PII).
+    "txt_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).substr(1, 80).as("norm80"),
+        TextFunctions.redactPii(concat(
+          lit("contact "), col("source"), lit("@example.org or call +1 (415) 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" about: "), substring(col("text"), 1, 40))).as("redacted"))),
+
     // Language-ID heuristic (stopword profiles, deterministic argmax).
     "txt_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -209,6 +220,16 @@ object PipelineQueries {
     "txt_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_normalize" ->
+      """SELECT doc_id,
+        |  substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 80) AS norm80,
+        |  regexp_replace(regexp_replace(
+        |    'contact ' || source || '@example.org or call +1 (415) 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' about: ' || substr(text, 1, 40),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_langid" ->

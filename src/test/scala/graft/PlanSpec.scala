@@ -88,6 +88,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no gate query plans a Cartesian product") {
+    // All-pairs joins are the one unrecoverable scale failure: every
+    // near-dup/similarity query must candidate via a bucketed equijoin.
+    // knn_cosine is the documented exception — an intentional
+    // broadcast cross join against a bounded (≤10-row) query set.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if name != "knn_cosine") {
+      val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin (non-equi join leaked in)")
+    }
+  }
+
   test("q1 scan prunes to exactly the referenced columns") {
     val df = SparkEntry.queries("q1_agg")(spark, dir)
     val scanLine = physical(df).linesIterator.find(_.contains("ReadSchema")).getOrElse(
