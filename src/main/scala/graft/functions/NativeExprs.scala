@@ -32,10 +32,14 @@ object NativeExprs {
   }
 
   /** FNV-1a 64 over UTF-8 bytes — the base shingle/token hash. */
-  @inline private[functions] def fnv64(bytes: Array[Byte]): Long = {
+  @inline private[functions] def fnv64(bytes: Array[Byte]): Long =
+    fnv64(bytes, 0, bytes.length)
+
+  @inline private[functions] def fnv64(bytes: Array[Byte], off: Int, len: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var b = 0
-    while (b < bytes.length) { h ^= bytes(b) & 0xffL; h *= 0x100000001b3L; b += 1 }
+    var b = off
+    val end = off + len
+    while (b < end) { h ^= bytes(b) & 0xffL; h *= 0x100000001b3L; b += 1 }
     h
   }
 
@@ -62,6 +66,52 @@ object NativeExprs {
       new GenericArrayData(mins)
     }
     override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature computed STRAIGHT from the text: the k-char
+    * windows are hashed in place (byte windows on ASCII text — one
+    * `getBytes` per row, zero per-window allocation; code-point windows
+    * otherwise), so no shingle array is ever materialized and no
+    * interpreted substr-per-window transform runs. Identical output to
+    * `MinHashSigExpr(charShingles(text, k))`: duplicate windows cannot
+    * change a minimum, so skipping the distinct is value-neutral.
+    * Texts shorter than k hash one (short) window — charShingles
+    * parity. */
+  case class MinHashSigTextExpr(child: Expression, k: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      @inline def update(base: Long): Unit = {
+        var j = 0
+        while (j < numHashes) {
+          val x = mix64(base + j * 0x9e3779b97f4a7c15L)
+          if (x < mins(j)) mins(j) = x
+          j += 1
+        }
+      }
+      val nChars = s.numChars()
+      val bytes = s.getBytes
+      if (bytes.length == nChars) { // pure ASCII: byte windows == char windows
+        val windows = math.max(1, nChars - k + 1)
+        var i = 0
+        while (i < windows) {
+          update(fnv64(bytes, i, math.min(k, nChars - i)))
+          i += 1
+        }
+      } else {
+        val windows = math.max(1, nChars - k + 1)
+        var i = 0
+        while (i < windows) {
+          update(fnv64(s.substring(i, math.min(i + k, nChars)).getBytes))
+          i += 1
+        }
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigTextExpr =
       copy(child = newChild)
   }
 
@@ -143,6 +193,18 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Per-thread MessageDigest — expressions run in task threads; this
+    * avoids a getInstance allocation per row. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[functions] def md5Digest(): java.security.MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
+
   /** Lowercase hex of an MD5 digest (matches DuckDB's md5()). */
   private[functions] def md5Hex(dig: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(32)
@@ -168,12 +230,10 @@ object NativeExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val counts = new Array[Int](64)
-      val md = java.security.MessageDigest.getInstance("MD5")
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val d = md5Digest().digest(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) counts(b) += 1 else counts(b) -= 1
@@ -245,12 +305,18 @@ object NativeExprs {
       val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       val n = s.numChars()
       val m = math.max(1, n - k + 1)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hs = new Array[String](m)
+      // Selection compares raw digests (unsigned byte order == hex
+      // lexicographic order); only the selected ~m/w positions are
+      // hex-encoded.
+      val hs = new Array[Array[Byte]](m)
+      val bytes = s.getBytes
+      val ascii = bytes.length == n // byte windows == char windows
       var i = 0
       while (i < m) {
-        md.reset()
-        hs(i) = md5Hex(md.digest(s.substring(i, math.min(i + k, n)).getBytes))
+        val md = md5Digest()
+        hs(i) =
+          if (ascii) { md.update(bytes, i, math.min(k, n - i)); md.digest() }
+          else md.digest(s.substring(i, math.min(i + k, n)).getBytes)
         i += 1
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -261,10 +327,13 @@ object NativeExprs {
         var minPos = st
         var j = st
         val end = math.min(st + w, m)
-        while (j < end) { if (hs(j).compareTo(hs(minPos)) <= 0) minPos = j; j += 1 }
+        while (j < end) {
+          if (java.util.Arrays.compareUnsigned(hs(j), hs(minPos)) <= 0) minPos = j
+          j += 1
+        }
         if (minPos != lastPos) {
           out += org.apache.spark.sql.catalyst.InternalRow(
-            minPos, org.apache.spark.unsafe.types.UTF8String.fromString(hs(minPos)))
+            minPos, org.apache.spark.unsafe.types.UTF8String.fromString(md5Hex(hs(minPos))))
           lastPos = minPos
         }
         st += 1
@@ -289,26 +358,23 @@ object NativeExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       val n = s.numChars()
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var best: String = null
+      // Unsigned byte-order of digests == lexicographic order of their
+      // lowercase hex (fixed-width order-preserving encoding), so the
+      // min is found on raw digests and hex-encoded exactly once.
+      var best: Array[Byte] = null
       val windows = math.max(1, n - k + 1)
+      val bytes = s.getBytes
+      val ascii = bytes.length == n // byte windows == char windows
       var i = 0
       while (i < windows) {
-        val sub = s.substring(i, math.min(i + k, n))
-        md.reset()
-        val dig = md.digest(sub.getBytes)
-        val sb = new java.lang.StringBuilder(32)
-        var b = 0
-        while (b < dig.length) {
-          val v = dig(b) & 0xff
-          sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
-          b += 1
-        }
-        val hex = sb.toString
-        if (best == null || hex.compareTo(best) < 0) best = hex
+        val md = md5Digest()
+        val dig =
+          if (ascii) { md.update(bytes, i, math.min(k, n - i)); md.digest() }
+          else md.digest(s.substring(i, math.min(i + k, n)).getBytes)
+        if (best == null || java.util.Arrays.compareUnsigned(dig, best) < 0) best = dig
         i += 1
       }
-      org.apache.spark.unsafe.types.UTF8String.fromString(best)
+      org.apache.spark.unsafe.types.UTF8String.fromString(md5Hex(best))
     }
     override protected def withNewChildInternal(newChild: Expression): MinMd5ShingleExpr =
       copy(child = newChild)
@@ -395,6 +461,9 @@ object NativeExprs {
 
   def minhashSigNative(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+
+  def minhashSigTextNative(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigTextExpr(ColumnBridge.expression(text), k, numHashes))
 
   def simhash64Native(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))

@@ -32,15 +32,17 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Attach MinHash signature + shingle set:
-    * (idCol, shingles array, sig array<long>). Signature hashing uses
-    * the native expression ([[graft.functions.NativeExprs]]) — the
+  /** Attach MinHash signature: (idCol, sig array<long>). The signature
+    * is hashed straight from the text ([[graft.functions.NativeExprs
+    * .MinHashSigTextExpr]]): byte windows, no shingle array
+    * materialized, no interpreted substr-per-window transform — the
     * interpreted HOF form costs H × |shingles| expression-tree walks
-    * per row. */
+    * per row, the shingle-array native form still one substr
+    * allocation per window. */
   def withMinhash(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 128, shingleK: Int = 8): DataFrame =
-    df.select(col(idCol), charShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", graft.functions.NativeExprs.minhashSigNative(col("shingles"), numHashes))
+    Repartition.forCompute(df).select(col(idCol),
+      graft.functions.NativeExprs.minhashSigTextNative(col(textCol), shingleK, numHashes).as("sig"))
 
   /** LSH candidate pairs (id_a < id_b) from banding the signature.
     * One explode + one shuffle on (band, bucket); per-bucket pair
@@ -82,10 +84,20 @@ object Dedup {
                           threshold: Double, numHashes: Int = 128,
                           bands: Int = 32, rowsPerBand: Int = 4,
                           shingleK: Int = 8): DataFrame = {
+    // cache(): without it, projection collapse inlines the signature
+    // expression into every one of the `bands` band-key computations —
+    // a bands× recompute. The cached table is just (id, 128 longs).
     val sigs = withMinhash(df, idCol, textCol, numHashes, shingleK).cache()
-    val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
-    val sa = sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val sb = sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val cands = lshCandidates(sigs, idCol, bands, rowsPerBand).cache()
+    // Exact-verify ONLY the candidates: a semi-join trims the corpus to
+    // candidate ids BEFORE the shingle sets are computed — at 100 TB
+    // the O(text) shingling runs on the (tiny) candidate set, not on
+    // every document a second time.
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), charShingles(col(textCol), shingleK).as("shingles"))
+    val sa = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= threshold)
@@ -100,8 +112,9 @@ object Dedup {
                               shingleK: Int = 8): DataFrame = {
     // cached: both join sides derive from it, and the md5-per-shingle
     // fingerprint is the expensive part.
-    val f = df.select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
-      tokenSet(col(textCol)).as("toks")).cache()
+    val f = Repartition.forCompute(df)
+      .select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
+        tokenSet(col(textCol)).as("toks")).cache()
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("toks").as("toks_a"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("toks").as("toks_b"))
     a.join(b, "fp")
@@ -126,7 +139,8 @@ object Dedup {
     val hashFn: Column => Column =
       if (md5Hash) graft.functions.NativeExprs.simhashMd5Native
       else graft.functions.NativeExprs.simhash64Native
-    val h = df.select(col(idCol), hashFn(tokens(col(textCol))).as("sh"))
+    val h = Repartition.forCompute(df)
+      .select(col(idCol), hashFn(tokens(col(textCol))).as("sh"))
     val chunked = h.select(col(idCol), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), i =>
         struct(i.cast("int").as("chunk"),

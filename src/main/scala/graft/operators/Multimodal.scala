@@ -62,7 +62,7 @@ object Multimodal {
     * setup amortized per batch, memory bounded by batchSize × payload). */
   def decodeImages(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val schema = decodedSchema
-    val rdd = media.rdd.mapPartitions { it =>
+    val rdd = Repartition.forCompute(media).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // A real codec would be initialized once per batch here.
         batch.iterator.map { row =>
@@ -83,7 +83,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+    val rdd = Repartition.forCompute(media.select("media_id", "content")).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val id = row.getLong(0)

@@ -46,8 +46,9 @@ object PipelineQueries {
     // rolling-hash variant (winnowFingerprintNative) is the perf path,
     // law-checked in PipelineOpsSpec.
     "fp_winnow" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        explode(graft.functions.NativeExprs.winnowMd5Native(col("text"))).as("g"))
+      graft.operators.Repartition.forCompute(docs(s, dir))
+        .select(col("doc_id"),
+          explode(graft.functions.NativeExprs.winnowMd5Native(col("text"))).as("g"))
         .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))),
 
     // End-to-end training-data prep: quality-filter then per-language
@@ -79,8 +80,9 @@ object PipelineQueries {
 
     // Document fingerprint (1-perm MinHash over 8-gram shingles).
     "fp_minhash1" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.minhashFingerprint(col("text"), 8).as("fp"))),
+      graft.operators.Repartition.forCompute(docs(s, dir))
+        .select(col("doc_id"),
+          TextFunctions.minhashFingerprint(col("text"), 8).as("fp"))),
 
     // Exact dedup: representative + count per distinct text.
     "dd_exact" -> ((s, dir) =>

@@ -69,6 +69,22 @@ class NativeExprsSpec extends AnyFunSuite {
     cmp.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("minhashSigTextNative == minhashSigNative(charShingles) incl. short and non-ASCII text") {
+    import graft.functions.TextFunctions
+    val texts = (0 until 120).map { i =>
+      val len = 1 + rnd.nextInt(60)
+      val base = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      // every third text gets multi-byte chars to exercise the fallback
+      (i.toLong, if (i % 3 == 0) base.replace('a', 'ä').replace('b', '‰') else base)
+    }
+    val df = texts.toDF("id", "text")
+    val cmp = df.select(
+      NativeExprs.minhashSigTextNative(col("text"), 8, 32).as("direct"),
+      NativeExprs.minhashSigNative(TextFunctions.charShingles(col("text"), 8), 32).as("viaShingles"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("simhashMd5Native matches a serial MessageDigest reimplementation") {
     def ref(tokens: Seq[String]): Long = {
       val counts = new Array[Int](64)
