@@ -30,7 +30,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Drop caches between queries: operators cache query-scoped frames
+      // (sigs, candidates) that a fresh cluster job wouldn't carry over;
+      // letting 57x2 of them pile up measures GC pressure, not plans.
+      spark.catalog.clearCache()
+      t
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap

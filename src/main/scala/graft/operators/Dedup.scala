@@ -93,7 +93,8 @@ object Dedup {
     // candidate ids BEFORE the shingle sets are computed — at 100 TB
     // the O(text) shingling runs on the (tiny) candidate set, not on
     // every document a second time.
-    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // no distinct: left_semi dedups the probe side by construction
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), charShingles(col(textCol), shingleK).as("shingles"))
     val sa = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
