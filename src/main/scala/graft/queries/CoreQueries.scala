@@ -133,6 +133,57 @@ object CoreQueries {
       s.createDataFrame(rows).toDF("d1", "d2", "d3", "prank")
     }),
 
+    // P7 whichproc_localindex: owning rank + 1-based local index of
+    // EVERY element, driver-side O(log np) — oracle recomputes both
+    // from the closed-form split law.
+    "ps_local_index" -> ((s, _) => {
+      val rows = for {
+        d3 <- 1L to 4L; d2 <- 4L to 6L; d1 <- 1L to 10L
+      } yield {
+        val (p, li) = graft.ParallelUtilities
+          .whichProcLocalIndex(fixA, IndexedSeq(d1.toDouble, d2.toDouble, d3.toDouble), 7).get
+        (d1, d2, d3, p, li)
+      }
+      s.createDataFrame(rows).toDF("d1", "d2", "d3", "prank", "lidx")
+    }),
+
+    // P8 procrange_recast: the rank window each np=5 slice occupies
+    // when the same product is recast over 7 and over 10 ranks.
+    "ps_recast" -> ((s, _) => {
+      val rows = (1 to 5).map { p =>
+        val sl = graft.plans.ProductIndexMath.productSplit(fixA, 5, p)
+        val (lo7, hi7) = graft.plans.ProductIndexMath.procRangeRecast(fixA, sl, 7).get
+        val (lo10, hi10) = graft.plans.ProductIndexMath.procRangeRecast(fixA, sl, 10).get
+        (p, lo7, hi7, lo10, hi10)
+      }
+      s.createDataFrame(rows).toDF("p", "lo7", "hi7", "lo10", "hi10")
+    }),
+
+    // P12 extrema_commonlastdim per rank (np=8): leading-dim extrema
+    // restricted to rows carrying the slice's min/max last-dim value.
+    "ps_extrema_lastdim" -> ((s, _) => {
+      val rows = (1 to 8).map { p =>
+        val sl = graft.plans.ProductIndexMath.productSplit(fixA, 8, p)
+        val Some((mins, maxs)) = sl.extremaCommonLastDim
+        (p, mins(0)._1.toLong, mins(1)._1.toLong, mins(0)._2.toLong,
+          maxs(0)._1.toLong, maxs(1)._1.toLong, maxs(0)._2.toLong)
+      }
+      s.createDataFrame(rows).toDF("prank", "min1", "min2", "lastmin",
+        "max1", "max2", "lastmax")
+    }),
+
+    // P13 dropleading: the distinct remaining (d2, d3) tuples covered by
+    // each np=7 slice — exact via contiguity, no scan.
+    "ps_dropleading" -> ((s, _) => {
+      val rows = for {
+        p <- 1 to 7
+        sl = graft.plans.ProductIndexMath.productSplit(fixA, 7, p)
+        if !sl.isEmpty
+        v <- sl.dropLeading.iterator
+      } yield (p, v(0).toLong, v(1).toLong)
+      s.createDataFrame(rows).toDF("prank", "d2", "d3")
+    }),
+
     // R7 merge: pmapreduce with Dict-union reduction
     // (/root/reference/test/paralleltests.jl:502-514).
     "pmr_merge_dicts" -> ((s, _) => {
@@ -240,6 +291,51 @@ object CoreQueries {
       """SELECT 1 + (id % 10) AS d1, 4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3,
         |       CAST(1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS INT) AS prank
         |FROM (SELECT range AS id FROM range(0, 120)) ORDER BY id""".stripMargin,
+
+    // np=7 over L=120: d=17, r=1, boundary=18; drop(p)=17(p-1)+min(1,p-1).
+    "ps_local_index" ->
+      """WITH r AS (
+        |  SELECT id, 1 + (id % 10) AS d1, 4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3,
+        |    CAST(1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS INT) AS prank
+        |  FROM (SELECT range AS id FROM range(0, 120)))
+        |SELECT d1, d2, d3, prank,
+        |  CAST(id - (17 * (prank - 1) + CASE WHEN prank > 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS lidx
+        |FROM r ORDER BY id""".stripMargin,
+
+    // np=5: d=24, r=0 -> slice p covers [24(p-1), 24p-1]; recast ranks
+    // via the closed-form law for np=7 (d=17, r=1) and np=10 (d=12, r=0).
+    "ps_recast" ->
+      """SELECT CAST(p AS INT) AS p,
+        |  CAST(1 + (CASE WHEN f < 18 THEN f // 18 ELSE 1 + (f - 18) // 17 END) AS INT) AS lo7,
+        |  CAST(1 + (CASE WHEN l < 18 THEN l // 18 ELSE 1 + (l - 18) // 17 END) AS INT) AS hi7,
+        |  CAST(1 + f // 12 AS INT) AS lo10,
+        |  CAST(1 + l // 12 AS INT) AS hi10
+        |FROM (SELECT p, 24 * (p - 1) AS f, 24 * p - 1 AS l
+        |      FROM (SELECT range AS p FROM range(1, 6)))
+        |ORDER BY p""".stripMargin,
+
+    // np=8: d=15, r=0 -> prank = 1 + id//15.
+    "ps_extrema_lastdim" ->
+      """WITH t AS (
+        |  SELECT 1 + (id % 10) AS d1, 4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3,
+        |    CAST(1 + id // 15 AS INT) AS prank
+        |  FROM (SELECT range AS id FROM range(0, 120))),
+        |m AS (SELECT prank, min(d3) AS lastmin, max(d3) AS lastmax FROM t GROUP BY 1)
+        |SELECT t.prank,
+        |  min(CASE WHEN d3 = lastmin THEN d1 END) AS min1,
+        |  min(CASE WHEN d3 = lastmin THEN d2 END) AS min2,
+        |  min(lastmin) AS lastmin,
+        |  max(CASE WHEN d3 = lastmax THEN d1 END) AS max1,
+        |  max(CASE WHEN d3 = lastmax THEN d2 END) AS max2,
+        |  min(lastmax) AS lastmax
+        |FROM t JOIN m ON t.prank = m.prank
+        |GROUP BY t.prank ORDER BY 1""".stripMargin,
+
+    "ps_dropleading" ->
+      """SELECT DISTINCT
+        |  CAST(1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS INT) AS prank,
+        |  4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3
+        |FROM (SELECT range AS id FROM range(0, 120)) ORDER BY 1, 3, 2""".stripMargin,
 
     "pmr_merge_dicts" ->
       """SELECT x AS k, x * x AS v FROM (SELECT range + 1 AS x FROM range(0, 200)) ORDER BY k""".stripMargin,
