@@ -184,6 +184,42 @@ object CoreQueries {
       s.createDataFrame(rows).toDF("prank", "d2", "d3")
     }),
 
+    // S6 halve: the work-stealing split law (floor-half left) on both
+    // product slices and zip windows, 1-based inclusive global bounds.
+    "ps_halve" -> ((s, _) => {
+      val prod = (1 to 5).flatMap { p =>
+        val sl = graft.plans.ProductIndexMath.productSplit(IndexedSeq(PRange(1L, 120L)), 5, p)
+        val (a, b) = sl.halve
+        Seq(("prod", p, 0, a.firstIndexGlobal, a.lastIndexGlobal),
+          ("prod", p, 1, b.firstIndexGlobal, b.lastIndexGlobal))
+      }
+      val zip = (1 to 4).flatMap { p =>
+        val (drop, take) = graft.plans.ProductIndexMath.dropTake(35L, 4, p)
+        val ((dl, tl), (dr, tr)) = graft.plans.ProductIndexMath.halveZip(drop, take)
+        Seq(("zip", p, 0, dl + 1, dl + tl), ("zip", p, 1, dr + 1, dr + tr))
+      }
+      s.createDataFrame(prod ++ zip).toDF("kind", "p", "side", "first1", "last1")
+    }),
+
+    // R5 BroadcastStack: per-rank OffsetArrays over OVERLAPPING global
+    // windows (rank's slice ±3) stacked with + along the axis union —
+    // emitted sparse as (index, value) so the oracle can recompute
+    // value(i) = i × #windows covering i.
+    "pmr_broadcast_stack" -> ((s, _) => {
+      val iters = IndexedSeq(PRange(1L, 120L))
+      val stacked = PMapReduce.pmapreduceProductSplit(s, iters, 6)(
+        sl => {
+          val lo = math.max(1L, sl.firstIndexGlobal - 3).toInt
+          val hi = math.min(120L, sl.lastIndexGlobal + 3).toInt
+          graft.functions.OffsetArrayND(IndexedSeq((lo, hi)),
+            Array.tabulate(hi - lo + 1)(k => (lo + k).toDouble))
+        },
+        graft.functions.BroadcastStack(_ + _, Set(1)))
+      val rows = (stacked.axes(0)._1 to stacked.axes(0)._2)
+        .map(i => (i.toLong, stacked(i)))
+      s.createDataFrame(rows).toDF("i", "v")
+    }),
+
     // R7 merge: pmapreduce with Dict-union reduction
     // (/root/reference/test/paralleltests.jl:502-514).
     "pmr_merge_dicts" -> ((s, _) => {
@@ -336,6 +372,34 @@ object CoreQueries {
         |  CAST(1 + (CASE WHEN id < 18 THEN id // 18 ELSE 1 + (id - 18) // 17 END) AS INT) AS prank,
         |  4 + ((id // 10) % 3) AS d2, 1 + ((id // 30) % 4) AS d3
         |FROM (SELECT range AS id FROM range(0, 120)) ORDER BY 1, 3, 2""".stripMargin,
+
+    // prod: np=5 over L=120 (d=24, r=0); zip: np=4 over L=35 (d=8, r=3).
+    "ps_halve" ->
+      """WITH u AS (
+        |  SELECT 'prod' AS kind, p, 24 * (p - 1) AS drp, 24 AS tk
+        |  FROM (SELECT range AS p FROM range(1, 6))
+        |  UNION ALL
+        |  SELECT 'zip', p, 8 * (p - 1) + least(3, p - 1),
+        |         8 + CASE WHEN p <= 3 THEN 1 ELSE 0 END
+        |  FROM (SELECT range AS p FROM range(1, 5)))
+        |SELECT kind, CAST(p AS INT) AS p, CAST(0 AS INT) AS side,
+        |  CAST(drp + 1 AS BIGINT) AS first1, CAST(drp + tk // 2 AS BIGINT) AS last1 FROM u
+        |UNION ALL
+        |SELECT kind, CAST(p AS INT), CAST(1 AS INT),
+        |  CAST(drp + tk // 2 + 1 AS BIGINT), CAST(drp + tk AS BIGINT) FROM u
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // np=6 over L=120 (d=20): rank p's 1-based window is
+    // [20(p-1)+1, 20p], extended ±3 and clipped to [1, 120].
+    "pmr_broadcast_stack" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(i * cnt AS DOUBLE) AS v
+        |FROM (
+        |  SELECT i, count(*) AS cnt
+        |  FROM (SELECT range AS i FROM range(1, 121)) t
+        |  JOIN (SELECT range AS p FROM range(1, 7)) r
+        |    ON i BETWEEN greatest(20 * (p - 1) + 1 - 3, 1) AND least(20 * p + 3, 120)
+        |  GROUP BY i)
+        |ORDER BY i""".stripMargin,
 
     "pmr_merge_dicts" ->
       """SELECT x AS k, x * x AS v FROM (SELECT range + 1 AS x FROM range(0, 200)) ORDER BY k""".stripMargin,
