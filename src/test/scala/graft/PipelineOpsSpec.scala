@@ -136,6 +136,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.length == 4)
   }
 
+  test("multi-table hyperplane LSH: precision 1.0, recall beats single table on clustered vectors") {
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
+    val vecs = (0L until 120L).map { i =>
+      val c = centers((i % 6).toInt)
+      (i, c.map(x => x + rnd.nextDouble() * 0.08))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty)
+    def found(tables: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupPairsLsh(df, "vec_id", "embedding",
+        threshold = 0.9, tables = tables, bits = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = found(1)
+    val four = found(4)
+    // exact verification keeps precision at 1.0 regardless of blocking
+    assert(one.subsetOf(truth) && four.subsetOf(truth))
+    // OR-of-tables can only add candidates; on clusters it must help
+    assert(one.subsetOf(four))
+    assert(four.size >= one.size)
+    assert(four.size.toDouble / truth.size >= 0.5,
+      s"4-table recall too low: ${four.size}/${truth.size}")
+    // the bucket-size cap only ever removes pairs
+    val capped = Dedup.embeddingNearDupPairsLsh(df, "vec_id", "embedding",
+      threshold = 0.9, tables = 4, bits = 4, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(four))
+  }
+
   test("asof backward join matches serial oracle incl. equal-ts and no-match rows") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 20L, 99L))
       .toDF("eid", "k", "ts")
