@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.NativeExprs.{DotProductExpr, MinHashSigExpr, SimHash64Expr}
+import graft.functions.NativeExprs.{DotProductExpr, HyperplaneBucketLcgExpr, JaccardExpr, MinHashSigExpr, MinHashSigTextExpr, SimHash64Expr, SimHashMd5Expr, WinnowMd5Expr}
 
 /** SparkSessionExtensions installer: exposes the engine's native
   * Catalyst expressions to SQL users. Load with
@@ -20,6 +20,13 @@ import graft.functions.NativeExprs.{DotProductExpr, MinHashSigExpr, SimHash64Exp
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def intLit(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Optimizer: prune id-bound filters into Range scans (product
     // section/point lookups on 10^16-element products become O(window)).
@@ -30,13 +37,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_minhash_sig(array<string>, numHashes)")
-        val n = args(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"numHashes must be an integer literal, got $other")
-        }
-        MinHashSigExpr(args.head, n)
+        MinHashSigExpr(args.head, intLit(args(1), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig_text"),
+      new ExpressionInfo(classOf[MinHashSigTextExpr].getName, "graft_minhash_sig_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_minhash_sig_text(text, k, numHashes)")
+        MinHashSigTextExpr(args.head, intLit(args(1), "k"), intLit(args(2), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5Expr].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash_md5(array<string>)")
+        SimHashMd5Expr(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketLcgExpr].getName, "graft_hyperplane_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_hyperplane_bucket(array<double>, bits, seed)")
+        HyperplaneBucketLcgExpr(args.head, intLit(args(1), "bits"), intLit(args(2), "seed").toLong)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_md5"),
+      new ExpressionInfo(classOf[WinnowMd5Expr].getName, "graft_winnow_md5"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow_md5(text, k, w)")
+        WinnowMd5Expr(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardExpr].getName, "graft_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaccard(array<string>, array<string>)")
+        JaccardExpr(args(0), args(1))
       }))
 
     ext.injectFunction((

@@ -67,4 +67,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
         array(lit("ab"), lit("cd")))).collect().head.getLong(0)
     assert(viaColumn == r.getLong(1))
   }
+
+  test("round-2 SQL functions equal their Column-API forms") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.NativeExprs
+    val r = spark.sql(
+      """SELECT graft_minhash_sig_text('abcdefghij', 8, 4) AS sig,
+        |       graft_simhash_md5(array('ab','cd')) AS sh,
+        |       graft_hyperplane_bucket(array(0.5d, -0.25d, 1.0d), 4, 42) AS bkt,
+        |       graft_winnow_md5('abcdefghijklmno', 8, 4) AS fp,
+        |       graft_jaccard(array('a','b','c'), array('b','c','d')) AS j""".stripMargin)
+      .collect().head
+    val via = spark.range(1).select(
+      NativeExprs.minhashSigTextNative(lit("abcdefghij"), 8, 4).as("sig"),
+      NativeExprs.simhashMd5Native(array(lit("ab"), lit("cd"))).as("sh"),
+      NativeExprs.hyperplaneBucketLcgNative(array(lit(0.5d), lit(-0.25d), lit(1.0d)), 4, 42L).as("bkt"),
+      NativeExprs.winnowMd5Native(lit("abcdefghijklmno"), 8, 4).as("fp"),
+      NativeExprs.jaccardNative(array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j"))
+      .collect().head
+    assert(r.getSeq[Long](0) == via.getSeq[Long](0))
+    assert(r.getLong(1) == via.getLong(1))
+    assert(r.getLong(2) == via.getLong(2))
+    assert(r.getSeq[org.apache.spark.sql.Row](3) == via.getSeq[org.apache.spark.sql.Row](3))
+    assert(r.getDouble(4) == 0.5 && via.getDouble(4) == 0.5)
+  }
 }
