@@ -239,6 +239,17 @@ object RelationalQueries {
       both.unionByName(noOrders).groupBy("tag").agg(count(lit(1)).as("n"), min("k").as("min_k"))
     }),
 
+    // Skew-mitigated aggregation: two-phase salted count/sum over the
+    // (hot-keyed) returnflag column — result must equal the plain
+    // group-by, which is exactly what the oracle computes.
+    "q_skew_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), dec("l_quantity").as("q")),
+        Seq("l_returnflag"), "q", salts = 16)
+        .select(col("l_returnflag"), col("n"),
+          col("sum").cast("long").as("sum_qty"))),
+
     // The streaming windowedCounts transform run in batch mode — same
     // code path the stream uses (graft.streaming.EventStreams).
     "q_windowed_counts" -> ((s, dir) =>
@@ -395,6 +406,11 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT k, 'no_orders' AS tag FROM (SELECT k FROM building EXCEPT SELECT k FROM orderers))
         |SELECT tag, count(*) AS n, min(k) AS min_k FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_windowed_counts" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start, event_type,

@@ -1,9 +1,14 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.{PRange, ProductIndexMath, ProductSlice}
+
+/** Typed row of the product-split source: global flat index, owning
+  * rank under the split law, and the decoded element values (dimension
+  * 1 first — reverse-lex order ≙ ascending `id`). */
+final case class ProductRow(id: Long, rank: Int, dims: Seq[Double])
 
 /** Spark sources for partitioned Cartesian products — the distributed
   * face of the reference's `ProductSplit`/`ProductSection`/`zip`
@@ -110,6 +115,18 @@ object ProductSplitSource {
     }
     base.select(col("id") +: cols: _*)
       .withColumn("rank", rankColumn(len, np, col("id")))
+  }
+
+  /** Typed face of [[productDF]]: a `Dataset[ProductRow]` for
+    * type-safe transforms (`ds.map`, `ds.filter` on case-class fields)
+    * where schema-dynamic Column code isn't the right fit. Same plan
+    * underneath — range scan + codegen'd decode, zero shuffle. */
+  def productDS(spark: SparkSession, iters: IndexedSeq[PRange], np: Int): Dataset[ProductRow] = {
+    import spark.implicits._
+    productDF(spark, iters, np)
+      .select(col("id"), col("rank").cast("int").as("rank"),
+        array(iters.indices.map(k => col(s"d${k + 1}").cast("double")): _*).as("dims"))
+      .as[ProductRow]
   }
 
   /** One partition per rank, each holding `(rank, slice)` — the exact

@@ -216,6 +216,22 @@ class PMapReduceSpec extends AnyFunSuite {
     }
   }
 
+  test("typed productDS matches driver-side math and supports typed transforms") {
+    import graft.sources.ProductSplitSource
+    val iters = IndexedSeq(PRange(1L, 4L), PRange(2L, 3L))
+    val ds = ProductSplitSource.productDS(spark, iters, 3)
+    val rows = ds.collect().sortBy(_.id)
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.dims == graft.plans.ProductIndexMath.elementAt(iters, r.id))
+      assert(r.rank == graft.plans.ProductIndexMath.rankOfIndex(8, 3, r.id))
+    }
+    // typed map over case-class fields
+    import spark.implicits._
+    val sums = ds.map(r => r.dims.sum).collect().sorted
+    assert(sums.head == 3.0 && sums.last == 7.0)
+  }
+
   test("productDF decode matches driver-side math; rank column matches split law") {
     import org.apache.spark.sql.functions.col
     val iters = IndexedSeq(PRange(1, 5), PRange(2, 4), PRange(1, 3))
