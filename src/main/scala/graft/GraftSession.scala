@@ -31,9 +31,11 @@ object GraftSession {
     names.foreach { n =>
       spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
+    // integral `div`, not `/`: double division corrupts ns-scale longs
+    // (see RelationalQueries.t).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .createOrReplaceTempView("events")
   }
 }

@@ -149,12 +149,27 @@ object PMapReduce {
 
   /** E1 (product mode): elements of the full product split across ranks,
     * each splatted into `f` (`pmapreduce(f, op, product(...))`,
-    * /root/reference/src/mapreduce.jl:18-30,266-287). */
+    * /root/reference/src/mapreduce.jl:18-30,266-287). The mixed-radix
+    * decode runs inline into one primitive array per element (the
+    * general `elementAt` builds two IndexedSeqs per call — too much
+    * garbage for a loop that may run 10^8+ times). */
   def pmapreduceProduct[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
                                     (f: IndexedSeq[Double] => B, op: ReduceOp[B],
                                      init: Option[B] = None): B = {
     val len = ProductIndexMath.totalLength(iters)
-    mapReduceIndexed(spark, len, np, j => f(ProductIndexMath.elementAt(iters, j)), op, init)
+    val rs = iters.toArray
+    mapReduceIndexed(spark, len, np, { j =>
+      val arr = new Array[Double](rs.length)
+      var rem = j
+      var k = 0
+      while (k < rs.length) {
+        val n = rs(k).numElems
+        arr(k) = rs(k)(rem % n)
+        rem /= n
+        k += 1
+      }
+      f(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }, op, init)
   }
 
   private def mapReduceIndexed[B: ClassTag](spark: SparkSession, len: Long, np: Int,

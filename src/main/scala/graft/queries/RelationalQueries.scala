@@ -27,10 +27,13 @@ object RelationalQueries {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
     // default; read it as long nanos and convert (values are µs-aligned,
     // so the truncation is lossless and matches DuckDB's TIMESTAMP_NS).
+    // `ts div 1000`, NOT `/`: Column `/` is double division, and ns
+    // values (~1.7e18) exceed double's 53-bit mantissa — the round-trip
+    // is off by up to 1 µs (caught by the q_session_stats gate).
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -256,6 +259,18 @@ object RelationalQueries {
       graft.streaming.EventStreams.windowedCounts(t(s, dir, "events"), "1 hour", "30 minutes")
         .withColumn("w_start", unix_timestamp(col("w_start")))),
 
+    // The streaming sessionizer's batch face (same session definition
+    // the flatMapGroupsWithState path emits): per-session start/end/count.
+    // Float value sums are excluded — their order isn't cross-engine
+    // deterministic; the decimal-summed variants live in q_sessionize
+    // and q_windowed_counts.
+    "q_session_stats" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(t(s, dir, "events"))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))),
+
     // Sessionization: 30-minute-gap sessions per user (lag + running sum).
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -417,6 +432,22 @@ object RelationalQueries {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (

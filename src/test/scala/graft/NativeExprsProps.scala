@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.NativeExprs
+
+/** ScalaCheck laws for the native expressions — the reference's testing
+  * contract upgraded from bounded sweeps to properties (SURVEY §5). */
+object NativeExprsProps extends Properties("NativeExprs") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("native-exprs-props")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+  private val tokensGen: Gen[List[String]] = Gen.nonEmptyListOf(token).map(_.take(30))
+  private val vecGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-5.0, 5.0)).map(_.take(24))
+
+  private def evalSimhash(tokens: Seq[String]): Long =
+    spark.range(1).select(NativeExprs.simhashMd5Native(
+      array(tokens.map(lit): _*))).collect().head.getLong(0)
+
+  property("simhashMd5 is invariant under token order (multiset semantics)") =
+    forAll(tokensGen) { toks =>
+      evalSimhash(toks) == evalSimhash(scala.util.Random.shuffle(toks))
+    }
+
+  property("jaccard is symmetric, bounded in [0,1], and 1 on self") =
+    forAll(tokensGen, tokensGen) { (a, b) =>
+      val row = spark.range(1).select(
+        NativeExprs.jaccardNative(array(a.map(lit): _*), array(b.map(lit): _*)).as("ab"),
+        NativeExprs.jaccardNative(array(b.map(lit): _*), array(a.map(lit): _*)).as("ba"),
+        NativeExprs.jaccardNative(array(a.map(lit): _*), array(a.map(lit): _*)).as("aa"))
+        .collect().head
+      val (ab, ba, aa) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      ab == ba && ab >= 0.0 && ab <= 1.0 && aa == 1.0
+    }
+
+  property("hyperplane bucket is invariant under positive scaling, bounded by bits") =
+    forAll(vecGen, Gen.chooseNum(0.1, 10.0)) { (v, scale) =>
+      val row = spark.range(1).select(
+        NativeExprs.hyperplaneBucketLcgNative(array(v.map(lit): _*), 5, 42L).as("b"),
+        NativeExprs.hyperplaneBucketLcgNative(array(v.map(x => lit(x * scale)): _*), 5, 42L).as("bs"))
+        .collect().head
+      val (b, bs) = (row.getLong(0), row.getLong(1))
+      b == bs && b >= 0 && b < 32
+    }
+
+  property("winnow selects the rightmost min of EVERY window; positions strictly increase") =
+    forAll(Gen.chooseNum(1, 60), Gen.long) { (len, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val text = Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString // ties likely
+      val sel = spark.range(1).select(NativeExprs.winnowMd5Native(lit(text), 8, 4))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(g => (g.getInt(0), g.getString(1)))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val m = math.max(1, text.length - 7)
+      val hs = (0 until m).map { i =>
+        md.reset()
+        md.digest(text.substring(i, math.min(i + 8, text.length)).getBytes("UTF-8"))
+          .map(x => f"${x & 0xff}%02x").mkString
+      }
+      val positions = sel.map(_._1)
+      val coverOk = (0 until math.max(1, m - 3)).forall { s =>
+        val e = math.min(s + 4, m)
+        val mn = (s until e).map(hs).min
+        positions.contains((s until e).filter(j => hs(j) == mn).max)
+      }
+      coverOk &&
+        positions == positions.sorted && positions.distinct == positions &&
+        sel.forall { case (p, h) => hs(p) == h }
+    }
+}
