@@ -72,6 +72,24 @@ object ParallelUtilities {
                                           init: Option[B] = None): B =
     PMapReduce.pmapreduceProductSplit(spark, iters, np)(f, op, init)
 
+  /** `SplittablesBase.halve` on a product slice
+    * (/root/reference/src/productsplit.jl:221-233). */
+  def halve(slice: ProductSlice): (ProductSlice, ProductSlice) = slice.halve
+
+  /** `SplittablesBase.halve` on a zip window `(drop, take)`
+    * (/root/reference/src/mapreduce.jl:64-67). */
+  def halveZip(drop: Long, take: Long): ((Long, Long), (Long, Long)) =
+    ProductIndexMath.halveZip(drop, take)
+
+  /** T2 host-segmented two-stage reduction: reduce within each node
+    * before anything crosses the network
+    * (/root/reference/src/trees.jl:42-63). Commutative ops only. */
+  def pmapreduceSegmented[B: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
+                                      (f: IndexedSeq[Double] => B, op: ReduceOp[B],
+                                       init: Option[B] = None,
+                                       segments: Option[Int] = None): B =
+    PMapReduce.pmapreduceSegmented(spark, iters, np)(f, op, init, segments)
+
   /** `pmapbatch` (/root/reference/src/mapreduce.jl:316-324). */
   def pmapbatch[T: ClassTag](spark: SparkSession, iters: IndexedSeq[PRange], np: Int)
                             (f: IndexedSeq[Double] => T): Vector[T] =
@@ -108,4 +126,10 @@ object ParallelUtilities {
   def zippedDF(spark: SparkSession, iters: IndexedSeq[PRange], np: Int,
                names: Seq[String] = Nil): DataFrame =
     ProductSplitSource.zippedDF(spark, iters, np, names)
+
+  /** Typed face of [[productDF]]: `Dataset[ProductRow]` for type-safe
+    * transforms (same range+decode plan, zero shuffle). */
+  def productDS(spark: SparkSession, iters: IndexedSeq[PRange],
+                np: Int): org.apache.spark.sql.Dataset[graft.sources.ProductRow] =
+    ProductSplitSource.productDS(spark, iters, np)
 }

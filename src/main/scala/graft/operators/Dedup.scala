@@ -108,14 +108,26 @@ object Dedup {
   /** Exact n-gram (token-set) Jaccard pairs, blocked on a cheap
     * fingerprint (1-perm MinHash) so the join is an equijoin, not a
     * cross join. Finds pairs sharing their minimum shingle — a
-    * high-recall blocking key for strong near-dups. */
+    * high-recall blocking key for strong near-dups.
+    *
+    * @param maxBlockSize drop fingerprint blocks larger than this
+    *   before pairing (quadratic within a block — a boilerplate
+    *   min-shingle shared by 10^6 docs must not generate 10^12 pairs).
+    *   Unlimited by default; set it in production sweeps. */
   def fingerprintJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                              shingleK: Int = 8): DataFrame = {
+                              shingleK: Int = 8,
+                              maxBlockSize: Int = Int.MaxValue): DataFrame = {
     // cached: both join sides derive from it, and the md5-per-shingle
     // fingerprint is the expensive part.
-    val f = Repartition.forCompute(df)
+    val f0 = Repartition.forCompute(df)
       .select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
         tokenSet(col(textCol)).as("toks")).cache()
+    val f =
+      if (maxBlockSize == Int.MaxValue) f0
+      else f0.join(
+        f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= maxBlockSize).select("fp"),
+        Seq("fp"), "left_semi")
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("toks").as("toks_a"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("toks").as("toks_b"))
     a.join(b, "fp")

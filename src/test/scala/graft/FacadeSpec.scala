@@ -59,4 +59,16 @@ class FacadeSpec extends AnyFunSuite {
     assert(zippedDF(spark, IndexedSeq(range(1, 10), steppedRange(2, 2, 20)), 2).count() == 10)
     assert(sectionDF(spark, IndexedSeq(range(1, 3), range(4, 6)), 5, 8).count() == 4)
   }
+
+  test("halve / halveZip / segmented reduce / typed DS facade") {
+    val sl = productSplit(IndexedSeq(range(1, 5), range(2, 4)), 2, 1)
+    val (a, b) = halve(sl)
+    assert(a.length == sl.length / 2 && a.length + b.length == sl.length)
+    assert(halveZip(10, 7) == ((10L, 3L), (13L, 4L)))
+    val total = pmapreduceSegmented(spark, IndexedSeq(range(1, 100)), 8)(
+      t => t(0).toLong, commutative[Long](_ + _), segments = Some(3))
+    assert(total == 5050L)
+    val ds = productDS(spark, IndexedSeq(range(1, 3), range(1, 2)), 2)
+    assert(ds.collect().map(_.dims.sum).sum == 21.0)
+  }
 }
