@@ -78,21 +78,27 @@ object Multimodal {
   }
 
   /** Feature extraction stub: fixed-size float vector per media row
-    * (stands in for an embedding model; deterministic from bytes). */
+    * (stands in for an embedding model; deterministic from bytes).
+    * Component d derives from md5(content ++ ":d") so an ANSI SQL
+    * oracle can recompute the exact grid value
+    * (first 16 digest bits mod 2000, centered, /1000). */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val rdd = Repartition.forCompute(media.select("media_id", "content")).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val id = row.getLong(0)
           val bytes = row.getAs[Array[Byte]](1)
           val feats = Array.tabulate(dim) { d =>
-            var h = 0x9E3779B97F4A7C15L * (d + 1)
-            var i = 0
-            while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xFF); i += 1 }
-            ((math.floorMod(h, 2000L) - 1000L).toFloat) / 1000.0f
+            md.reset()
+            md.update(bytes)
+            md.update(s":$d".getBytes("UTF-8"))
+            val dig = md.digest()
+            val v = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+            ((v % 2000) - 1000).toFloat / 1000.0f
           }
           Row(id, feats.toSeq)
         }

@@ -176,6 +176,27 @@ object PipelineQueries {
         round(element_at(col("c"), 4), 6).as("c4"))
     }),
 
+    // Multimodal feature extraction: per-media float vector from the
+    // batched stub extractor, emitted as integer grid values so the
+    // float/double seam can't blur the hash compare.
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
+      val feats = Multimodal.extractFeatures(media, dim = 8)
+      feats.select(col("media_id") +:
+        (0 until 8).map(d =>
+          round(element_at(col("features"), d + 1) * 1000).cast("int").as(s"f$d")): _*)
+    }),
+
+    // Multimodal frame sampling: every stride-th fixed-size chunk of
+    // the payload becomes a frame row; per-media frame count and bytes.
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("frame_bytes"))
+    }),
+
     // Multimodal plumbing: binary payload → stub decode → aggregate.
     "mm_decode_stats" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
@@ -457,6 +478,56 @@ object PipelineQueries {
         |SELECT doc_id, CAST(u.p AS INT) AS pos, hs[CAST(u.p AS INT) + 1] AS gh
         |FROM sel, unnest(ps) AS u(p)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // feature stub oracle: component d = (first 16 bits of
+    // md5(text || ':' || d)) % 2000 - 1000 (the engine divides by 1000
+    // into a float; the gate multiplies back to the integer grid).
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 0), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 0), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 0), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 0), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f0,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 1), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 1), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 1), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 1), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f1,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 2), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 2), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 2), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 2), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f2,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 3), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 3), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 3), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 3), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f3,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 4), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 4), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 4), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 4), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f4,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 5), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 5), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 5), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 5), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f5,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 6), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 6), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 6), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 6), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f6,
+        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 7), 1, 1)) - 1) * 4096
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 7), 2, 1)) - 1) * 256
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 7), 3, 1)) - 1) * 16
+        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 7), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f7
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    // frame-sampling oracle: pure arithmetic over the byte length —
+    // m = len div 64 full frames, every 4th kept; short payloads yield
+    // one whole-payload frame.
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN strlen(text) < 64 THEN 1
+        |       ELSE ((strlen(text) // 64 - 1) // 4) + 1 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN strlen(text) < 64 THEN strlen(text)
+        |       ELSE (((strlen(text) // 64 - 1) // 4) + 1) * 64 END AS BIGINT) AS frame_bytes
+        |FROM documents ORDER BY 1""".stripMargin,
 
     // decode stub oracle: width/height/mean_px derive from md5(text)
     // bytes; hex digits are parsed with instr arithmetic.
