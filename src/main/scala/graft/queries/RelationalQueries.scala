@@ -242,6 +242,22 @@ object RelationalQueries {
       both.unionByName(noOrders).groupBy("tag").agg(count(lit(1)).as("n"), min("k").as("min_k"))
     }),
 
+    // S7 sink path end-to-end: write both join sides as bucketed
+    // managed tables (bucket = join key, pre-paying the shuffle of
+    // every future equi-join), read back, join Exchange-free
+    // (BucketingSpec pins the plan shape), aggregate.
+    "q_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), dec("l_extendedprice").as("price"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.sources.Sinks.writeBucketed(li, "g_li_bkt", 8, Seq("l_orderkey"))
+      graft.sources.Sinks.writeBucketed(ord, "g_ord_bkt", 8, Seq("o_orderkey"))
+      s.table("g_li_bkt")
+        .join(s.table("g_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    }),
+
     // Skew-mitigated aggregation: two-phase salted count/sum over the
     // (hot-keyed) returnflag column — result must equal the plain
     // group-by, which is exactly what the oracle computes.
@@ -421,6 +437,12 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT k, 'no_orders' AS tag FROM (SELECT k FROM building EXCEPT SELECT k FROM orderers))
         |SELECT tag, count(*) AS n, min(k) AS min_k FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted" ->
       """SELECT l_returnflag, count(*) AS n,
