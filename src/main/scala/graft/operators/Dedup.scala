@@ -169,6 +169,27 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark-contamination check: corpus documents sharing at least
+    * `minOverlap` distinct k-gram shingles with any probe document
+    * (the standard "is this eval set leaking into the training data"
+    * sweep). The probe set is small and broadcast; the corpus side
+    * streams through an equijoin on the shingle value — one shuffle-free
+    * broadcast join however large the corpus, never all-pairs. */
+  def contaminationPairs(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleK: Int = 8, minOverlap: Int = 10): DataFrame = {
+    val c = Repartition.forCompute(corpus)
+      .select(col(idCol).as("c_id"), explode(charShingles(col(textCol), shingleK)).as("sh"))
+    val p = probes
+      .select(col(idCol).as("p_id"), explode(charShingles(col(textCol), shingleK)).as("sh"))
+    // both sides explode DISTINCT shingles, so one joined row per
+    // shared shingle — count(*) IS the overlap
+    c.join(broadcast(p), "sh")
+      .groupBy("c_id", "p_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold. `blockCol` provides
     * the blocking key (e.g. an LSH bucket from
     * [[Similarity.hyperplaneBucket]] or a coarse label) — the join is an

@@ -88,6 +88,16 @@ object PipelineQueries {
     "dd_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // Contamination sweep: corpus docs sharing >= 10 distinct 8-gram
+    // shingles with any of the first 5 docs (standing in for an eval
+    // probe set).
+    "dd_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairs(
+        d.where(col("doc_id") >= 5), d.where(col("doc_id") < 5),
+        "doc_id", "text", shingleK = 8, minOverlap = 10)
+    }),
+
     // Fingerprint-blocked exact token-Jaccard near-dup pairs.
     "dd_fp_jaccard" -> ((s, dir) =>
       Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8)),
@@ -283,6 +293,18 @@ object PipelineQueries {
     "dd_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
         |FROM documents GROUP BY text ORDER BY h""".stripMargin,
+
+    "dd_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                 i -> substr(text, i, 8))) AS s
+        |  FROM documents)
+        |SELECT c.doc_id AS c_id, p.doc_id AS p_id,
+        |  CAST(len(list_intersect(c.s, p.s)) AS BIGINT) AS n_shared
+        |FROM sh c JOIN sh p ON p.doc_id < 5 AND c.doc_id >= 5
+        |WHERE len(list_intersect(c.s, p.s)) >= 10
+        |ORDER BY 1, 2""".stripMargin,
 
     "dd_fp_jaccard" ->
       """WITH f AS (

@@ -77,8 +77,11 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val factTables = Seq("customer", "orders", "lineitem", "supplier", "part",
       "events", "documents", "embeddings")
+    // exceptions: knn broadcasts a bounded query set (≤10 rows);
+    // contamination broadcasts a bounded probe/eval set (5 docs)
+    val boundedBroadcasts = Set("knn_cosine", "knn_ann", "dd_contamination")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if !name.startsWith("knn_")) { // knn broadcasts a bounded query set (k≤10 rows)
+         if !boundedBroadcasts.contains(name)) {
       val hints = try {
         fn(spark, dir).queryExecution.analyzed.collect { case h: ResolvedHint => h }
       } catch { case _: Throwable => Nil } // streaming-only entries etc.
