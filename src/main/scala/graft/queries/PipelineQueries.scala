@@ -186,6 +186,26 @@ object PipelineQueries {
         round(element_at(col("c"), 4), 6).as("c4"))
     }),
 
+    // Int8 embedding quantization: per-vector scale + quantized values
+    // + cosine between original and reconstruction (rounding is
+    // floor(x+0.5) in both engines, so every output is deterministic).
+    "emb_quantize" -> ((s, dir) => {
+      val q = embs(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("qz", graft.functions.VectorOps.int8Quantize(col("v")))
+        .withColumn("dq", graft.functions.VectorOps.int8Dequantize(col("qz")))
+      import graft.functions.NativeExprs.dotNative
+      q.select(col("vec_id"),
+        round(col("qz.scale"), 9).as("scale"),
+        element_at(col("qz.q"), 1).as("q1"),
+        element_at(col("qz.q"), 2).as("q2"),
+        element_at(col("qz.q"), 3).as("q3"),
+        element_at(col("qz.q"), 4).as("q4"),
+        round(dotNative(col("v"), col("dq"))
+          / (sqrt(dotNative(col("v"), col("v"))) * sqrt(dotNative(col("dq"), col("dq")))), 4)
+          .as("recon_cos"))
+    }),
+
     // Multimodal feature extraction: per-media float vector from the
     // batched stub extractor, emitted as integer grid values so the
     // float/double seam can't blur the hash compare.
@@ -500,6 +520,28 @@ object PipelineQueries {
         |SELECT doc_id, CAST(u.p AS INT) AS pos, hs[CAST(u.p AS INT) + 1] AS gh
         |FROM sel, unnest(ps) AS u(p)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+        |  FROM v),
+        |d AS (
+        |  SELECT vec_id, v, scale, qv,
+        |    list_transform(qv, x -> x * scale) AS dq
+        |  FROM q)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
+        |  round(list_sum(list_transform(range(1, len(v) + 1),
+        |        i -> v[CAST(i AS INT)] * dq[CAST(i AS INT)]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(dq, x -> x * x)))), 4) AS recon_cos
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // feature stub oracle: component d = (first 16 bits of
     // md5(text || ':' || d)) % 2000 - 1000 (the engine divides by 1000

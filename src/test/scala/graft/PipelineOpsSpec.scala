@@ -272,6 +272,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == isolated ++ comps.map(_.min))
   }
 
+  test("int8 quantization: roundtrip error bounded by scale/2, cosine preserved on real vectors") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(24)(rnd.nextDouble() * 8 - 4)))
+    val df = vecs.toDF("id", "v")
+    val rows = df.select(col("id"),
+      col("v"),
+      VectorOps.int8Dequantize(VectorOps.int8Quantize(col("v"))).as("dq"),
+      VectorOps.int8Quantize(col("v")).getField("scale").as("scale"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val dq = r.getSeq[Double](2)
+      val scale = r.getDouble(3)
+      v.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-12, s"err ${math.abs(a - b)} > ${scale / 2}")
+      }
+      // cosine between original and reconstruction stays near 1
+      val dot = v.zip(dq).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(dq.map(x => x * x).sum))
+      assert(cos > 0.999, s"cos=$cos")
+    }
+  }
+
   test("VectorSum/VectorMean aggregators match serial oracle across groupings") {
     import graft.functions.VectorAgg
     val rnd = new scala.util.Random(17)
