@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data mixing for training pipelines.
+  *
+  * Decisions derive from the MD5 of the KEY, not an RNG: the same row
+  * gets the same decision in every run, on every engine, under every
+  * partitioning — so samples are reproducible, join-stable (sample two
+  * tables by the same key and the join survives), and monotone (a
+  * higher rate's sample is a superset of a lower rate's, because the
+  * decision is `bucket < threshold` on the same bucket). The sampling
+  * bucket is the first 16 md5 bits mod 1000 — per-mille rate
+  * granularity, exactly reproducible in ANSI SQL. */
+object Sampling {
+
+  /** Per-mille sampling bucket (0..999) of a key column. */
+  def hashBucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 1000)
+
+  /** Keep rows whose key bucket falls under `rate` (rounded to whole
+    * per-mille). */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    df.where(hashBucket(col(keyCol)) < lit(math.round(rate * 1000).toInt))
+  }
+
+  /** Data mixing: per-stratum sampling rates (e.g. downweight one
+    * language or source), `defaultRate` for unlisted strata. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 1000).toInt)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(math.round(rate * 1000).toInt)).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol)) < threshold)
+  }
+}

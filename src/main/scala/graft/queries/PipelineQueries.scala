@@ -186,6 +186,15 @@ object PipelineQueries {
         round(element_at(col("c"), 4), 6).as("c4"))
     }),
 
+    // Data mixing: deterministic per-language sampling rates over a
+    // hash-of-key bucket — reproducible across engines, so the oracle
+    // recomputes the exact surviving set.
+    "q_mix_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.2), defaultRate = 1.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
     // Int8 embedding quantization: per-vector scale + quantized values
     // + cosine between original and reconstruction (rounding is
     // floor(x+0.5) in both engines, so every output is deterministic).
@@ -520,6 +529,19 @@ object PipelineQueries {
         |SELECT doc_id, CAST(u.p AS INT) AS pos, hs[CAST(u.p AS INT) + 1] AS gh
         |FROM sel, unnest(ps) AS u(p)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_mix_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    +(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    +(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    +(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS h
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s
+        |WHERE h < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'fr' THEN 200 ELSE 1000 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "emb_quantize" ->
       """WITH v AS (

@@ -272,6 +272,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == isolated ++ comps.map(_.min))
   }
 
+  test("hash sampling: deterministic, monotone in rate, stratified rates hold approximately") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 5000).select(col("id"),
+      (col("id") % 3).cast("string").as("stratum"))
+    def ids(rate: Double): Set[Long] =
+      Sampling.hashSample(df, "id", rate).select("id").collect().map(_.getLong(0)).toSet
+    val s30 = ids(0.3)
+    val s70 = ids(0.7)
+    // deterministic and monotone: lower rate is a subset of higher
+    assert(ids(0.3) == s30)
+    assert(s30.subsetOf(s70))
+    assert(ids(0.0).isEmpty && ids(1.0).size == 5000)
+    // rate approximately honored (hash uniformity)
+    assert(math.abs(s30.size / 5000.0 - 0.3) < 0.03, s"${s30.size}")
+    // stratified: per-stratum fractions track their rates
+    val strat = Sampling.stratifiedHashSample(df, "id", "stratum",
+      Map("0" -> 0.9, "1" -> 0.1), defaultRate = 0.5)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(strat("0") / 1667.0 - 0.9) < 0.05)
+    assert(math.abs(strat("1") / 1667.0 - 0.1) < 0.05)
+    assert(math.abs(strat("2") / 1666.0 - 0.5) < 0.05)
+  }
+
   test("int8 quantization: roundtrip error bounded by scale/2, cosine preserved on real vectors") {
     import graft.functions.VectorOps
     val rnd = new scala.util.Random(41)
