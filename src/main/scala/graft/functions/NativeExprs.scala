@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -79,10 +79,10 @@ object NativeExprs {
     * Texts shorter than k hash one (short) window — charShingles
     * parity. */
   case class MinHashSigTextExpr(child: Expression, k: Int, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val mins = Array.fill(numHashes)(Long.MaxValue)
       @inline def update(base: Long): Unit = {
         var j = 0
@@ -110,6 +110,12 @@ object NativeExprs {
         }
       }
       new GenericArrayData(mins)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSigTextExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(newChild: Expression): MinHashSigTextExpr =
       copy(child = newChild)
@@ -145,9 +151,15 @@ object NativeExprs {
 
   /** Sequential-order dot product of two array<double> columns (same
     * left-to-right summation as `aggregate(zip_with(...))` and DuckDB's
-    * list_sum, so cross-engine doubles stay bit-identical). */
+    * list_sum, so cross-engine doubles stay bit-identical).
+    *
+    * Real `doGenCode` (no CodegenFallback): the loop is inlined into
+    * the whole-stage-generated Java — no per-row InternalRow
+    * materialization, no interpreted dispatch — per the Spark-first
+    * contract ("a native Catalyst Expression WITH doGenCode beats a
+    * Scala UDF"). */
   case class DotProductExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -158,6 +170,20 @@ object NativeExprs {
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
       copy(left = newLeft, right = newRight)
   }
@@ -225,10 +251,10 @@ object NativeExprs {
     * form = bit 3-(b mod 4) of hex digit b/4). The result packs bit b
     * at position 63-b (big-endian byte order). */
   case class SimHashMd5Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(arr: ArrayData): Long = {
       val counts = new Array[Int](64)
       val n = arr.numElements()
       var i = 0
@@ -246,6 +272,12 @@ object NativeExprs {
       while (b < 64) { if (counts(b) > 0) out |= (1L << (63 - b)); b += 1 }
       out
     }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashMd5Expr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
     override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
       copy(child = newChild)
   }
@@ -259,7 +291,7 @@ object NativeExprs {
     * list_sum), so the sign — and hence the bucket — is bit-identical
     * cross-engine. */
   case class HyperplaneBucketLcgExpr(child: Expression, bits: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     private val M = 2147483647L // 2^31 - 1
     @inline private def comp(j: Int, d: Int): Double = {
@@ -268,8 +300,8 @@ object NativeExprs {
       val h2 = (48271L * h1) % M
       (h2 % 1000L).toDouble / 1000.0 - 0.5
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(v: ArrayData): Long = {
       val n = v.numElements()
       var bucket = 0L
       var j = 0
@@ -281,6 +313,12 @@ object NativeExprs {
         j += 1
       }
       bucket
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplaneBucketLcgExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketLcgExpr =
       copy(child = newChild)
@@ -296,13 +334,13 @@ object NativeExprs {
     * (md5 + substr are ANSI SQL); the rolling-hash form stays the
     * performance path. */
   case class WinnowMd5Expr(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(
       StructType(Seq(
         StructField("pos", IntegerType, nullable = false),
         StructField("gh", StringType, nullable = false))), containsNull = false)
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val n = s.numChars()
       val m = math.max(1, n - k + 1)
       // Selection compares raw digests (unsigned byte order == hex
@@ -340,6 +378,12 @@ object NativeExprs {
       }
       new GenericArrayData(out.toArray)
     }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnowMd5Expr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
     override protected def withNewChildInternal(newChild: Expression): WinnowMd5Expr =
       copy(child = newChild)
   }
@@ -353,10 +397,10 @@ object NativeExprs {
     * matching substr semantics for ASCII and multi-byte text alike via
     * code-point windows). */
   case class MinMd5ShingleExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = StringType
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
       val n = s.numChars()
       // Unsigned byte-order of digests == lexicographic order of their
       // lowercase hex (fixed-width order-preserving encoding), so the
@@ -375,6 +419,12 @@ object NativeExprs {
         i += 1
       }
       org.apache.spark.unsafe.types.UTF8String.fromString(md5Hex(best))
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minMd5ShingleExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(newChild: Expression): MinMd5ShingleExpr =
       copy(child = newChild)
@@ -434,11 +484,12 @@ object NativeExprs {
     * oracle), computed with hash sets instead of one interpreted tree
     * walk per element per pair. */
   case class JaccardExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
+    /** Public for generated code (doGenCode embeds `this` as a
+      * reference object and calls it directly — no per-row InternalRow,
+      * no interpreted dispatch). */
+    def compute(a: ArrayData, b: ArrayData): Double = {
       val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
       var i = 0
       while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
@@ -452,6 +503,12 @@ object NativeExprs {
       }
       val union = sa.size + sb.size - inter
       if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jaccardExpr", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardExpr =
       copy(left = newLeft, right = newRight)
