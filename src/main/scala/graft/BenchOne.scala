@@ -11,13 +11,7 @@ object BenchOne {
     require(args.length >= 2, "usage: BenchOne <sfDir> <query> [query ...]")
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench-one")
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { name =>
       val fn = SparkEntry.queries(name)
