@@ -34,10 +34,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val results = ordered.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: the round harness keeps only the last 2000
+    // bytes of stdout, and 70+ queries at full double precision
+    // overflow it — the whole record must fit the tail window to be
+    // machine-parseable (full precision still lands in bench.json? no:
+    // one canonical record, same content both places, 1 ms granularity
+    // is below the run-to-run noise anyway).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The metric line must survive as DATA: inside `sbt run` stdout it
     // gets buried under [info] prefixes, so also write it to a file
     // ($SPARK_GRAFT_OUT/bench.json, or ./bench.json) and make it the

@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * The Spark-side architecture is real and tested — schema contract,
   * partition sizing, per-partition batched iteration (the Scala analog
   * of `mapInPandas` batch shape), and a deterministic metadata pipeline.
-  * The actual codec call is STUBBED (`fakeDecode`): the container has
-  * no image/audio libraries, so decode derives deterministic pseudo
-  * metadata/features from the bytes. Swapping in a real codec is a
-  * one-function change — the distribution/batching contract stays.
+  * Image decode is REAL for formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeOne]]); payloads
+  * with no installed reader (and the feature/frame stubs, which stand
+  * in for model inference) fall back to deterministic MD5-derived
+  * values, keeping every pipeline total and oracle-checkable.
   */
 object Multimodal {
 
@@ -40,15 +41,46 @@ object Multimodal {
         octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
   /** STUB decode: deterministic pseudo image properties from the MD5 of
-    * the content bytes (stands in for an image codec; see object docs).
-    * MD5-derived so an ANSI SQL oracle can recompute the exact values:
-    * width/height from the first two 16-bit words of the digest,
-    * mean_px from byte 4. */
+    * the content bytes (the fallback for payloads no installed codec
+    * can read; see [[decodeOne]]). MD5-derived so an ANSI SQL oracle
+    * can recompute the exact values: width/height from the first two
+    * 16-bit words of the digest, mean_px from byte 4. */
   private[operators] def fakeDecode(content: Array[Byte]): (Int, Int, Double) = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(content)
     val w16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
     val h16 = ((d(2) & 0xff) << 8) | (d(3) & 0xff)
     (64 + w16 % 448, 64 + h16 % 448, (d(4) & 0xff).toDouble)
+  }
+
+  /** Real decode: `javax.imageio` (JDK platform API — PNG/BMP/GIF/JPEG,
+    * zero added dependencies) gives true width/height and the mean over
+    * all RGB channel values. Payloads ImageIO has no reader for (e.g.
+    * the text-backed test fixture) fall back to the deterministic
+    * [[fakeDecode]] stub, so the metadata pipeline is total either way.
+    * ImageIO's disk cache is disabled once per JVM: a temp-file write
+    * per decoded row would turn a CPU-bound map stage into an IO-bound
+    * one. */
+  private[operators] def decodeOne(content: Array[Byte]): (Int, Int, Double) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) fakeDecode(content)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum.toDouble / (w.toLong * h * 3))
+    }
   }
 
   /** Decoded schema appended to the media row. */
@@ -63,11 +95,12 @@ object Multimodal {
   def decodeImages(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val schema = decodedSchema
     val rdd = Repartition.forCompute(media).rdd.mapPartitions { it =>
+      // codec setup, once per partition (amortized across batches)
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
-        // A real codec would be initialized once per batch here.
         batch.iterator.map { row =>
           val bytes = row.getAs[Array[Byte]]("content")
-          val (w, h, m) = fakeDecode(bytes)
+          val (w, h, m) = decodeOne(bytes)
           // Seq[Any]: a bare Seq(w, h, m) would numerically widen the
           // Ints to Double and break the encoder's IntegerType fields.
           Row.fromSeq(row.toSeq ++ Seq[Any](w, h, m))

@@ -62,23 +62,49 @@ object PMapReduce {
     *
     * `segments` overrides the segment count for single-host testing;
     * the reference fakes multi-host topologies the same way
-    * (/root/reference/test/paralleltests.jl:472-485). Commutative-only:
-    * host grouping combines partials in host order, not rank order
-    * (the reference's segmented tree keeps rank order because its
-    * rank->host layout is contiguous by construction; Spark's
-    * scheduler placement is not). */
-  def hostSegmentedReduce[B: ClassTag](spark: SparkSession, partials: RDD[B],
+    * (/root/reference/test/paralleltests.jl:472-485).
+    *
+    * Non-commutative ops keep full rank order — the reference's
+    * segmented tree does because its rank->host layout is contiguous
+    * by construction (/root/reference/src/trees.jl:108-137); Spark's
+    * scheduler placement is not, so the same contiguous layout is
+    * built explicitly: ranks are range-partitioned into segments with
+    * the engine's own split law ([[ProductIndexMath.rankOfIndex]]),
+    * rank-sorted within each segment, left-folded, and the per-segment
+    * partials combine in segment (= min-rank) order on the driver.
+    * That costs one shuffle of np partials; commutative ops keep the
+    * shuffle-free locality-aware coalesce.
+    *
+    * `partials` is keyed by 1-based rank; ranks must be 1..np with
+    * np = `partials.getNumPartitions` (how every pmapreduce* builds
+    * them). */
+  def hostSegmentedReduce[B: ClassTag](spark: SparkSession, partials: RDD[(Int, B)],
                                        op: ReduceOp[B],
                                        segments: Option[Int] = None): B = {
-    require(op.commutative,
-      "host-segmented reduction combines in host order — commutative ops only")
     val nSeg = math.max(1, segments.getOrElse(
       new ClusterQuery(spark).nodenames.size))
-    val perHost = partials.coalesce(nSeg)
-      .mapPartitions(it => if (it.hasNext) Iterator(it.reduceLeft(op)) else Iterator.empty)
-      .collect()
-    require(perHost.nonEmpty, "cannot reduce over an empty collection")
-    perHost.reduceLeft(op)
+    val perSeg: Array[(Int, B)] =
+      if (op.commutative) {
+        partials.values.coalesce(nSeg)
+          .mapPartitions(it =>
+            if (it.hasNext) Iterator((0, it.reduceLeft(op))) else Iterator.empty)
+          .collect()
+      } else {
+        val np = partials.getNumPartitions
+        val nSegEff = math.max(1, math.min(nSeg, np))
+        val bySeg = partials.partitionBy(new org.apache.spark.Partitioner {
+          def numPartitions: Int = nSegEff
+          def getPartition(key: Any): Int =
+            ProductIndexMath.rankOfIndex(np.toLong, nSegEff, key.asInstanceOf[Int] - 1L) - 1
+        })
+        bySeg.mapPartitions({ it =>
+          val buf = it.toArray.sortBy(_._1)
+          if (buf.isEmpty) Iterator.empty
+          else Iterator((buf.head._1, buf.map(_._2).reduceLeft(op)))
+        }, preservesPartitioning = true).collect()
+      }
+    require(perSeg.nonEmpty, "cannot reduce over an empty collection")
+    perSeg.sortBy(_._1).map(_._2).reduceLeft(op)
   }
 
   /** E1 (zip mode) with the T2 host-segmented combine instead of
@@ -103,7 +129,7 @@ object PMapReduce {
     } else {
       val partials = spark.sparkContext.parallelize(1 to npEff, npEff).map { p =>
         val (drop, take) = ProductIndexMath.dropTake(len, npEff, p)
-        (drop until drop + take).iterator.map(j => f(elem(j))).reduceLeft(op)
+        (p, (drop until drop + take).iterator.map(j => f(elem(j))).reduceLeft(op))
       }
       foldInit(init, op, hostSegmentedReduce(spark, partials, op, segments))
     }

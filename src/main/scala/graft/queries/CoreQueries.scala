@@ -251,6 +251,19 @@ object CoreQueries {
       s.createDataFrame(Seq((v.length, v(0), v.sum))).toDF("len", "v0", "total")
     }),
 
+    // T2 + non-commutative: ordered concat through the host-segmented
+    // combine — rank-contiguous segment assignment + in-segment rank
+    // sort + min-rank segment fold must reproduce the exact element
+    // order (the reference segmented tree's ordered semantics,
+    // /root/reference/src/trees.jl:108-137). 57 elements over 16 ranks
+    // in 4 segments: uneven splits at both levels.
+    "pmr_hostseg_concat" -> ((s, _) => {
+      val parts = PMapReduce.pmapreduceSegmented(s, IndexedSeq(PRange(1L, 57L)), 16)(
+        t => Vector(t(0).toLong), ReduceOp.concat[Long], segments = Some(4))
+      val rows = parts.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+      s.createDataFrame(rows).toDF("pos", "v")
+    }),
+
     // E2 + non-commutative concat: rank-ordered reduce of per-slice
     // summaries over (1:7,1:5) split 8 ways — exercises the ordered
     // gather-sort-fold path (/root/reference/src/mapreduce.jl:138-146).
@@ -409,6 +422,12 @@ object CoreQueries {
 
     "pmr_hostseg_elsum" ->
       "SELECT CAST(100000 AS INT) AS len, CAST(224 AS DOUBLE) AS v0, CAST(224 * 100000 AS DOUBLE) AS total",
+
+    // Ordered concat of 1..57: the result IS the identity sequence iff
+    // every segment/rank boundary preserved order.
+    "pmr_hostseg_concat" ->
+      """SELECT CAST(range + 1 AS BIGINT) AS pos, CAST(range + 1 AS BIGINT) AS v
+        |FROM range(0, 57) ORDER BY pos""".stripMargin,
 
     "pmr_elementwise" ->
       """SELECT CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x * x) AS DOUBLE) AS s2,

@@ -98,9 +98,15 @@ object PipelineQueries {
         "doc_id", "text", shingleK = 8, minOverlap = 10)
     }),
 
-    // Fingerprint-blocked exact token-Jaccard near-dup pairs.
+    // Fingerprint-blocked exact token-Jaccard near-dup pairs. The
+    // block cap is part of the checked path (mirrored in the oracle
+    // SQL): a boilerplate min-shingle shared by 10^6 docs must never
+    // go quadratic. Largest observed block is 315 at sf0.1, so 1000
+    // leaves the result unchanged while bounding the worst block at
+    // ~500k pairs.
     "dd_fp_jaccard" -> ((s, dir) =>
-      Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8)),
+      Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8,
+        maxBlockSize = 1000)),
 
     // MinHash + LSH near-dup pairs at threshold 0.7: with 32 bands × 4
     // rows the per-pair miss probability at j >= 0.7 is (1-0.7^4)^32
@@ -125,7 +131,7 @@ object PipelineQueries {
     "dd_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
         threshold = 0.4, tables = 4, bits = 3, seed = 42L,
-        extraBlockCols = Seq("label"))),
+        extraBlockCols = Seq("label"), maxBucketSize = 1000)),
 
     // Full dedup: fingerprint-blocked exact-Jaccard pairs (j >= 0.5) ->
     // distributed connected components -> one survivor (min id) per
@@ -134,7 +140,8 @@ object PipelineQueries {
     // survivors pipeline is hash-gated.
     "dd_survivors" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.fingerprintJaccardPairs(d, "doc_id", "text", 8)
+      val pairs = Dedup.fingerprintJaccardPairs(d, "doc_id", "text", 8,
+        maxBlockSize = 1000)
         .where(col("jaccard") >= 0.5)
       graft.operators.ConnectedComponents.dropNearDuplicates(d, "doc_id", pairs)
         .select("doc_id")
@@ -142,10 +149,13 @@ object PipelineQueries {
 
     // Embedding near-dup blocked by multi-table hyperplane-LSH buckets
     // (the label-free scale path; LCG hyperplanes so the oracle can
-    // recompute every bucket).
+    // recompute every bucket). Bucket cap in the checked path, mirrored
+    // in the oracle: largest observed bucket is 483 at sf0.1, so 1000
+    // changes nothing here while bounding a degenerate direction.
     "dd_embed_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.3, tables = 3, bits = 6, seed = 42L)),
+        threshold = 0.3, tables = 3, bits = 6, seed = 42L,
+        maxBucketSize = 1000)),
 
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "knn_cosine" -> ((s, dir) => {
@@ -336,14 +346,16 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "dd_fp_jaccard" ->
-      """WITH f AS (
+      """WITH f0 AS (
         |  SELECT doc_id,
         |    list_min(list_transform(
         |      list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
         |                                   i -> substr(text, i, 8))),
         |      s -> md5(s))) AS fp,
         |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
-        |  FROM documents)
+        |  FROM documents),
+        |fc AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 1000),
+        |f AS (SELECT f0.* FROM f0 JOIN fc USING (fp))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
@@ -375,9 +387,11 @@ object PipelineQueries {
         |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
         |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM embeddings e, hpl h GROUP BY 1, 2, 3),
+        |bc AS (SELECT t, bucket, label FROM bkt GROUP BY 1, 2, 3 HAVING count(*) <= 1000),
+        |bkt2 AS (SELECT bkt.* FROM bkt JOIN bc USING (t, bucket, label)),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM bkt a JOIN bkt b
+        |  FROM bkt2 a JOIN bkt2 b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.label = b.label
         |   AND a.vec_id < b.vec_id),
         |v AS (
@@ -404,9 +418,11 @@ object PipelineQueries {
         |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
         |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM embeddings e, hpl h GROUP BY 1, 2),
+        |bc AS (SELECT t, bucket FROM bkt GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |bkt2 AS (SELECT bkt.* FROM bkt JOIN bc USING (t, bucket)),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM bkt a JOIN bkt b
+        |  FROM bkt2 a JOIN bkt2 b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |v AS (
         |  SELECT vec_id, embedding,
@@ -489,7 +505,7 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "dd_survivors" ->
-      """WITH RECURSIVE f AS (
+      """WITH RECURSIVE f0 AS (
         |  SELECT doc_id,
         |    list_min(list_transform(
         |      list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
@@ -497,6 +513,8 @@ object PipelineQueries {
         |      s -> md5(s))) AS fp,
         |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
         |  FROM documents),
+        |fc AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 1000),
+        |f AS (SELECT f0.* FROM f0 JOIN fc USING (fp)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id

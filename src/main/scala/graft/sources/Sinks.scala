@@ -28,12 +28,27 @@ object Sinks {
   }
 
   /** Bucketed managed table: equi-joins and aggregations on
-    * `bucketCols` plan with no Exchange (see BucketingSpec). */
+    * `bucketCols` plan with no Exchange (see BucketingSpec).
+    *
+    * Idempotent across JVMs: a fresh session has an empty in-memory
+    * catalog, but the managed table's directory under
+    * `spark.sql.warehouse.dir` survives the previous run — and
+    * `saveAsTable` refuses to CREATE a "new" table over a non-empty
+    * location. Drop any catalog entry AND remove the orphaned
+    * directory before writing, so the query can re-run in any session
+    * without manual cleanup. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    bucketCols: Seq[String]): Unit =
+                    bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val whDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase(java.util.Locale.ROOT))
+    val fs = whDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(whDir)) fs.delete(whDir, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 }

@@ -117,10 +117,26 @@ class PMapReduceSpec extends AnyFunSuite {
     val auto = pmapreduceSegmented(spark, IndexedSeq(PRange(1, 10)), 4)(
       t => Array(t(0)), ReduceOp.elementwiseSum)
     assert(auto.toVector == Vector(55.0))
-    // host order != rank order: non-commutative ops must be rejected
-    val partials = spark.sparkContext.parallelize(Seq(Vector(1), Vector(2)), 2)
-    assertThrows[IllegalArgumentException](
-      graft.operators.PMapReduce.hostSegmentedReduce(spark, partials, ReduceOp.concat[Int]))
+  }
+
+  test("host-segmented reduce keeps rank order for non-commutative ops (trees.jl:108-137)") {
+    // ordered concat through every segment topology: the result must be
+    // the identity permutation regardless of how ranks group into
+    // segments — rank-contiguous segment assignment + in-segment sort
+    // + min-rank segment fold reproduce the reference's segmented-tree
+    // order exactly.
+    for (np <- npSweep; segs <- Seq(1, 2, 4, 7, 64)) {
+      val got = pmapreduceSegmented(spark, IndexedSeq(PRange(1, 50)), np)(
+        t => Vector(t(0).toLong), ReduceOp.concat[Long], segments = Some(segs))
+      assert(got == (1L to 50L).toVector, s"np=$np segs=$segs")
+    }
+    // raw entry point: deliberately scrambled rank keys still fold 1..8
+    val partials = spark.sparkContext
+      .parallelize(Seq(5, 3, 8, 1, 7, 2, 6, 4), 8)
+      .map(r => (r, Vector(r)))
+    val folded = graft.operators.PMapReduce.hostSegmentedReduce(
+      spark, partials, ReduceOp.concat[Int], segments = Some(3))
+    assert(folded == (1 to 8).toVector)
   }
 
   test("BroadcastStack axis-union reduction on OffsetArrays (misctests_singleprocess.jl:55-63)") {
