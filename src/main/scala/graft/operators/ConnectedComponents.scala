@@ -21,16 +21,21 @@ object ConnectedComponents {
     * @return (node, component) where component = min node id reachable. */
   def run(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
           maxIter: Int = 20): DataFrame = {
+    // no distinct(): callers emit each undirected pair once (id_a <
+    // id_b), so the two union directions cannot collide — and even if
+    // a caller passed duplicates, min-label propagation is unaffected
+    // by edge multiplicity. Saves a full shuffle of the edge list.
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .distinct()
       .cache()
     val nodes = sym.select(col("u").as("node")).distinct()
     // localCheckpoint truncates lineage each round — iterative joins
     // otherwise stack a plan tree per iteration (planning cost grows
     // superlinearly and eventually OOMs the driver, long before the
     // executors feel anything).
-    var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
+    // lazy like the round checkpoints: round 1's materialization (via
+    // the first convergence count) computes it — no standalone init job
+    var labels = nodes.withColumn("comp", col("node")).localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -71,7 +76,10 @@ object ConnectedComponents {
     * in any edge survive untouched. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
                          srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
-    val comps = run(pairs, srcCol, dstCol)
+    // run() scans the edge list twice (the symmetrization union):
+    // without this cache the whole upstream pair-detection pipeline
+    // (shingling, jaccard join) executes once per direction.
+    val comps = run(pairs.cache(), srcCol, dstCol)
     val victims = comps.where(col("node") =!= col("comp"))
       .select(col("node").as(idCol))
     df.join(victims, Seq(idCol), "left_anti")

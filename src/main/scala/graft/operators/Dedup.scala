@@ -122,12 +122,17 @@ object Dedup {
     val f0 = Repartition.forCompute(df)
       .select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
         tokenSet(col(textCol)).as("toks")).cache()
+    // Cap as a broadcast ANTI-join against the OVERSIZED blocks: blocks
+    // past the cap are few by construction (only degenerate boilerplate
+    // exceeds it), so the blocked-fp list is broadcastable at any
+    // corpus size — the big table is never shuffled for the cap, and
+    // the count aggregate is map-side-combined on 16-byte fps.
     val f =
       if (maxBlockSize == Int.MaxValue) f0
       else f0.join(
-        f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") <= maxBlockSize).select("fp"),
-        Seq("fp"), "left_semi")
+        broadcast(f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > maxBlockSize).select("fp")),
+        Seq("fp"), "left_anti")
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("toks").as("toks_a"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("toks").as("toks_b"))
     a.join(b, "fp")
@@ -244,12 +249,15 @@ object Dedup {
       .select(col(idCol) +: extraBlockCols.map(col) :+
         col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
     val joinKeys = Seq("tbl", "bkt") ++ extraBlockCols
+    // broadcast anti-join against the oversized buckets (same rationale
+    // as the fingerprint cap: buckets past the cap are few by
+    // construction, so their key list broadcasts at any scale)
     val capped =
       if (maxBucketSize == Int.MaxValue) tabled
       else tabled.join(
-        tabled.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") <= maxBucketSize).select(joinKeys.map(col): _*),
-        joinKeys, "left_semi")
+        broadcast(tabled.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > maxBucketSize).select(joinKeys.map(col): _*)),
+        joinKeys, "left_anti")
     val a = capped.withColumnRenamed(idCol, "id_a")
     val b = capped.withColumnRenamed(idCol, "id_b")
     val cands = a.join(b, joinKeys)
