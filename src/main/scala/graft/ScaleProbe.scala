@@ -1,0 +1,57 @@
+package graft
+import org.apache.spark.sql.functions.col
+
+/** Dev tool for scale rehearsals: run the embedding near-dup LSH with
+  * CLI-chosen `bits`/`tables` against any testdata dir and report
+  * wall-clock + pair count. The driver-gated queries pin their params
+  * for oracle parity; this probe demonstrates the docstring's sizing
+  * law (`bits ≈ log2(corpus / targetBucket)`) at larger corpora, where
+  * keeping `bits` fixed makes bucket density — and candidate pairs —
+  * grow super-linearly.
+  * Also probes the fingerprint-block cap: `fp <sfDir> <maxBlockSize>`
+  * times [[graft.operators.Dedup.fingerprintJaccardPairs]] with the
+  * given cap (0 = uncapped), quantifying what an uncapped boilerplate
+  * block costs at scale.
+  * Usage: runMain graft.ScaleProbe <sfDir> <bits> [tables] [threshold]
+  *        runMain graft.ScaleProbe fp <sfDir> <maxBlockSize>
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleProbe <sfDir> <bits> [tables] [threshold]")
+    if (args(0) == "fp") { fpProbe(args(1), args(2).toInt); return }
+    val (sfDir, bits) = (args(0), args(1).toInt)
+    val tables = if (args.length > 2) args(2).toInt else 3
+    val threshold = if (args.length > 3) args(3).toDouble else 0.3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.embeddingNearDupPairsLsh(
+        embs, "vec_id", "embedding", threshold = threshold,
+        tables = tables, bits = bits, seed = 42L, maxBucketSize = 1000).count()
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (t1, n1) = once()
+    val (t2, n2) = once()
+    require(n1 == n2)
+    println(f"SCALEPROBE dir=$sfDir bits=$bits tables=$tables thr=$threshold pairs=$n1 min=${math.min(t1, t2)}%.2f s")
+    spark.stop()
+  }
+
+  private def fpProbe(sfDir: String, maxBlockSize: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cap = if (maxBlockSize <= 0) Int.MaxValue else maxBlockSize
+    val t0 = System.nanoTime()
+    val n = graft.operators.Dedup.fingerprintJaccardPairs(
+      docs, "doc_id", "text", 8, maxBlockSize = cap).count()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEPROBE fp dir=$sfDir cap=$cap pairs=$n t=$t%.2f s")
+    spark.stop()
+  }
+}
