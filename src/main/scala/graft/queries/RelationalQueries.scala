@@ -258,6 +258,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
     }),
 
+    // S7 sink path #2: Hive-partitioned write — partition dirs give
+    // every downstream reader directory pruning, the in-file sort gives
+    // row-group skipping. Write orders partitioned by priority
+    // (idempotent: mode=overwrite into a fixed tmp location), read
+    // back with a partition filter (scan reads 2 of 5 dirs —
+    // PartitionFilters in the plan, BucketingSpec pins it), aggregate.
+    "q_partitioned_write" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_q_part_write"
+      graft.sources.Sinks.writePartitioned(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          dec("o_totalprice").as("price"), col("o_orderpriority")),
+        out, Seq("o_orderpriority"), sortCols = Seq("o_orderkey"))
+      s.read.parquet(out)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("sum_price"),
+          min("o_orderkey").as("min_key"))
+    }),
+
     // Skew-mitigated aggregation: two-phase salted count/sum over the
     // (hot-keyed) returnflag column — result must equal the plain
     // group-by, which is exactly what the oracle computes.
@@ -442,6 +462,13 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_partitioned_write" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted" ->

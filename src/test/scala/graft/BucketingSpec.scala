@@ -44,6 +44,13 @@ class BucketingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q_partitioned_write gate: read-back scan prunes to the filtered partitions") {
+    val df = graft.SparkEntry.queries("q_partitioned_write")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("1-URGENT"), plan)
+  }
+
   test("bucketed fact-fact join plans with no Exchange") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_b")
