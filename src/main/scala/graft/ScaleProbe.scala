@@ -19,6 +19,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <bits> [tables] [threshold]")
     if (args(0) == "fp") { fpProbe(args(1), args(2).toInt); return }
+    if (args(0) == "sig") { sigProbe(args(1), args(2).toInt); return }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
     val threshold = if (args.length > 3) args(3).toDouble else 0.3
@@ -38,6 +39,24 @@ object ScaleProbe {
     val (t2, n2) = once()
     require(n1 == n2)
     println(f"SCALEPROBE dir=$sfDir bits=$bits tables=$tables thr=$threshold pairs=$n1 min=${math.min(t1, t2)}%.2f s")
+    spark.stop()
+  }
+
+  /** `sig <sfDir> <numHashes>`: time the MinHash signature stage alone
+    * (the dominant candidate for dd_minhash_lsh cost). */
+  private def sigProbe(sfDir: String, numHashes: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.withMinhash(docs, "doc_id", "text", numHashes, 8)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (t1, t2) = (once(), once())
+    println(f"SCALEPROBE sig dir=$sfDir h=$numHashes min=${math.min(t1, t2)}%.2f s")
     spark.stop()
   }
 
