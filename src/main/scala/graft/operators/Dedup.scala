@@ -141,6 +141,39 @@ object Dedup {
         round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs: documents of `left` vs documents of
+    * `right` sharing a fingerprint block, exact token-Jaccard verified.
+    * The incremental-ingest primitive: `left` = today's crawl, `right`
+    * = the standing corpus — only cross pairs are generated (never
+    * within-side pairs), so a daily sweep costs O(new × collision
+    * rate), not another full-corpus O(n²) pass. The block cap counts
+    * the COMBINED (left + right) block population, bounding the cross
+    * product of any degenerate key at cap²/4.
+    */
+  def crossCorpusJaccardPairs(left: DataFrame, right: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleK: Int = 8,
+                              maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    def prep(df: DataFrame, side: String): DataFrame =
+      Repartition.forCompute(df).select(
+        col(idCol).as(s"id_$side"),
+        minhashFingerprint(col(textCol), shingleK).as("fp"),
+        tokenSet(col(textCol)).as(s"toks_$side"))
+    val a = prep(left, "a").cache()
+    val b = prep(right, "b").cache()
+    val joined =
+      if (maxBlockSize == Int.MaxValue) a.join(b, "fp")
+      else {
+        val blocked = a.select("fp").unionAll(b.select("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > maxBlockSize).select("fp")
+        a.join(broadcast(blocked), Seq("fp"), "left_anti")
+          .join(b.join(broadcast(blocked), Seq("fp"), "left_anti"), "fp")
+      }
+    joined.select(col("id_a"), col("id_b"),
+      round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Pigeonhole blocking: split the 64-bit hash into 4 16-bit chunks —
     * any pair within Hamming <= 3 MUST share at least one exact chunk

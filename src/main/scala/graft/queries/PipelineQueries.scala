@@ -108,6 +108,17 @@ object PipelineQueries {
       Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8,
         maxBlockSize = 1000)),
 
+    // Incremental-ingest dedup: "new" docs (doc_id < 250) vs the
+    // standing corpus (doc_id >= 250) — cross pairs only, fingerprint
+    // blocked, combined block cap, exact-Jaccard verified at j >= 0.5.
+    "dd_cross_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusJaccardPairs(
+        d.where(col("doc_id") < 250), d.where(col("doc_id") >= 250),
+        "doc_id", "text", 8, maxBlockSize = 1000)
+        .where(col("jaccard") >= 0.5)
+    }),
+
     // MinHash + LSH near-dup pairs at threshold 0.7: with 32 bands × 4
     // rows the per-pair miss probability at j >= 0.7 is (1-0.7^4)^32
     // ≈ 1.5e-4 and the corpus's true pairs all sit at j >= 0.9 (miss
@@ -360,6 +371,25 @@ object PipelineQueries {
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dd_cross_corpus" ->
+      """WITH f0 AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                   i -> substr(text, i, 8))),
+        |      s -> md5(s))) AS fp,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |fc AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 1000),
+        |f AS (SELECT f0.* FROM f0 JOIN fc USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < 250 AND b.doc_id >= 250
+        |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
 
     "emb_centroid" ->

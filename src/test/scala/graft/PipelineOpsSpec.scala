@@ -222,6 +222,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("cross-corpus pairs: only left-vs-right pairs, brute-force fingerprint-block oracle") {
+    // left = originals (id < 50), right = planted near-dups + exact dup
+    val leftDF = docsDF.where(col("doc_id") < 50)
+    val rightDF = docsDF.where(col("doc_id") >= 50)
+    val got = Dedup.crossCorpusJaccardPairs(leftDF, rightDF, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: same min-md5-shingle block, one id per side
+    def fp(t: String): String = shingleSet(t, 8).map { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.min
+    val lf = corpus.filter(_._1 < 50).map { case (i, t) => (i, fp(t)) }
+    val rf = corpus.filter(_._1 >= 50).map { case (i, t) => (i, fp(t)) }
+    val want = (for ((i, fa) <- lf; (j, fb) <- rf if fa == fb) yield (i, j)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the planted dups must actually collide
+    // no within-side pairs by construction
+    assert(got.forall { case (a, b) => a < 50 && b >= 50 })
+  }
+
   test("fingerprint block cap: oversized blocks generate no pairs, capped path still exact below it") {
     // 5 identical docs share one fingerprint block (plus one outlier):
     // cap 4 drops the whole block; a cap above it keeps all 10 pairs.
