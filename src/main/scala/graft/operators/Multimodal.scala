@@ -61,9 +61,12 @@ object Multimodal {
     * per decoded row would turn a CPU-bound map stage into an IO-bound
     * one. */
   private[operators] def decodeOne(content: Array[Byte]): (Int, Int, Double) = {
+    // NonFatal, not just IOException: a truncated/corrupt payload can
+    // surface as a codec RuntimeException, and one bad blob in a
+    // billion-row scan must degrade to the stub, not kill the stage.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) fakeDecode(content)
     else {
       val w = img.getWidth

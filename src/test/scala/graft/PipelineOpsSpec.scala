@@ -280,11 +280,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       bos.toByteArray
     }
     val textBytes = "definitely not an image payload".getBytes("UTF-8")
+    // a real PNG truncated mid-stream: the reader recognizes the magic
+    // but fails decoding — must fall back, not throw
+    val corrupt = enc("png", 37, 23, 0x112233).take(40)
     val rows = Seq(
       (1L, enc("png", 37, 23, 0x112233)),
       (2L, enc("png", 5, 7, 0xFFFFFF)),
       (3L, enc("bmp", 9, 4, 0x000000)),
-      (4L, textBytes))
+      (4L, textBytes),
+      (5L, corrupt))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map { case (id, b) =>
         org.apache.spark.sql.Row(id, "image", b,
@@ -299,10 +303,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((9, 4, 0.0)))
     // no reader for plain text -> deterministic MD5 stub (independent
     // re-derivation of the stub law here, not a call into it)
-    val d = java.security.MessageDigest.getInstance("MD5").digest(textBytes)
-    val exp = (64 + ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 448),
-      64 + ((((d(2) & 0xff) << 8) | (d(3) & 0xff)) % 448), (d(4) & 0xff).toDouble)
-    assert(got(4L) == exp)
+    def stub(bytes: Array[Byte]) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      (64 + ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 448),
+        64 + ((((d(2) & 0xff) << 8) | (d(3) & 0xff)) % 448), (d(4) & 0xff).toDouble)
+    }
+    assert(got(4L) == stub(textBytes))
+    // corrupt-but-recognized image degrades to the stub too
+    assert(got(5L) == stub(corrupt))
   }
 
   test("dd_minhash_lsh on driver testdata: finds every true near-dup pair (brute-force recall)") {
