@@ -69,6 +69,50 @@ object Similarity {
   def hyperplaneBucketLcg(vec: Column, bits: Int, seed: Long = 42L): Column =
     graft.functions.NativeExprs.hyperplaneBucketLcgNative(vec.cast("array<double>"), bits, seed)
 
+  /** IVF-flat ANN: an inverted-file index with a deterministic sampled
+    * coarse quantizer. Centroids are the `nCells` lowest-id corpus
+    * vectors (the classic cheap untrained quantizer — swap in trained
+    * centroids without changing any plan shape). Every corpus vector is
+    * assigned to its nearest centroid by cosine (the inverted lists);
+    * a query probes its `nprobe` nearest cells and reranks candidates
+    * exactly.
+    *
+    * Scale notes: the centroid table is `nCells` rows — always
+    * broadcast, so assignment is a broadcast join + WindowGroupLimit
+    * top-1 (map-side partial argmax). Assignment is an INDEX BUILD —
+    * at 100 TB it runs once and persists bucketed by cell
+    * ([[graft.sources.Sinks.writeBucketed]]), after which every probe
+    * is a shuffle-free bucket lookup + the same two-phase rerank as
+    * [[cosineTopK]]. Ties break deterministically on (sim desc,
+    * centroid id), so the cells are oracle-reproducible. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
+              nprobe: Int = 2, qidCol: String = "qid", idCol: String = "id",
+              vecCol: String = "vec"): DataFrame = {
+    require(nCells > 0 && nprobe > 0, "nCells and nprobe must be positive")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    val cent = c.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cent_id"), col("cv").as("centv"))
+    val wAsg = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("csim", round(cosine(col("cv"), col("centv")), 9))
+      .withColumn("crk", row_number().over(wAsg)).where(col("crk") === 1)
+      .select(col("id"), col("cv"), col("cent_id").as("cell"))
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val wPr = Window.partitionBy("qid").orderBy(col("psim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("psim", round(cosine(col("qv"), col("centv")), 9))
+      .withColumn("prk", row_number().over(wPr)).where(col("prk") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+    // cells partition the corpus (each vector lives in exactly one), so
+    // the probe join produces no duplicate candidates by construction
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    assigned.join(broadcast(probes), "cell")
+      .where(col("id") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 9))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
+      .select("qid", "id", "rk", "sim")
+  }
+
   /** ANN top-k via hyperplane buckets: candidates share the query's
     * bucket; exact cosine rerank inside the bucket. Lower recall than
     * [[cosineTopK]]; bounded cost. `lcgBuckets` switches to the

@@ -108,6 +108,18 @@ object PipelineQueries {
       Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8,
         maxBlockSize = 1000)),
 
+    // Sequence packing (concat-then-chunk): per-language shard-local
+    // packing into 2048-token training sequences — each doc gets the
+    // sequence index and offset of its first token. packBy is the
+    // scale path (sort is shard-local, never global).
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.Packing.packBy(d, "n_tok", 2048L, "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("seq"), col("seq_offset"))
+    }),
+
     // Incremental-ingest dedup: "new" docs (doc_id < 250) vs the
     // standing corpus (doc_id >= 250) — cross pairs only, fingerprint
     // blocked, combined block cap, exact-Jaccard verified at j >= 0.5.
@@ -167,6 +179,19 @@ object PipelineQueries {
       Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
         threshold = 0.3, tables = 3, bits = 6, seed = 42L,
         maxBucketSize = 1000)),
+
+    // IVF-flat ANN: 8-cell sampled coarse quantizer, nprobe=2, top-3 —
+    // assignment argmax, probe selection, and rerank are all
+    // deterministic (9-dp rounding, id tie-breaks), so the oracle
+    // recomputes the inverted file exactly.
+    "knn_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(q, c, k = 3, nCells = 8, nprobe = 2)
+        .select(col("qid"), col("id"), col("rk"))
+    }),
 
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "knn_cosine" -> ((s, dir) => {
@@ -373,6 +398,20 @@ object PipelineQueries {
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
 
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(coalesce(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tok, tok_before // 2048 AS seq,
+        |  tok_before % 2048 AS seq_offset
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+
     "dd_cross_corpus" ->
       """WITH f0 AS (
         |  SELECT doc_id,
@@ -490,6 +529,38 @@ object PipelineQueries {
         |       JOIN bkt bc ON bq.bucket = bc.bucket
         |       JOIN v c ON c.vec_id = bc.vec_id
         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+        |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "knn_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS centv, nrm AS cnrm
+        |         FROM v ORDER BY vec_id LIMIT 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT a.vec_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> a.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (a.nrm * c.cnrm), 9) DESC, c.cent_id) AS crk
+        |    FROM v a, cent c) WHERE crk = 1),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.vec_id AS qid, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.cnrm), 9) DESC, c.cent_id) AS prk
+        |    FROM v q, cent c WHERE q.vec_id < 10) WHERE prk <= 2),
+        |pairs AS (
+        |  SELECT p.qid, a.vec_id AS id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
+        |  FROM probe p JOIN asg a USING (cell)
+        |       JOIN v q ON q.vec_id = p.qid JOIN v c ON c.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.qid)
         |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
         |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,

@@ -222,6 +222,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("ivfTopK matches a serial inverted-file reference on clustered vectors") {
+    val rnd = new scala.util.Random(23)
+    // 6 well-separated cluster bases, 90 corpus vectors
+    val bases = Array.fill(6)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val vecs: Seq[(Long, Array[Double])] = (0L until 90L).map { i =>
+      val b = bases((i % 6).toInt)
+      (i, b.map(_ + rnd.nextGaussian() * 0.1))
+    }
+    val corpus = vecs.toDF("id", "vec")
+    val queries = vecs.take(5).map { case (i, v) => (i, v) }.toDF("qid", "vec")
+    val got = Similarity.ivfTopK(queries, corpus, k = 3, nCells = 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // serial reference: same quantizer law, independent code
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) = x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cent = vecs.sortBy(_._1).take(6)
+    def cellOf(v: Array[Double]): Long =
+      cent.map { case (cid, cv) => (cos(v, cv), cid) }.maxBy { case (s, cid) => (s, -cid) }._2
+    val assign = vecs.map { case (i, v) => i -> cellOf(v) }.toMap
+    for ((qid, qv) <- vecs.take(5)) {
+      val probed = cent.map { case (cid, cv) => (cos(qv, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(2).map(_._2).toSet
+      val cands = vecs.filter { case (i, _) => i != qid && probed.contains(assign(i)) }
+      val top = cands.map { case (i, v) => (cos(qv, v), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2)
+      for ((id, rk) <- top.zipWithIndex)
+        assert(got((qid, rk + 1)) == id, s"qid=$qid rk=${rk + 1}")
+    }
+    // clustered data: rank-1 neighbor must come from the query's own cluster
+    for ((qid, _) <- vecs.take(5))
+      assert(got((qid, 1)) % 6 == qid % 6)
+  }
+
+  test("sequence packing: offsets/seq follow the concat-then-chunk law, shard-local") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 300L).map(i => (i, s"s${i % 3}", 1L + rnd.nextInt(900)))
+      .toDF("doc_id", "shard", "n_tok")
+    val budget = 1000L
+    val got = Packing.packBy(d, "n_tok", budget, "doc_id", "shard")
+      .select("doc_id", "shard", "n_tok", "seq", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // serial oracle per shard: running token count before each doc
+    val byShard = got.groupBy(_._2)
+    for ((_, rows) <- byShard) {
+      var cum = 0L
+      for ((_, _, nTok, seq, off) <- rows.sortBy(_._1)) {
+        assert(seq == cum / budget && off == cum % budget)
+        cum += nTok
+      }
+    }
+    // stats: doc and token counts per (shard, seq) add up
+    val stats = Packing.packStats(
+      Packing.packBy(d, "n_tok", budget, "doc_id", "shard"), "n_tok", Seq("shard"))
+      .collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 300L)
+    assert(stats.map(_.getAs[Long]("n_tokens")).sum == got.map(_._3).sum)
+    // global variant: one shard == packBy degenerate case
+    val g = Packing.contiguousPack(d.where(col("shard") === "s0"), "n_tok", budget, "doc_id")
+      .select("doc_id", "seq", "seq_offset").collect()
+    var cum = 0L
+    val toks = got.filter(_._2 == "s0").sortBy(_._1)
+    for ((r, (_, _, nTok, _, _)) <- g.sortBy(_.getLong(0)).zip(toks)) {
+      assert(r.getLong(1) == cum / budget && r.getLong(2) == cum % budget)
+      cum += nTok
+    }
+  }
+
   test("cross-corpus pairs: only left-vs-right pairs, brute-force fingerprint-block oracle") {
     // left = originals (id < 50), right = planted near-dups + exact dup
     val leftDF = docsDF.where(col("doc_id") < 50)
