@@ -94,14 +94,23 @@ class PlanSpec extends AnyFunSuite {
   test("no gate query plans a Cartesian product") {
     // All-pairs joins are the one unrecoverable scale failure: every
     // near-dup/similarity query must candidate via a bucketed equijoin.
-    // knn_cosine is the documented exception — an intentional
-    // broadcast cross join against a bounded (≤10-row) query set.
+    // Documented exceptions — intentional broadcast cross joins whose
+    // broadcast side is BOUNDED by construction: knn_cosine (≤10-row
+    // query set) and knn_ivf (nCells centroid table + nprobe cells per
+    // query; the corpus side streams, never shuffles).
+    val boundedCrossJoins = Set("knn_cosine", "knn_ivf")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if name != "knn_cosine") {
+         if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a BroadcastNestedLoopJoin (non-equi join leaked in)")
+    }
+    // the exceptions must still BROADCAST their bounded side — a true
+    // shuffled CartesianProduct is never acceptable
+    for (name <- boundedCrossJoins) {
+      val p = physical(SparkEntry.queries(name)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name fell back to CartesianProduct")
     }
   }
 
