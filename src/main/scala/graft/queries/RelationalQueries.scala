@@ -289,6 +289,12 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n"),
           col("sum").cast("long").as("sum_qty"))),
 
+    // The stream-stream interval join's batch face (same code path the
+    // stream runs, watermarks are no-ops in batch): purchases joined to
+    // same-user signups within one hour.
+    "q_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStreams.purchaseSignupJoin(t(s, dir, "events"))),
+
     // The streaming windowedCounts transform run in batch mode — same
     // code path the stream uses (graft.streaming.EventStreams).
     "q_windowed_counts" -> ((s, dir) =>
@@ -475,6 +481,15 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+        |FROM events p JOIN events s
+        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND p.user_id = s.user_id
+        | AND epoch_us(p.ts) >= epoch_us(s.ts)
+        | AND epoch_us(p.ts) <= epoch_us(s.ts) + 3600000000
+        |ORDER BY 1, 3""".stripMargin,
 
     "q_windowed_counts" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start, event_type,
