@@ -78,6 +78,21 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(TextFunctions.tokens(col("text"))).as("pred_lang"))),
 
+    // Vocabulary building: top-200 corpus tokens by frequency
+    // (explode → map-side-combined agg → TakeOrdered, never a full
+    // sort).
+    "txt_vocab" -> ((s, dir) =>
+      graft.operators.TfIdf.vocabulary(
+        graft.operators.Repartition.forCompute(docs(s, dir)), "text", 200)),
+
+    // Per-document keyword extraction: top-5 terms by tf-idf with the
+    // rational idf (N+1)/(df+1) — IEEE-exact cross-engine, so the
+    // ranking itself is hash-gated (ln-idf variant is spec-checked).
+    "txt_tfidf" -> ((s, dir) =>
+      graft.operators.TfIdf.topTerms(
+        graft.operators.Repartition.forCompute(docs(s, dir)),
+        "doc_id", "text", k = 5)),
+
     // Document fingerprint (1-perm MinHash over 8-gram shingles).
     "fp_minhash1" -> ((s, dir) =>
       graft.operators.Repartition.forCompute(docs(s, dir))
@@ -339,6 +354,31 @@ object PipelineQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |WHERE token <> '' GROUP BY 1
+        |ORDER BY n DESC, token LIMIT 200""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rk
+        |      FROM scored)
+        |SELECT doc_id, token, tf, round(score, 6) AS score, rk
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     "txt_langid" ->
       """WITH sc AS (

@@ -558,4 +558,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(TextFunctions.minhashFingerprint(col("text"))).as[String].collect()
     assert(fp(0) == fp(1))
   }
+
+  // Serial tf-idf oracle shared by the TfIdf tests.
+  private def tfIdfOracle(rows: Seq[(Long, String)], k: Int,
+                          idf: (Long, Long) => Double): Seq[(Long, String, Long, Double, Int)] = {
+    val toks = rows.map { case (id, t) => id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty) }
+    val n = rows.size.toLong
+    val tf = toks.flatMap { case (id, ts) => ts.map(tok => (id, tok)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfc = tf.keys.toSeq.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    tf.toSeq.map { case ((id, tok), f) => (id, tok, f, f * idf(n, dfc(tok))) }
+      .groupBy(_._1).toSeq.flatMap { case (_, terms) =>
+        terms.sortBy { case (_, tok, _, s) => (-s, tok) }.take(k).zipWithIndex
+          .map { case ((id, tok, f, s), i) =>
+            (id, tok, f,
+              BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
+      }
+  }
+
+  test("vocabulary matches the serial frequency count with deterministic tie-break") {
+    val res = graft.operators.TfIdf.vocabulary(docsDF, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    val counts = corpus.flatMap(_._2.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expect = counts.sortBy { case (tok, n) => (-n, tok) }.take(10)
+    assert(res == expect)
+  }
+
+  test("tf-idf top terms match the serial oracle (rational idf, gate path)") {
+    val res = graft.operators.TfIdf.topTerms(docsDF, "doc_id", "text", k = 5)
+      .as[(Long, String, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._5))
+    val expect = tfIdfOracle(corpus, 5, (n, df) => (n + 1.0) / (df + 1.0))
+      .sortBy(r => (r._1, r._5))
+    assert(res == expect)
+  }
+
+  test("tf-idf ln-idf variant matches the serial log oracle") {
+    val res = graft.operators.TfIdf.topTerms(docsDF, "doc_id", "text", k = 3, lnIdf = true)
+      .as[(Long, String, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._5))
+    val expect = tfIdfOracle(corpus, 3, (n, df) => math.log((n + 1.0) / (df + 1.0)))
+      .sortBy(r => (r._1, r._5))
+    assert(res == expect)
+  }
 }

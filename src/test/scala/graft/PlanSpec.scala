@@ -78,8 +78,10 @@ class PlanSpec extends AnyFunSuite {
     val factTables = Seq("customer", "orders", "lineitem", "supplier", "part",
       "events", "documents", "embeddings")
     // exceptions: knn broadcasts a bounded query set (≤10 rows);
-    // contamination broadcasts a bounded probe/eval set (5 docs)
-    val boundedBroadcasts = Set("knn_cosine", "knn_ann", "dd_contamination")
+    // contamination broadcasts a bounded probe/eval set (5 docs);
+    // tf-idf broadcasts the corpus-size aggregate (exactly 1 row —
+    // the scalar-subquery shape, bounded at any corpus size)
+    val boundedBroadcasts = Set("knn_cosine", "knn_ann", "dd_contamination", "txt_tfidf")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedBroadcasts.contains(name)) {
       val hints = try {
@@ -97,8 +99,9 @@ class PlanSpec extends AnyFunSuite {
     // Documented exceptions — intentional broadcast cross joins whose
     // broadcast side is BOUNDED by construction: knn_cosine (≤10-row
     // query set) and knn_ivf (nCells centroid table + nprobe cells per
-    // query; the corpus side streams, never shuffles).
-    val boundedCrossJoins = Set("knn_cosine", "knn_ivf")
+    // query; the corpus side streams, never shuffles) and txt_tfidf
+    // (broadcast of the 1-row corpus-size aggregate).
+    val boundedCrossJoins = Set("knn_cosine", "knn_ivf", "txt_tfidf")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
@@ -137,6 +140,22 @@ class PlanSpec extends AnyFunSuite {
     assert(knn.contains("WindowGroupLimit"), knn)
     val win = physical(SparkEntry.queries("q_window_top_order")(spark, dir))
     assert(win.contains("WindowGroupLimit"), win)
+  }
+
+  test("vocabulary is TakeOrdered over a map-side-combined aggregate") {
+    val p = physical(SparkEntry.queries("txt_vocab")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial + final hash aggregation on the exploded tokens
+    assert(countOccurrences(p, "HashAggregate") == 2, p)
+  }
+
+  test("tf-idf rides WindowGroupLimit and broadcasts only the 1-row corpus size") {
+    val p = physical(SparkEntry.queries("txt_tfidf")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    // the only nested-loop join is the bounded 1-row broadcast; the
+    // token df join must be an equijoin
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_topk_orders is TakeOrdered, not a global sort or window") {
