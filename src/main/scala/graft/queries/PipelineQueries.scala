@@ -247,6 +247,18 @@ object PipelineQueries {
         round(element_at(col("c"), 4), 6).as("c4"))
     }),
 
+    // K-means curation clusters: 2 Lloyd iterations, k=8, deterministic
+    // seed (lowest vec_ids) and 1e-6-grid centroid snapping, so the
+    // whole trajectory — assignments included — is engine-exact and
+    // hash-gated. Centroid components land on the grid; no output
+    // rounding needed.
+    "emb_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansCentroids(embs(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("cid"), col("n"),
+          element_at(col("c"), 1).as("c1"), element_at(col("c"), 2).as("c2"),
+          element_at(col("c"), 3).as("c3"), element_at(col("c"), 4).as("c4"))),
+
     // Data mixing: deterministic per-language sampling rates over a
     // hash-of-key bucket — reproducible across engines, so the oracle
     // recomputes the exact surviving set.
@@ -478,6 +490,53 @@ object PipelineQueries {
         |  round(AVG(embedding[3]::DOUBLE), 6) AS c3,
         |  round(AVG(embedding[4]::DOUBLE), 6) AS c4
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "emb_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cid, v AS c FROM e WHERE id < 8),
+        |s1 AS (
+        |  SELECT e.id, e.v, c0.cid,
+        |    list_sum(list_transform(c0.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c0.c[i])) AS s
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (SELECT id, v, cid FROM (
+        |    SELECT id, v, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cid, d),
+        |c1 AS (
+        |  SELECT c0.cid, coalesce(mm.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY d) AS c FROM m1 GROUP BY cid) mm
+        |    ON c0.cid = mm.cid),
+        |s2 AS (
+        |  SELECT e.id, e.v, c1.cid,
+        |    list_sum(list_transform(c1.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c1.c[i])) AS s
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (SELECT id, v, cid FROM (
+        |    SELECT id, v, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cid, d),
+        |c2 AS (
+        |  SELECT c1.cid, coalesce(mm.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY d) AS c FROM m2 GROUP BY cid) mm
+        |    ON c1.cid = mm.cid)
+        |SELECT CAST(c2.cid AS INT) AS cid, coalesce(n.n, 0) AS n,
+        |  c2.c[1] AS c1, c2.c[2] AS c2, c2.c[3] AS c3, c2.c[4] AS c4
+        |FROM c2 LEFT JOIN (
+        |  SELECT cid, count(*) AS n FROM a2 GROUP BY cid) n ON c2.cid = n.cid
+        |ORDER BY 1""".stripMargin,
 
     // Lehmer-LCG hyperplane components (seed s, plane j, dim d):
     //   x  = (s*1000003 + j*8191 + d*127 + 1) mod (2^31-1)

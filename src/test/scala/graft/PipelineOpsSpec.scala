@@ -576,6 +576,89 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  // Serial Lloyd's replicating Clustering's determinism contract:
+  // lowest-id seeding, dcc - 2·dvc sequential scoring, lowest-cid
+  // ties, 1e-6 grid snap between iterations, empty keeps centroid.
+  private def serialKmeans(vs: Seq[(Long, Array[Double])], k: Int, iters: Int)
+      : (Map[Long, Int], IndexedSeq[Array[Double]]) = {
+    var cents = vs.sortBy(_._1).take(k).map(_._2.clone()).toIndexedSeq
+    var asg: Map[Long, Int] = Map.empty
+    for (_ <- 1 to iters) {
+      asg = vs.map { case (id, v) =>
+        id -> cents.zipWithIndex.map { case (c, cid) =>
+          val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
+          val dvc = v.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
+          (dcc - 2 * dvc, cid)
+        }.min._2
+      }.toMap
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        val members = vs.collect { case (id, v) if asg(id) == cid => v }
+        if (members.isEmpty) old
+        else Array.tabulate(old.length)(d =>
+          math.floor(members.map(_(d)).sum / members.size * 1e6 + 0.5) / 1e6)
+      }
+    }
+    (asg, cents)
+  }
+
+  test("kmeans centroids and assignment match the serial Lloyd oracle") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 60L).map(id =>
+      id -> Array.fill(8)(rnd.nextInt(3) + (id % 4).toDouble * 5 + rnd.nextDouble() * 0.1))
+    val df = vs.toDF("vec_id", "embedding")
+    val (asg, cents) = serialKmeans(vs, k = 4, iters = 2)
+    val got = graft.operators.Clustering
+      .kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().sortBy(_.getInt(0))
+    assert(got.map(_.getInt(0)).toSeq == (0 until 4))
+    val wantCounts = (0 until 4).map(cid => asg.values.count(_ == cid).toLong)
+    assert(got.map(_.getLong(1)).toSeq == wantCounts)
+    for ((row, cid) <- got.zipWithIndex)
+      assert(row.getSeq[Double](2) == cents(cid).toSeq, s"centroid $cid")
+    val gotAsg = graft.operators.Clustering
+      .kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // kmeansAssign re-assigns under the FINAL centroids (one step past
+    // the oracle's last update): recompute the serial assignment there.
+    val wantAsg = vs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, cid) =>
+        val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
+        val dvc = v.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
+        (dcc - 2 * dvc, cid)
+      }.min._2
+    }.toMap
+    assert(gotAsg == wantAsg)
+  }
+
+  test("kmeans: a duplicated seed empties its cluster, which keeps its centroid") {
+    val vs: Seq[(Long, Array[Double])] = Seq(
+      0L -> Array(0.0, 0.0), 1L -> Array(0.0, 0.0), 2L -> Array(9.0, 9.0),
+      3L -> Array(0.1, 0.0), 4L -> Array(8.9, 9.1))
+    val got = graft.operators.Clustering
+      .kmeansCentroids(vs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 3, iters = 1)
+      .collect().sortBy(_.getInt(0))
+    // ids 0,1 tie at distance 0 -> both choose cid 0; cluster 1 is
+    // empty after iteration 1 and must keep its seed centroid
+    assert(got(1).getLong(1) == 0L)
+    assert(got(1).getSeq[Double](2) == Seq(0.0, 0.0))
+    assert(got(0).getLong(1) == 3L && got(2).getLong(1) == 2L)
+    assert(got(0).getSeq[Double](2) == Seq(0.033333, 0.0))
+    assert(got(2).getSeq[Double](2) == Seq(8.95, 9.05))
+    // ...and in the NEXT iteration the origin points migrate to the
+    // stationary empty centroid (closer than the one that moved):
+    // serial oracle and operator must agree on that dynamic too.
+    val it2 = graft.operators.Clustering
+      .kmeansCentroids(vs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 3, iters = 2)
+      .collect().sortBy(_.getInt(0))
+    val (asg2, cents2) = serialKmeans(vs, k = 3, iters = 2)
+    assert(it2.map(_.getLong(1)).toSeq ==
+      (0 until 3).map(cid => asg2.values.count(_ == cid).toLong))
+    for ((row, cid) <- it2.zipWithIndex)
+      assert(row.getSeq[Double](2) == cents2(cid).toSeq)
+  }
+
   test("vocabulary matches the serial frequency count with deterministic tie-break") {
     val res = graft.operators.TfIdf.vocabulary(docsDF, "text", 10)
       .as[(String, Long)].collect().toSeq
