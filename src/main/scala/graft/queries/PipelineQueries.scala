@@ -135,6 +135,22 @@ object PipelineQueries {
           col("seq"), col("seq_offset"))
     }),
 
+    // End-to-end corpus build: quality filter → exact-dedup survivors
+    // → deterministic 80% sample → per-language sequence packing, as
+    // ONE lazy plan — the composition proof that the curation
+    // operators chain without materialization barriers.
+    "pipe_e2e" -> ((s, dir) => {
+      val q = docs(s, dir)
+        .where(TextFunctions.qualityScore(col("text")) >= 0.3)
+      val dd = Dedup.dropExactDuplicates(q, "doc_id", "text")
+      val sampled = graft.operators.Sampling.hashSample(dd, "doc_id", 0.8)
+      val withTok = sampled.select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.Packing.packBy(withTok, "n_tok", 2048L, "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("seq"), col("seq_offset"))
+    }),
+
     // Incremental-ingest dedup: "new" docs (doc_id < 250) vs the
     // standing corpus (doc_id >= 250) — cross pairs only, fingerprint
     // blocked, combined block cap, exact-Jaccard verified at j >= 0.5.
@@ -747,6 +763,37 @@ object PipelineQueries {
         |SELECT doc_id, CAST(u.p AS INT) AS pos, hs[CAST(u.p AS INT) + 1] AS gh
         |FROM sel, unnest(ps) AS u(p)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "pipe_e2e" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |        (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+'))), 6) >= 0.3),
+        |dd AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |samp AS (
+        |  SELECT doc_id, lang, text FROM dd
+        |  WHERE ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 < 800),
+        |d2 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM samp),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(coalesce(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM d2)
+        |SELECT doc_id, lang, n_tok, tok_before // 2048 AS seq,
+        |  tok_before % 2048 AS seq_offset
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "q_mix_sample" ->
       """WITH s AS (
