@@ -258,6 +258,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got((qid, 1)) % 6 == qid % 6)
   }
 
+  test("trained IVF reaches full recall on planted clusters at nprobe=1") {
+    val rnd = new scala.util.Random(31)
+    val bases = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val vecs: Seq[(Long, Array[Double])] = (0L until 100L).map { i =>
+      val b = bases((i % 5).toInt)
+      (i, b.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val corpus = vecs.toDF("id", "vec")
+    val queries = vecs.take(8).toDF("qid", "vec")
+    val exact = Similarity.cosineTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k-means with k = number of planted clusters converges onto them
+    // in 2 iterations, so probing ONE trained cell already recovers
+    // the exact neighbors (the untrained lowest-id quantizer puts all
+    // 5 seed cells inside cluster 0 and needs high nprobe to recall
+    // anything outside it).
+    val trained = Similarity.ivfTopKTrained(queries, corpus, k = 5,
+      nCells = 5, nprobe = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall == 1.0, s"trained IVF recall $recall")
+  }
+
   test("sequence packing: offsets/seq follow the concat-then-chunk law, shard-local") {
     import graft.operators.Packing
     val rnd = new scala.util.Random(11)
