@@ -34,13 +34,12 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val results = ordered.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }
-    // 3-decimal seconds: the round harness keeps only the last 2000
-    // bytes of stdout, and 70+ queries at full double precision
+    // 2-decimal seconds: the round harness keeps only the last 2000
+    // bytes of stdout, and 80+ queries at full double precision
     // overflow it — the whole record must fit the tail window to be
-    // machine-parseable (full precision still lands in bench.json? no:
-    // one canonical record, same content both places, 1 ms granularity
-    // is below the run-to-run noise anyway).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // machine-parseable. One canonical record, same content both
+    // places; 10 ms granularity is far below the run-to-run noise.
+    def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -150,6 +150,43 @@ object TextFunctions {
     round(least(nTok, lit(200.0)) / 200.0 * (lit(1.0) - stopR), 6)
   }
 
+  // ---- Repetition metrics (Gopher-style quality signals) ---------------
+
+  /** Word n-grams as space-joined strings; empty array when the doc has
+    * fewer than `n` tokens (guarded: `sequence(0, negative)` would
+    * produce a DESCENDING range, not an empty one). Pure per-row
+    * builtins — no shuffle, stays inside whole-stage codegen. */
+  def wordNgrams(tokensCol: Column, n: Int): Column =
+    when(size(tokensCol) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokensCol) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(tokensCol, i + j)): _*)))
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier one:
+    * `1 - distinct/total` (0.0 for docs too short to have any). The
+    * duplicate-n-gram density filter of web-scale curation pipelines. */
+  def dupNgramFraction(tokensCol: Column, n: Int): Column = {
+    val g = wordNgrams(tokensCol, n)
+    when(size(g) <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+  }
+
+  /** Occurrence share of the single most frequent n-gram. One sorted
+    * pass with a higher-order aggregate (best-run/current-run/prev) —
+    * the per-doc mode without an explode+groupBy shuffle. */
+  def topNgramFraction(tokensCol: Column, n: Int): Column = {
+    val g = array_sort(wordNgrams(tokensCol, n))
+    val best = aggregate(
+      g,
+      struct(lit(0).as("best"), lit(0).as("run"), lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(greatest(acc("best"), run).as("best"), run.as("run"), x.as("prev"))
+      },
+      acc => acc("best"))
+    when(size(g) <= 0, lit(0.0)).otherwise(
+      round(best.cast("double") / size(g), 6))
+  }
+
   // ---- Language ID heuristic ------------------------------------------
 
   private val profiles: Seq[(String, Seq[String])] = Seq(

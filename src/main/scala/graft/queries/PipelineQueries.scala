@@ -33,6 +33,17 @@ object PipelineQueries {
         TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))).as("stop_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // Repetition quality signals: duplicate-bigram fraction, top-bigram
+    // occurrence share, duplicate-trigram fraction. Per-row column
+    // arithmetic only — the whole gate is a scan, no shuffle.
+    "txt_rep" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.dupNgramFraction(toks, 2).as("dup2"),
+        TextFunctions.topNgramFraction(toks, 2).as("top2"),
+        TextFunctions.dupNgramFraction(toks, 3).as("dup3"))
+    }),
+
     // BPE-ish token counting: letter runs / digit runs / single
     // punctuation — the GPT-2-style pre-tokenizer approximation.
     "txt_tokens_bpe" -> ((s, dir) =>
@@ -367,6 +378,27 @@ object PipelineQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM q WHERE quality >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Duplicate/top n-gram shares recomputed relationally (unnest +
+    // group by); docs too short for any n-gram fall out of the join and
+    // take the engine's defined 0.0. Same IEEE division + 6 dp round.
+    "txt_rep" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i + 1])) AS gram FROM t),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram FROM t),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, max(c) AS top, sum(c) AS total, count(*) AS nd FROM c2 GROUP BY 1),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, max(c) AS top, sum(c) AS total, count(*) AS nd FROM c3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(coalesce(1.0 - s2.nd / CAST(s2.total AS DOUBLE), 0.0), 6) AS dup2,
+        |  round(coalesce(s2.top / CAST(s2.total AS DOUBLE), 0.0), 6) AS top2,
+        |  round(coalesce(1.0 - s3.nd / CAST(s3.total AS DOUBLE), 0.0), 6) AS dup3
+        |FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id
+        |                 LEFT JOIN s3 ON d.doc_id = s3.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "txt_tokens_bpe" ->
       """SELECT doc_id,

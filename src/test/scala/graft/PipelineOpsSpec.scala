@@ -94,6 +94,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("repetition metrics match hand-computed fractions incl. short-doc edge cases") {
+    val df = Seq(
+      (1L, "a a a b"),        // bigrams: "a a","a a","a b" -> dup2 1/3, top2 2/3
+      (2L, "x y z"),          // all distinct -> dup2 0, top2 1/2
+      (3L, "w"),              // too short for bigrams -> 0.0, not a range error
+      (4L, ""),               // split("") = [""] (1 token) -> 0.0
+      (5L, "p q p q p q")     // "p q"x3,"q p"x2 -> dup2 3/5, top2 3/5, dup3: 4 grams 2 distinct
+    ).toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val got = df.select(col("doc_id"),
+        TextFunctions.dupNgramFraction(toks, 2).as("dup2"),
+        TextFunctions.topNgramFraction(toks, 2).as("top2"),
+        TextFunctions.dupNgramFraction(toks, 3).as("dup3"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((r6(1.0 - 2.0 / 3), r6(2.0 / 3), 0.0)))
+    assert(got(2L) == ((0.0, 0.5, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0, 0.0)))
+    assert(got(5L) == ((r6(3.0 / 5), r6(3.0 / 5), r6(1.0 - 2.0 / 4))))
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))
