@@ -514,6 +514,63 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** All three repetition-quality stats in ONE tokenize+count pass:
+    * struct(dup2, top2, dup3) where dup_n = 1 - distinct_n/total_n over
+    * word n-grams and top2 = share of the most frequent bigram. Exact
+    * parity with the Column form in `TextFunctions.ngramRepStats`
+    * (spec-asserted on random corpora): tokens are
+    * `split(trim(text), "\s+")` — UTF8String.trim (0x20 only) then a
+    * Java regex split with limit -1, so a doc starting with a tab keeps
+    * its leading empty token, and "" tokenizes to [""] — and the final
+    * division + 6-dp HALF_UP round reproduces Spark's `Round` on
+    * doubles bit-for-bit (BigDecimal.valueOf path). The higher-order
+    * Column form walks an interpreted expression tree per array
+    * element; this is the same math in one HashMap pass per row. */
+  case class RepStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("dup2", DoubleType, nullable = false),
+      StructField("top2", DoubleType, nullable = false),
+      StructField("dup3", DoubleType, nullable = false)))
+    @inline private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Any = {
+      val toks = s.trim().toString.split("\\s+", -1)
+      val n = toks.length
+      val total2 = n - 1
+      val total3 = n - 2
+      var dup2 = 0.0; var top2 = 0.0; var dup3 = 0.0
+      if (total2 > 0) {
+        val m2 = new java.util.HashMap[String, Integer](total2 * 2)
+        var best2 = 0
+        val m3 = if (total3 > 0) new java.util.HashMap[String, Integer](total3 * 2) else null
+        var i = 0
+        while (i < total2) {
+          val c = m2.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+          if (c > best2) best2 = c
+          if (i < total3)
+            m3.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 1, (a, b) => a + b)
+          i += 1
+        }
+        dup2 = round6(1.0 - m2.size.toDouble / total2)
+        top2 = round6(best2.toDouble / total2)
+        if (total3 > 0) dup3 = round6(1.0 - m3.size.toDouble / total3)
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](dup2, top2, dup3))
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("repStatsExpr", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (InternalRow) $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): RepStatsExpr =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers -------------------------------------------------
 
   def minhashSigNative(shingles: Column, numHashes: Int): Column =
@@ -550,4 +607,7 @@ object NativeExprs {
 
   def minMd5ShingleNative(text: Column, k: Int = 8): Column =
     ColumnBridge.column(MinMd5ShingleExpr(ColumnBridge.expression(text), k))
+
+  def repStatsNative(text: Column): Column =
+    ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
 }

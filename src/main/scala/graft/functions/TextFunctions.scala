@@ -155,37 +155,52 @@ object TextFunctions {
   /** Word n-grams as space-joined strings; empty array when the doc has
     * fewer than `n` tokens (guarded: `sequence(0, negative)` would
     * produce a DESCENDING range, not an empty one). Pure per-row
-    * builtins — no shuffle, stays inside whole-stage codegen. */
+    * builtins — no shuffle, no explode. */
   def wordNgrams(tokensCol: Column, n: Int): Column =
     when(size(tokensCol) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(tokensCol) - n),
         i => concat_ws(" ", (1 to n).map(j => element_at(tokensCol, i + j)): _*)))
 
-  /** Fraction of n-gram occurrences that are repeats of an earlier one:
-    * `1 - distinct/total` (0.0 for docs too short to have any). The
-    * duplicate-n-gram density filter of web-scale curation pipelines. */
-  def dupNgramFraction(tokensCol: Column, n: Int): Column = {
-    val g = wordNgrams(tokensCol, n)
-    when(size(g) <= 0, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+  /** Both repetition stats for one n in ONE sorted pass:
+    * `struct(dup, top)` where dup = 1 - distinct/total (fraction of
+    * n-gram occurrences that repeat an earlier one) and top = share of
+    * the single most frequent n-gram. A single higher-order `aggregate`
+    * tracks (best-run, current-run, distinct-so-far, prev) over the
+    * sorted grams — the per-doc mode + distinct count without an
+    * explode+groupBy shuffle, and without materializing the gram array
+    * once per metric (higher-order fns evaluate interpreted, so tree
+    * duplication is the dominant cost, not codegen). */
+  def ngramRepStats(tokensCol: Column, n: Int): Column = {
+    val g = array_sort(wordNgrams(tokensCol, n))
+    val agg = aggregate(
+      g,
+      struct(lit(0).as("best"), lit(0).as("run"), lit(0).as("nd"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val same = x === acc("prev") // null prev -> null -> otherwise
+        val run = when(same, acc("run") + 1).otherwise(lit(1))
+        val nd = when(same, acc("nd")).otherwise(acc("nd") + 1)
+        struct(greatest(acc("best"), run).as("best"), run.as("run"),
+          nd.as("nd"), x.as("prev"))
+      },
+      acc => struct(acc("best").as("best"), acc("nd").as("nd")))
+    val total = size(g)
+    struct(
+      when(total <= 0, lit(0.0)).otherwise(
+        round(lit(1.0) - agg("nd").cast("double") / total, 6)).as("dup"),
+      when(total <= 0, lit(0.0)).otherwise(
+        round(agg("best").cast("double") / total, 6)).as("top"))
   }
 
-  /** Occurrence share of the single most frequent n-gram. One sorted
-    * pass with a higher-order aggregate (best-run/current-run/prev) —
-    * the per-doc mode without an explode+groupBy shuffle. */
-  def topNgramFraction(tokensCol: Column, n: Int): Column = {
-    val g = array_sort(wordNgrams(tokensCol, n))
-    val best = aggregate(
-      g,
-      struct(lit(0).as("best"), lit(0).as("run"), lit(null).cast("string").as("prev")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
-        struct(greatest(acc("best"), run).as("best"), run.as("run"), x.as("prev"))
-      },
-      acc => acc("best"))
-    when(size(g) <= 0, lit(0.0)).otherwise(
-      round(best.cast("double") / size(g), 6))
-  }
+  /** Fraction of n-gram occurrences that are repeats of an earlier one
+    * (0.0 for docs too short to have any). The duplicate-n-gram density
+    * filter of web-scale curation pipelines. */
+  def dupNgramFraction(tokensCol: Column, n: Int): Column =
+    ngramRepStats(tokensCol, n)("dup")
+
+  /** Occurrence share of the single most frequent n-gram. */
+  def topNgramFraction(tokensCol: Column, n: Int): Column =
+    ngramRepStats(tokensCol, n)("top")
 
   // ---- Language ID heuristic ------------------------------------------
 

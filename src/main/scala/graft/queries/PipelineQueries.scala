@@ -34,14 +34,17 @@ object PipelineQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
     // Repetition quality signals: duplicate-bigram fraction, top-bigram
-    // occurrence share, duplicate-trigram fraction. Per-row column
-    // arithmetic only — the whole gate is a scan, no shuffle.
+    // occurrence share, duplicate-trigram fraction. One native
+    // tokenize+count pass per row (`RepStatsExpr`, spec-matched to the
+    // Column form in TextFunctions), no shuffle; the scan is
+    // repartitioned so per-row work spreads past the single parquet
+    // file's one split.
     "txt_rep" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.dupNgramFraction(toks, 2).as("dup2"),
-        TextFunctions.topNgramFraction(toks, 2).as("top2"),
-        TextFunctions.dupNgramFraction(toks, 3).as("dup3"))
+      val r = graft.functions.NativeExprs.repStatsNative(col("text"))
+      graft.operators.Repartition.forCompute(docs(s, dir)).select(col("doc_id"),
+        r("dup2").as("dup2"),
+        r("top2").as("top2"),
+        r("dup3").as("dup3"))
     }),
 
     // BPE-ish token counting: letter runs / digit runs / single

@@ -116,6 +116,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((r6(3.0 / 5), r6(3.0 / 5), r6(1.0 - 2.0 / 4))))
   }
 
+  test("native RepStatsExpr matches the Column form exactly (random corpus + edge cases)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "dog", "the", "x1")
+    val randomDocs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val edges = Seq(
+      (1000L, ""), (1001L, " "), (1002L, "w"), (1003L, "\ta b"),
+      (1004L, "a  b\n\nb  a"), (1005L, "é ü é ü é"))
+    val df = (randomDocs ++ edges).toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val native = graft.functions.NativeExprs.repStatsNative(col("text"))
+    val r2 = TextFunctions.ngramRepStats(toks, 2)
+    val mismatches = df.select(
+        native("dup2").as("nd2"), native("top2").as("nt2"), native("dup3").as("nd3"),
+        r2("dup").as("cd2"), r2("top").as("ct2"),
+        TextFunctions.dupNgramFraction(toks, 3).as("cd3"))
+      .where(col("nd2") =!= col("cd2") || col("nt2") =!= col("ct2") ||
+        col("nd3") =!= col("cd3"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))
