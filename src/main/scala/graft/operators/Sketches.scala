@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog cardinality sketch as a first-class distributed
+  * aggregate (Flajolet et al. 2007, the public HLL paper).
+  *
+  * Why not `approx_count_distinct`: Spark's builtin HLL++ sketch is
+  * engine-internal — its estimate can't be reproduced by another
+  * engine, so a result built on it is unverifiable and unportable.
+  * This operator keeps the sketch OPEN: the register table
+  * (register id → max rho) is a plain DataFrame any engine can
+  * compute from the same hash, merge (elementwise max), and turn
+  * into the same estimate.
+  *
+  * Determinism at any parallelism: per-register `max` is commutative
+  * (partial aggregation map-side, a ≤2^p-row shuffle regardless of
+  * input size — the 100 TB story), and for hashes ≤32 bits the
+  * harmonic sum is computed in SCALED INTEGER form
+  * (S0 = Σ 2^(C−rho_j), C = hashBits−p+12, exact in a long), so the
+  * estimate is one fixed-order double expression — bit-identical
+  * across engines and partitionings, which is what lets the driver
+  * hash-compare it against DuckDB. Hashes >32 bits fall back to a
+  * double harmonic sum (estimates only, ulp-order-sensitive — fine
+  * for use, not for a hash-equality oracle).
+  *
+  * The hash column is pluggable: production uses `xxhash64` (64-bit,
+  * spec-checked for accuracy); the oracle gate uses `md5Hash32` — the
+  * first 8 md5 hex chars — which DuckDB reproduces verbatim.
+  */
+object Sketches {
+
+  /** First 32 bits of md5 of the value's string form, as a long in
+    * [0, 2^32) — the cross-engine-reproducible hash (same idiom as
+    * `Sampling`'s per-mille bucket, 8 hex chars instead of 4). */
+  def md5Hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Register table: one row per non-empty register, `reg` in
+    * [0, 2^p), `r` = max over rows of rho (1 + leading zeros of the
+    * low hashBits−p bits; w+1 when they're all zero). The rho of the
+    * binary string form keeps the arithmetic integer-exact and maps
+    * 1:1 onto DuckDB's lpad/bin/instr. */
+  def hllRegisters(df: DataFrame, hashCol: Column, p: Int,
+                   hashBits: Int = 32): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    require(hashBits > p && hashBits <= 64, s"hashBits=$hashBits")
+    val w = hashBits - p
+    val h = hashCol.cast("long")
+    val reg = shiftrightunsigned(h, w).as("reg")
+    val low = h.bitwiseAND(lit((1L << w) - 1))
+    val firstOne = instr(lpad(bin(low), w, "0"), "1")
+    val rho = when(firstOne === 0, lit(w + 1)).otherwise(firstOne)
+    df.select(reg, rho.as("rho"))
+      .groupBy("reg").agg(max("rho").as("r"))
+  }
+
+  /** Merge two sketches: elementwise max — the HLL merge law. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("reg").agg(max("r").as("r"))
+
+  /** alpha_m bias constant, built from the same literal arithmetic on
+    * both engines (constant-folded to the identical IEEE double). */
+  private def alphaExpr(m: Int): Column =
+    if (m >= 128) lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    else if (m == 64) lit(0.709)
+    else if (m == 32) lit(0.697)
+    else lit(0.673)
+
+  /** Raw HLL estimate from a register table: one row
+    * (regs_hit, est). Valid for n ≳ 2.5·2^p (no small-range
+    * correction — by design: the correction's `ln` is the one step
+    * libm implementations may disagree on). */
+  def hllEstimate(regs: DataFrame, p: Int, hashBits: Int = 32): DataFrame = {
+    val m = 1 << p
+    val w = hashBits - p
+    if (hashBits <= 32) {
+      // Scaled-integer harmonic sum: C−rho in [C−w−1, C], terms and
+      // the empty-register block fit a long for hashBits ≤ 32, p ≥ 4.
+      val c = w + 12
+      val scale = math.pow(2.0, c) // exact power of two
+      regs.agg(
+        coalesce(sum(expr(s"cast(power(2.0, $c - r) as bigint)")), lit(0L))
+          .as("s_hit"),
+        count(lit(1)).as("nhit"))
+        .select(
+          col("nhit").as("regs_hit"),
+          round(alphaExpr(m) * lit(m.toDouble * m) * lit(scale) /
+            (col("s_hit") + (lit(m.toLong) - col("nhit")) * lit(scale.toLong)),
+            6).as("est"))
+    } else {
+      regs.agg(
+        coalesce(sum(expr("power(2.0, -r)")), lit(0.0)).as("s_hit"),
+        count(lit(1)).as("nhit"))
+        .select(
+          col("nhit").as("regs_hit"),
+          round(alphaExpr(m) * lit(m.toDouble * m) /
+            (col("s_hit") + (lit(m.toDouble) - col("nhit"))), 6).as("est"))
+    }
+  }
+
+  /** df + hash column → one-row (regs_hit, est). */
+  def hllCardinality(df: DataFrame, hashCol: Column, p: Int,
+                     hashBits: Int = 32): DataFrame =
+    hllEstimate(hllRegisters(df, hashCol, p, hashBits), p, hashBits)
+}

@@ -289,6 +289,18 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n"),
           col("sum").cast("long").as("sum_qty"))),
 
+    // HLL cardinality sketch over a fact-table key: open register
+    // table (map-side max per register, ≤2^10-row shuffle at any input
+    // size), scaled-integer harmonic sum → the raw estimate is
+    // bit-identical across engines and partitionings. Exact distinct
+    // count alongside for the accuracy story.
+    "sk_hll" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      graft.operators.Sketches.hllCardinality(
+        li, graft.operators.Sketches.md5Hash32(col("l_partkey")), p = 10)
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
+    }),
+
     // The stream-stream interval join's batch face (same code path the
     // stream runs, watermarks are no-ops in batch): purchases joined to
     // same-user signups within one hour.
@@ -481,6 +493,29 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sk_hll" ->
+      """WITH h AS (
+        |  SELECT ((instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 4, 1)) - 1) * 65536
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 5, 1)) - 1) * 4096
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 6, 1)) - 1) * 256
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 7, 1)) - 1) * 16
+        |        + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 8, 1)) - 1)) AS h
+        |  FROM lineitem),
+        |r AS (SELECT h // 4194304 AS reg,
+        |             max(CASE WHEN instr(lpad(bin(h % 4194304), 22, '0'), '1') = 0 THEN 23
+        |                      ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END) AS r
+        |      FROM h GROUP BY 1),
+        |a AS (SELECT CAST(coalesce(sum(CAST(power(2.0, 34 - r) AS BIGINT)), 0) AS BIGINT) AS s_hit,
+        |             count(*) AS nhit FROM r)
+        |SELECT CAST(nhit AS BIGINT) AS regs_hit,
+        |       round((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 17179869184.0
+        |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
+        |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
+        |FROM a""".stripMargin,
 
     "q_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id

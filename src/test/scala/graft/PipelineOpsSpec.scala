@@ -139,6 +139,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("HLL sketch: merge law, partitioning-invariance, 64-bit accuracy, serial oracle") {
+    import graft.operators.Sketches
+    val n = 20000
+    val df = (0L until n.toLong).map(i => i * 7919L + 13L).toDF("k")
+    // Serial oracle for the 32-bit md5 path: same hash, same registers,
+    // same scaled-integer estimate, computed in plain Scala.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = new Array[Int](1024)
+    df.collect().map(_.getLong(0)).foreach { v =>
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val reg = (h >>> 22).toInt
+      val low = h & ((1L << 22) - 1)
+      val rho = if (low == 0) 23 else java.lang.Long.numberOfLeadingZeros(low) - 64 + 22 + 1
+      if (rho > regs(reg)) regs(reg) = rho
+    }
+    val s0 = regs.map(r => 1L << (34 - r)).sum
+    val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+    val expectEst = BigDecimal(alpha * 1048576.0 * 17179869184.0 / s0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val est1 = Sketches.hllCardinality(df, Sketches.md5Hash32(col("k")), p = 10)
+      .collect()(0)
+    assert(est1.getAs[Double]("est") == expectEst)
+    // Partitioning invariance: identical estimate from a different layout.
+    val est2 = Sketches.hllCardinality(df.repartition(7), Sketches.md5Hash32(col("k")), p = 10)
+      .collect()(0).getAs[Double]("est")
+    assert(est2 == expectEst)
+    // Merge law: sketch(a ∪ b) == merge(sketch(a), sketch(b)).
+    val (a, b) = (df.where(col("k") % 3 === 0), df.where(col("k") % 3 =!= 0))
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a, Sketches.md5Hash32(col("k")), 10),
+      Sketches.hllRegisters(b, Sketches.md5Hash32(col("k")), 10))
+    val whole = Sketches.hllRegisters(df, Sketches.md5Hash32(col("k")), 10)
+    assert(merged.unionAll(whole).groupBy("reg", "r").count()
+      .where(col("count") =!= 2).count() == 0)
+    // Production hash path: xxhash64, estimate within HLL error bounds
+    // (sigma = 1.04/sqrt(1024) = 3.25%; allow 5 sigma).
+    val est64 = Sketches.hllCardinality(df, xxhash64(col("k")), p = 10, hashBits = 64)
+      .collect()(0).getAs[Double]("est")
+    assert(math.abs(est64 - n) < 5 * 0.0325 * n, s"est64=$est64")
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))
