@@ -105,4 +105,60 @@ object Sketches {
   def hllCardinality(df: DataFrame, hashCol: Column, p: Int,
                      hashBits: Int = 32): DataFrame =
     hllEstimate(hllRegisters(df, hashCol, p, hashBits), p, hashBits)
+
+  // ---- Equi-width histogram quantile sketch ---------------------------
+
+  /** Histogram sketch over [lo, hi]: `bins` equal-width buckets, one
+    * row per non-empty bucket (bin, cnt). The open-state quantile
+    * companion to the HLL sketch: counts are exact longs, merge = sum
+    * by bin, the shuffle is ≤`bins` rows per partition at any input
+    * size, and the binning expression is plain double arithmetic any
+    * engine reproduces bit-for-bit. (A t-digest gives tighter tails but
+    * its centroids depend on input order and merge schedule — it can
+    * never be hash-verified across engines; an equi-width histogram is
+    * the deterministic trade.) Values outside [lo, hi] clamp to the
+    * edge buckets. */
+  def histSketch(df: DataFrame, value: Column, lo: Column, hi: Column,
+                 bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"bins=$bins")
+    val v = value.cast("double")
+    val bin = least(greatest(
+      floor((v - lo) / (hi - lo) * lit(bins.toDouble)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.where(v.isNotNull).select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histogram sketches: per-bin count sum. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("bin").agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a histogram sketch: one row per q of
+    * (q, est), est = linear interpolation inside the bucket holding
+    * rank q·N. Cumulative counts come from a window over ≤`bins` rows
+    * ordered by the integer bin id — exact longs in a deterministic
+    * order — and the final interpolation is one fixed-order double
+    * expression, so the estimate is engine- and partitioning-
+    * deterministic (6-dp rounded like every gate double). */
+  def histQuantiles(hist: DataFrame, lo: Column, hi: Column, bins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    // Constant partition key: the frame is ≤`bins` rows by
+    // construction, and an explicit (if degenerate) partition spec
+    // keeps WindowExec's single-partition warning out of the logs.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("bin").rowsBetween(Long.MinValue, 0)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(hist.agg(sum("cnt").as("n"))) // 1-row broadcast
+    val width = (hi - lo) / lit(bins.toDouble)
+    cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("target", col("q") * col("n"))
+      .where(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(col("q"),
+        round(lo + (col("bin") +
+          (col("target") - (col("cum") - col("cnt"))) / col("cnt")) * width,
+          6).as("est"))
+  }
 }

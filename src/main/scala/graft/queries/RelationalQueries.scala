@@ -301,6 +301,17 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
+    // Histogram quantile sketch over a fact measure: 256 configured
+    // equi-width buckets (TPC-H price domain), exact long counts,
+    // ≤256-row shuffle at any input size, deterministic interpolation.
+    "sk_quant" -> ((s, dir) => {
+      val hist = graft.operators.Sketches.histSketch(
+        t(s, dir, "lineitem"), col("l_extendedprice"),
+        lit(900.0), lit(105000.0), bins = 256)
+      graft.operators.Sketches.histQuantiles(
+        hist, lit(900.0), lit(105000.0), 256, Seq(0.5, 0.95, 0.99))
+    }),
+
     // The stream-stream interval join's batch face (same code path the
     // stream runs, watermarks are no-ops in batch): purchases joined to
     // same-user signups within one hour.
@@ -516,6 +527,22 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "sk_quant" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+        |           / (105000.0 - 900.0) * 256.0), 0.0), 255.0) AS BIGINT) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        (SELECT sum(cnt) FROM h) AS n FROM h),
+        |q AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+        |SELECT q.q,
+        |  round(900.0 + (c.bin + (q.q * c.n - (c.cum - c.cnt)) / c.cnt)
+        |        * ((105000.0 - 900.0) / 256.0), 6) AS est
+        |FROM c, q
+        |WHERE c.cum >= q.q * c.n AND (c.cum - c.cnt) < q.q * c.n""".stripMargin,
 
     "q_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id

@@ -182,6 +182,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(est64 - n) < 5 * 0.0325 * n, s"est64=$est64")
   }
 
+  test("histogram quantile sketch: merge law, bin-width accuracy, clamping") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(23)
+    val vals = Seq.fill(8000)(rnd.nextDouble() * 1000.0) ++
+      Seq(-50.0, 1200.0) // clamp to edge buckets, not dropped
+    val df = vals.toDF("v")
+    val (lo, hi, bins) = (lit(0.0), lit(1000.0), 200)
+    val hist = Sketches.histSketch(df, col("v"), lo, hi, bins)
+    // Counts conserve rows (clamped values included).
+    assert(hist.agg(sum("cnt")).collect()(0).getLong(0) == vals.size)
+    // Merge law: hist(a ∪ b) == merge(hist(a), hist(b)).
+    val (a, b) = (df.limit(3000), df.exceptAll(df.limit(3000)))
+    val merged = Sketches.histMerge(
+      Sketches.histSketch(a, col("v"), lo, hi, bins),
+      Sketches.histSketch(b, col("v"), lo, hi, bins))
+    assert(merged.unionAll(hist).groupBy("bin", "cnt").count()
+      .where(col("count") =!= 2).count() == 0)
+    // Each estimate is within one bin width of the exact percentile.
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val est = Sketches.histQuantiles(hist, lo, hi, bins, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    val binW = 1000.0 / bins
+    for (q <- qs) {
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+      assert(math.abs(est(q) - exact) <= binW + 1e-9,
+        s"q=$q est=${est(q)} exact=$exact")
+    }
+    // Partitioning invariance: bit-identical estimates.
+    val est2 = Sketches.histQuantiles(
+      Sketches.histSketch(df.repartition(7), col("v"), lo, hi, bins),
+      lo, hi, bins, qs).collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est2 == est)
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))

@@ -100,10 +100,12 @@ class PlanSpec extends AnyFunSuite {
     // broadcast side is BOUNDED by construction: knn_cosine (≤10-row
     // query set) and knn_ivf (nCells centroid table + nprobe cells per
     // query; the corpus side streams, never shuffles) and txt_tfidf
-    // (broadcast of the 1-row corpus-size aggregate) and sk_hll
+    // (broadcast of the 1-row corpus-size aggregate), sk_hll
     // (broadcast of the 1-row exact-count aggregate next to the 1-row
-    // sketch estimate).
-    val boundedCrossJoins = Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll")
+    // sketch estimate) and sk_quant (1-row total-count broadcast onto
+    // the ≤256-row histogram).
+    val boundedCrossJoins =
+      Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
