@@ -133,6 +133,50 @@ object Sketches {
   def histMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("bin").agg(sum("cnt").as("cnt"))
 
+  // ---- Count-min frequency sketch -------------------------------------
+
+  /** Count-min sketch (Cormode–Muthukrishnan, public): `d` hash rows ×
+    * `w` buckets of exact long counters. The frequency member of the
+    * sketch family: counters are integers end-to-end (no FP anywhere),
+    * merge = cell-wise sum, and the shuffle is ≤d·w cells per
+    * partition at any input size. Row i's hash is the md5-slice of
+    * "key:i" — reproducible by any engine, same idiom as the gates'
+    * other hashes. */
+  def cmSketch(df: DataFrame, key: Column, d: Int = 4,
+               w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2, s"d=$d w=$w")
+    val rows = array((0 until d).map { i =>
+      struct(lit(i).as("i"),
+        (md5Hash32(concat(key.cast("string"), lit(":"), lit(i.toString)))
+          % w).as("bucket"))
+    }: _*)
+    df.select(explode(rows).as("e"))
+      .select(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two count-min sketches: cell-wise counter sum. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("i", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate frequencies for a candidate key set: min over the
+    * d counters each key hashes to (never under-estimates; over-
+    * estimate bounded by collisions). The probe is a broadcast equijoin
+    * on (i, bucket) — candidates × d rows against ≤d·w cells. */
+  def cmEstimate(sketch: DataFrame, candidates: DataFrame, key: Column,
+                 d: Int = 4, w: Int = 1024): DataFrame = {
+    val probes = candidates
+      .select(key.as("k"),
+        explode(array((0 until d).map { i =>
+          struct(lit(i).as("i"),
+            (md5Hash32(concat(key.cast("string"), lit(":"), lit(i.toString)))
+              % w).as("bucket"))
+        }: _*)).as("e"))
+      .select(col("k"), col("e.i").as("i"), col("e.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy("k").agg(min("cnt").as("n_est"))
+  }
+
   /** Quantile estimates from a histogram sketch: one row per q of
     * (q, est), est = linear interpolation inside the bucket holding
     * rank q·N. Cumulative counts come from a window over ≤`bins` rows

@@ -301,6 +301,20 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
+    // Count-min frequency sketch: exact-integer counters end-to-end
+    // (no FP anywhere), probed for the exact top-10 heavy hitters —
+    // estimates never under-count; ties at the top-10 boundary are
+    // broken by (count desc, key) in both engines.
+    "sk_cm" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val sketch = graft.operators.Sketches.cmSketch(ev, col("user_id"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("user_id")).limit(10)
+      graft.operators.Sketches.cmEstimate(sketch, top, col("user_id"))
+        .join(top, col("k") === col("user_id"))
+        .select(col("user_id"), col("n_true"), col("n_est"))
+    }),
+
     // Histogram quantile sketch over a fact measure: 256 configured
     // equi-width buckets (TPC-H price domain), exact long counts,
     // ≤256-row shuffle at any input size, deterministic interpolation.
@@ -527,6 +541,42 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "sk_cm" ->
+      """WITH g AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |cm AS (SELECT g.i, md5(CAST(user_id AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)) AS m
+        |       FROM events, g),
+        |cells AS (
+        |  SELECT i,
+        |    ((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |   + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 16777216
+        |   + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 1048576
+        |   + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) * 65536
+        |   + (instr('0123456789abcdef', substr(m, 5, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(m, 6, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(m, 7, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(m, 8, 1)) - 1)) % 1024 AS bucket,
+        |    count(*) AS cnt
+        |  FROM cm GROUP BY 1, 2),
+        |top AS (SELECT user_id, count(*) AS n_true FROM events
+        |        GROUP BY 1 ORDER BY n_true DESC, user_id LIMIT 10),
+        |pm AS (SELECT t.user_id, t.n_true, g.i,
+        |              md5(CAST(t.user_id AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)) AS m
+        |       FROM top t, g),
+        |probes AS (
+        |  SELECT user_id, n_true, i,
+        |    ((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |   + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 16777216
+        |   + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 1048576
+        |   + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) * 65536
+        |   + (instr('0123456789abcdef', substr(m, 5, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(m, 6, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(m, 7, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(m, 8, 1)) - 1)) % 1024 AS bucket
+        |  FROM pm)
+        |SELECT p.user_id, p.n_true, min(c.cnt) AS n_est
+        |FROM probes p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+        |GROUP BY 1, 2""".stripMargin,
 
     "sk_quant" ->
       """WITH b AS (

@@ -217,6 +217,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est2 == est)
   }
 
+  test("count-min sketch: never under-counts, conserves mass, merge law, forced collisions") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(31)
+    // Heavy-tailed keys: key k appears ~1000/(k+1) times.
+    val keys = (0 until 50).flatMap(k => Seq.fill(1000 / (k + 1))(k.toLong))
+    val df = rnd.shuffle(keys).toDF("k")
+    val n = keys.size.toLong
+    val trueCnt = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (w <- Seq(1024, 8)) { // 8 forces collisions; the bound must hold anyway
+      val sk = Sketches.cmSketch(df, col("k"), d = 4, w = w)
+      // Mass conservation: every hash row holds all n observations.
+      val mass = sk.groupBy("i").agg(sum("cnt").as("s")).collect()
+      assert(mass.length == 4 && mass.forall(_.getAs[Long]("s") == n))
+      val est = Sketches.cmEstimate(sk, df.distinct(), col("k"), d = 4, w = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(est.size == 50)
+      for ((k, t) <- trueCnt) assert(est(k) >= t, s"w=$w k=$k est=${est(k)} true=$t")
+      if (w == 1024) // ~50 keys in 1024 buckets: exact for the heavy head
+        assert(est(0L) == trueCnt(0L))
+    }
+    // Merge law: sketch(a ∪ b) == merge(sketch(a), sketch(b)).
+    val (a, b) = (df.limit(700), df.exceptAll(df.limit(700)))
+    val merged = Sketches.cmMerge(
+      Sketches.cmSketch(a, col("k")), Sketches.cmSketch(b, col("k")))
+    assert(merged.unionAll(Sketches.cmSketch(df, col("k")))
+      .groupBy("i", "bucket", "cnt").count()
+      .where(col("count") =!= 2).count() == 0)
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))
