@@ -80,7 +80,7 @@ object Clustering {
     * array of (score, cid) structs reduced by array_min's struct
     * ordering. `dot(c,c)` is folded on the driver with the same
     * sequential order as the executors' `dotNative`. */
-  private def assign(e: DataFrame, centroids: IndexedSeq[Array[Double]]): DataFrame = {
+  private[operators] def assign(e: DataFrame, centroids: IndexedSeq[Array[Double]]): DataFrame = {
     val scored: Seq[Column] = centroids.zipWithIndex.map { case (c, cid) =>
       val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
       val s = lit(dcc) - lit(2.0) * NativeExprs.dotNative(col("v"), typedLit(c.toSeq))

@@ -238,6 +238,22 @@ object PipelineQueries {
         .select(col("qid"), col("id"), col("rk"))
     }),
 
+    // Product-quantized ANN (PQ/ADC): per-subspace Lloyd codebooks
+    // (engine-exact trajectory), one-scan encode to m=4 3-bit codes,
+    // ADC scoring via driver-built lookup tables — the whole
+    // train→encode→search pipeline is hash-gated.
+    "knn_pq" -> ((s, dir) => {
+      import graft.operators.ProductQuant
+      val e = embs(s, dir)
+      val cbs = ProductQuant.trainCodebooks(e, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 8, iters = 2)
+      val codes = ProductQuant.encode(e, "vec_id", "embedding", cbs, subDim = 16)
+      val probes = e.where(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+      ProductQuant.adcTopK(codes, probes, cbs, subDim = 16, topK = 5)
+    }),
+
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "knn_cosine" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -349,7 +365,61 @@ object PipelineQueries {
           sum(col("height").cast("long")).as("sum_h"))
     }))
 
+  /** knn_pq oracle, generated: the emb_kmeans recursive-Lloyd CTE
+    * chain instantiated once per PQ subspace (slice offsets 0/16/32/48,
+    * dim 16, k=8, 2 iterations), then encode, probe LUTs, and the ADC
+    * score join. Same determinism seams as emb_kmeans: sequential
+    * list_sum dots, 1e-6 centroid snap, (score, cid) tie-breaks. */
+  private def pqOracleSql: String = {
+    val subs = (0 until 4).map { s =>
+      val o = 16 * s
+      def iter(n: Int): String = {
+        val prev = s"c$s${n - 1}"
+        s"""s$s$n AS (SELECT e.id, e.v, c.cid,
+           |    list_sum(list_transform(c.c, x -> x * x)) -
+           |    2 * list_sum(list_transform(range(1, 17), i -> e.v[i] * c.c[i])) AS s
+           |  FROM e$s e CROSS JOIN $prev c),
+           |a$s$n AS (SELECT id, v, cid FROM (
+           |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+           |    FROM s$s$n) WHERE rn = 1),
+           |m$s$n AS (SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS mv
+           |  FROM a$s$n CROSS JOIN range(1, 17) t(d) GROUP BY cid, d),
+           |c$s$n AS (SELECT p.cid, coalesce(mm.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cid, list(mv ORDER BY d) AS c FROM m$s$n GROUP BY cid) mm
+           |    ON p.cid = mm.cid)""".stripMargin
+      }
+      s"""e$s AS (SELECT vec_id AS id,
+         |  list_transform(range(1, 17), i -> embedding[CAST($o + i AS INT)]::DOUBLE) AS v
+         |  FROM embeddings),
+         |c${s}0 AS (SELECT CAST(id AS INT) AS cid, v AS c FROM e$s WHERE id < 8),
+         |${iter(1)},
+         |${iter(2)},
+         |n$s AS (SELECT id, cid AS code FROM (
+         |    SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id ORDER BY
+         |      list_sum(list_transform(c.c, x -> x * x)) -
+         |      2 * list_sum(list_transform(range(1, 17), i -> e.v[i] * c.c[i])), c.cid) AS rn
+         |    FROM e$s e CROSS JOIN c${s}2 c) WHERE rn = 1),
+         |l$s AS (SELECT q.id AS qid, c.cid AS code,
+         |    list_sum(list_transform(c.c, x -> x * x)) -
+         |    2 * list_sum(list_transform(range(1, 17), i -> q.v[i] * c.c[i])) AS part
+         |  FROM e$s q CROSS JOIN c${s}2 c WHERE q.id < 3)""".stripMargin
+    }
+    s"""WITH ${subs.mkString(",\n")},
+       |sc AS (SELECT n0.id, l0.qid, l0.part + l1.part + l2.part + l3.part AS score
+       |  FROM n0 JOIN n1 ON n0.id = n1.id JOIN n2 ON n0.id = n2.id JOIN n3 ON n0.id = n3.id
+       |  JOIN l0 ON l0.code = n0.code
+       |  JOIN l1 ON l1.code = n1.code AND l1.qid = l0.qid
+       |  JOIN l2 ON l2.code = n2.code AND l2.qid = l0.qid
+       |  JOIN l3 ON l3.code = n3.code AND l3.qid = l0.qid)
+       |SELECT qid, id, round(score, 6) AS score, rk FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score, id) AS rk FROM sc) t
+       |WHERE rk <= 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "knn_pq" -> pqOracleSql,
     "txt_tokens" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
         |       CAST(length(text) AS INT) AS len

@@ -246,6 +246,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where(col("count") =!= 2).count() == 0)
   }
 
+  test("PQ/ADC: codes in range, self-retrieval, recall vs exact L2, partitioning invariance") {
+    import graft.operators.ProductQuant
+    val rnd = new scala.util.Random(41)
+    // 12 planted centers in 32-dim space, 20 members each + noise.
+    val centers = IndexedSeq.fill(12)(Array.fill(32)(rnd.nextDouble() * 4 - 2))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.15).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = ProductQuant.trainCodebooks(df, "vec_id", "embedding",
+      m = 4, subDim = 8, k = 8, iters = 3)
+    assert(cbs.length == 4 && cbs.forall(_.length == 8) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val codes = ProductQuant.encode(df, "vec_id", "embedding", cbs, subDim = 8)
+    val codeRows = codes.collect()
+    assert(codeRows.length == 240)
+    for (r <- codeRows; s <- 0 until 4) {
+      val c = r.getAs[Int](s"code$s"); assert(c >= 0 && c < 8)
+    }
+    // Probes = 6 corpus vectors; ADC top-10 vs exact-L2 top-10.
+    val probes = vecs.take(6).map { case (id, v) => id -> v.toArray }
+    val got = ProductQuant.adcTopK(codes, probes, cbs, subDim = 8, topK = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    def l2(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((qid, qv) <- probes) {
+      val exact = vecs.sortBy { case (id, v) => (l2(qv, v), id) }.take(10).map(_._1)
+      // own vector must come back first: its code word is its own argmin
+      assert(got(qid).head == qid, s"qid=$qid top=${got(qid).head}")
+      // ADC collapses same-code cluster members to one score (ties by
+      // id), so exact-set overlap is hypergeometric — the stable claim
+      // is cluster containment plus non-trivial overlap.
+      val sameCluster = got(qid).count(id => id % 12 == qid % 12)
+      assert(sameCluster >= 8, s"qid=$qid onlyCluster=$sameCluster/10")
+      val recall = got(qid).count(exact.contains).toDouble / 10
+      assert(recall >= 0.3, s"qid=$qid recall=$recall (12-bit codes)")
+    }
+    // Deterministic under a different partitioning: identical rows.
+    val again = ProductQuant.adcTopK(
+      ProductQuant.encode(df.repartition(7), "vec_id", "embedding", cbs, subDim = 8),
+      probes, cbs, subDim = 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val first = ProductQuant.adcTopK(codes, probes, cbs, subDim = 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(again == first)
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))

@@ -102,10 +102,11 @@ class PlanSpec extends AnyFunSuite {
     // query; the corpus side streams, never shuffles) and txt_tfidf
     // (broadcast of the 1-row corpus-size aggregate), sk_hll
     // (broadcast of the 1-row exact-count aggregate next to the 1-row
-    // sketch estimate) and sk_quant (1-row total-count broadcast onto
-    // the ≤256-row histogram).
+    // sketch estimate), sk_quant (1-row total-count broadcast onto
+    // the ≤256-row histogram) and knn_pq (≤3-row broadcast of
+    // driver-built ADC lookup tables onto the code table).
     val boundedCrossJoins =
-      Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant")
+      Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant", "knn_pq")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
