@@ -151,4 +151,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("HLL sketch state streams: incremental register maxes equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+
+    // The sketch's open state (reg -> max rho) is an algebraic
+    // aggregate, so the SAME operator runs unchanged as a streaming
+    // groupBy in update mode — registers converge to the batch answer
+    // as batches arrive, which is what makes the sketch usable for
+    // live cardinality over an unbounded stream.
+    val keys = (0L until 5000L).map(i => i * 7919L + 13L)
+    val input = MemoryStream[Long]
+    val regs = Sketches.hllRegisters(input.toDF(), Sketches.md5Hash32(col("value")), p = 10)
+    val q = regs.writeStream.format("memory")
+      .queryName("hll_out").outputMode("complete").start()
+    try {
+      input.addData(keys.take(2000): _*)
+      q.processAllAvailable()
+      input.addData(keys.drop(2000): _*)
+      q.processAllAvailable()
+      val got = spark.table("hll_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = Sketches.hllRegisters(
+        keys.toDF("value"), Sketches.md5Hash32(col("value")), p = 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == batch)
+      // and the estimate built from the streamed state is the batch one
+      val estS = Sketches.hllEstimate(spark.table("hll_out"), p = 10)
+        .collect()(0).getAs[Double]("est")
+      val estB = Sketches.hllEstimate(
+        Sketches.hllRegisters(keys.toDF("value"), Sketches.md5Hash32(col("value")), p = 10),
+        p = 10).collect()(0).getAs[Double]("est")
+      assert(estS == estB)
+    } finally q.stop()
+  }
 }
