@@ -122,6 +122,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch aggregations are map-side combined; PQ never shuffles the corpus") {
+    // sk_hll / sk_cm / sk_quant: the whole point of sketching at scale
+    // is that raw rows never cross the wire — the register/cell/bin
+    // aggregation must show a partial (map-side) phase before its
+    // exchange, so the shuffle is bounded by sketch size × partitions.
+    for (name <- Seq("sk_hll", "sk_quant", "sk_cm")) {
+      val p = physical(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("partial_max") || p.contains("partial_count"),
+        s"$name lost its map-side combine:\n$p")
+    }
+    // knn_pq: codebooks are literals and LUTs broadcast, so the code
+    // table reaches ADC scoring with no join-induced Exchange; the only
+    // exchange is the top-k window's partition-by-probe shuffle of
+    // (id, codes, qid) rows.
+    val p = physical(SparkEntry.queries("knn_pq")(spark, dir))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("BroadcastExchange"), p) // the bounded LUT side
+  }
+
   test("q1 scan prunes to exactly the referenced columns") {
     val df = SparkEntry.queries("q1_agg")(spark, dir)
     val scanLine = physical(df).linesIterator.find(_.contains("ReadSchema")).getOrElse(
