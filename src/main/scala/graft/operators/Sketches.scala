@@ -53,7 +53,9 @@ object Sketches {
     val low = h.bitwiseAND(lit((1L << w) - 1))
     val firstOne = instr(lpad(bin(low), w, "0"), "1")
     val rho = when(firstOne === 0, lit(w + 1)).otherwise(firstOne)
-    df.select(reg, rho.as("rho"))
+    // null hashes (null keys) carry no cardinality information and
+    // would otherwise materialize a null register row
+    df.where(hashCol.isNotNull).select(reg, rho.as("rho"))
       .groupBy("reg").agg(max("rho").as("r"))
   }
 
@@ -150,7 +152,7 @@ object Sketches {
         (md5Hash32(concat(key.cast("string"), lit(":"), lit(i.toString)))
           % w).as("bucket"))
     }: _*)
-    df.select(explode(rows).as("e"))
+    df.where(key.isNotNull).select(explode(rows).as("e"))
       .select(col("e.i").as("i"), col("e.bucket").as("bucket"))
       .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
   }

@@ -301,6 +301,21 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
+    // PIVOT: long-to-wide event counts per user decile — explicit
+    // value list (never inferred: an inferred pivot is a full distinct
+    // scan AND a nondeterministic column set), conditional-aggregation
+    // execution shape, one shuffle on the 10 grouping keys.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("decile"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup"))
+        .count()
+        .select(col("decile"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"))),
+
     // Count-min frequency sketch: exact-integer counters end-to-end
     // (no FP anywhere), probed for the exact top-10 heavy hitters —
     // estimates never under-count; ties at the top-10 boundary are
@@ -541,6 +556,14 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS decile,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sk_cm" ->
       """WITH g AS (SELECT unnest([0, 1, 2, 3]) AS i),
