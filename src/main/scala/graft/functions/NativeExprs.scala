@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -610,4 +610,75 @@ object NativeExprs {
 
   def repStatsNative(text: Column): Column =
     ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
+
+  // ---- Bloom filter (build + probe share one hash) ---------------------
+
+  /** Bloom bit positions of a long key under Kirsch–Mitzenmacher double
+    * hashing: pos_i = (h1 + i·h2) mod m for i < k, with h1/h2 two
+    * seeded XXH64 draws (h2 forced odd so the probe walk cycles every
+    * slot of a power-of-two filter). The build side of
+    * [[BloomMightContainExpr]] — one hash implementation shared by
+    * both expressions, so filter and probe can never drift apart. */
+  case class BloomPositionsExpr(child: Expression, m: Long, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    def positions(v: Long): GenericArrayData = {
+      val h1 = XXH64.hashLong(v, 42L)
+      val h2 = XXH64.hashLong(v, 0x9e3779b97f4a7c15L) | 1L
+      val out = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        out(i) = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      positions(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomPositionsExpr", this)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.positions($v);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomPositionsExpr =
+      copy(child = newChild)
+  }
+
+  /** Bloom membership probe over a long key: true iff all k probe bits
+    * are set in `words` (the filter is m = 64·words.length bits). The
+    * bit array rides the expression as one reference object inside the
+    * generated code — a single per-executor copy, no UDF boxing, and
+    * the probe stays inside whole-stage codegen so it lands directly
+    * on the parquet scan it is pruning. False positives possible
+    * (rate ≈ (1−e^{−kn/m})^k), false negatives impossible. */
+  case class BloomMightContainExpr(child: Expression, words: Array[Long], k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    private val m: Long = words.length.toLong * 64L
+    def test(v: Long): Boolean = {
+      val h1 = XXH64.hashLong(v, 42L)
+      val h2 = XXH64.hashLong(v, 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+        if ((words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L)
+          return false
+        i += 1
+      }
+      true
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      test(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomMightContainExpr", this)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.test($v);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+      copy(child = newChild)
+  }
+
+  def bloomPositionsNative(key: Column, m: Long, k: Int): Column =
+    ColumnBridge.column(BloomPositionsExpr(ColumnBridge.expression(key), m, k))
+
+  def bloomMightContainNative(key: Column, words: Array[Long], k: Int): Column =
+    ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(key), words, k))
 }

@@ -207,4 +207,55 @@ object Sketches {
           (col("target") - (col("cum") - col("cnt"))) / col("cnt")) * width,
           6).as("est"))
   }
+
+  // ---- Bloom membership sketch (join pruning) -------------------------
+
+  /** Open bloom bit table, md5/oracle face: the DISTINCT set positions
+    * of an m-bit, k-probe bloom filter over `key`, as plain rows any
+    * engine reproduces. Double hashing from one 32-bit md5 slice:
+    * h1 = h ≫ 16, h2 = 2·(h mod 2^16)+1 (odd), pos_i = (h1 + i·h2)
+    * mod m. Like [[hllRegisters]], the sketch state is kept OPEN —
+    * a DataFrame, mergeable by union+distinct — which is what lets
+    * the driver hash-compare it against DuckDB. The production path
+    * ([[bloomBuild]]) packs the same idea into 64-bit words with
+    * XXH64 hashing instead. */
+  def bloomBitsMd5(df: DataFrame, key: Column, m: Int, k: Int): DataFrame = {
+    require(m >= 64 && (m & (m - 1)) == 0, s"m=$m must be a power of two")
+    require(k >= 1 && k <= 16, s"k=$k out of range")
+    val h = md5Hash32(key)
+    val h1 = shiftrightunsigned(h, 16)
+    val h2 = h.bitwiseAND(lit(0xffffL)) * lit(2L) + lit(1L)
+    val poss = array((0 until k).map(i =>
+      (h1 + lit(i.toLong) * h2) % lit(m.toLong)): _*)
+    df.where(key.isNotNull)
+      .select(explode(poss).as("pos"))
+      .distinct()
+  }
+
+  /** Distributed packed bloom build over a long key column: k probe
+    * positions per key ([[graft.functions.NativeExprs.BloomPositionsExpr]]
+    * — XXH64 double hashing, the SAME implementation the probe
+    * expression uses), OR-folded into m/64 words. Partial aggregation
+    * caps the shuffle at ≤m/64 rows per partition REGARDLESS of input
+    * size, and the driver collects exactly m/64 longs (m = 2^20 →
+    * 128 KiB) — the 100 TB story: filter size is chosen, not grown.
+    * Probe side: [[graft.functions.NativeExprs.bloomMightContainNative]]
+    * binds the words as one broadcast reference object inside codegen,
+    * so the membership test lands directly on the scan it prunes.
+    * False positives possible (rate ≈ (1−e^{−kn/m})^k), false
+    * negatives impossible — callers needing exactness re-verify with
+    * the equijoin the bloom pre-pruned (see q_bloom_prune). */
+  def bloomBuild(df: DataFrame, key: Column, m: Int, k: Int): Array[Long] = {
+    require(m >= 64 && m % 64 == 0, s"m=$m must be a multiple of 64")
+    val rows = df.where(key.isNotNull)
+      .select(explode(
+        graft.functions.NativeExprs.bloomPositionsNative(key, m.toLong, k)).as("pos"))
+      .select(shiftrightunsigned(col("pos"), 6).as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
+      .groupBy("word").agg(bit_or(col("bit")).as("bits"))
+      .collect()
+    val words = new Array[Long](m / 64)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
 }

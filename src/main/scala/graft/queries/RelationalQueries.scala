@@ -341,6 +341,41 @@ object RelationalQueries {
         hist, lit(900.0), lit(105000.0), 256, Seq(0.5, 0.95, 0.99))
     }),
 
+    // Bloom membership sketch, open-state face: the DISTINCT set bit
+    // positions of an 8192-bit, 4-probe filter over the high-value
+    // order keys — like sk_hll's register table, the sketch state is
+    // plain rows any engine recomputes from the same md5 slice.
+    "sk_bloom" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+      graft.operators.Sketches.bloomBitsMd5(
+        keys, col("o_orderkey"), m = 8192, k = 4).orderBy("pos")
+    }),
+
+    // Bloom-pruned semijoin, the 100 TB join-pruning pattern: build a
+    // packed 2^17-bit filter over the ~2% high-value order keys
+    // (bounded aggregate, 16 KiB to the driver), probe it INSIDE the
+    // lineitem scan's codegen (BloomMightContainExpr — rows that miss
+    // never reach the join), then exact-verify the survivors with the
+    // semijoin the bloom pre-pruned — so false positives drop out and
+    // the result is oracle-exact. At cluster scale this is the
+    // sideways information pass that turns a shuffle-both-sides join
+    // into a pruned scan + small join.
+    "q_bloom_prune" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+      val words = graft.operators.Sketches.bloomBuild(
+        keys, col("o_orderkey"), m = 1 << 17, k = 5)
+      t(s, dir, "lineitem")
+        .where(graft.functions.NativeExprs.bloomMightContainNative(
+          col("l_orderkey"), words, k = 5))
+        .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // The stream-stream interval join's batch face (same code path the
     // stream runs, watermarks are no-ops in batch): purchases joined to
     // same-user signups within one hour.
@@ -616,6 +651,29 @@ object RelationalQueries {
         |        * ((105000.0 - 900.0) / 256.0), 6) AS est
         |FROM c, q
         |WHERE c.cum >= q.q * c.n AND (c.cum - c.cnt) < q.q * c.n""".stripMargin,
+
+    "sk_bloom" ->
+      """WITH h AS (
+        |  SELECT ((instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1) * 65536
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 1)) - 1) * 4096
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 6, 1)) - 1) * 256
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 7, 1)) - 1) * 16
+        |        + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 8, 1)) - 1)) AS h
+        |  FROM orders WHERE o_totalprice > 400000.0),
+        |g AS (SELECT unnest([0, 1, 2, 3]) AS i)
+        |SELECT DISTINCT ((h // 65536) + g.i * ((h % 65536) * 2 + 1)) % 8192 AS pos
+        |FROM h, g
+        |ORDER BY pos""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
