@@ -117,6 +117,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
              sum("l_quantity").cast("long").as("sum_qty"))),
 
+    // GROUPING SETS with explicit per-column grouping flags: three
+    // chosen aggregation levels in ONE shuffle (the Expand operator
+    // replicates each row once per set — no per-level rescan), and
+    // the grouping(col) bits disambiguate a real NULL key from a
+    // rolled-up one. Flags per column, not grouping_id(): the packed
+    // id's bit order is engine-specific; the per-column bit is
+    // SQL-standard.
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"))),
+
     // Semi join: customers that have at least one order, counted by nation.
     "q_semijoin" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -466,6 +484,15 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "q_semijoin" ->
       """SELECT c_nationkey, count(*) AS n_cust FROM customer c
