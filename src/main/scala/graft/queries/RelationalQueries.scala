@@ -296,6 +296,26 @@ object RelationalQueries {
           min("o_orderkey").as("min_key"))
     }),
 
+    // Sort-on-write data skipping: events rewritten range-sorted by
+    // user_id (disjoint per-file key ranges, bounded row groups), read
+    // back through a sort-key range filter — the scan touches one
+    // file's worth of row groups instead of the table
+    // (SortedScanSpec pins the skip via the scan's row metric; here
+    // the driver checks the filtered aggregate is exact).
+    "q_sorted_scan" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_q_sorted_scan"
+      graft.sources.Sinks.writeSorted(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          dec("value").as("v")),
+        out, Seq("user_id"), rowGroupBytes = 1L * 1024 * 1024)
+      s.read.parquet(out)
+        .where(col("user_id").between(100L, 199L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Skew-mitigated aggregation: two-phase salted count/sum over the
     // (hot-keyed) returnflag column — result must equal the plain
     // group-by, which is exactly what the oracle computes.
@@ -589,6 +609,13 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sorted_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id BETWEEN 100 AND 199
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted" ->

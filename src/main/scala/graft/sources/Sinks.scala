@@ -51,4 +51,21 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Globally range-sorted parquet: `orderBy` range-partitions the
+    * data so each output file covers a DISJOINT sort-key range, and
+    * `parquet.block.size` bounds row-group size so min/max statistics
+    * work at sub-file granularity. A later filter on the sort key then
+    * skips whole files (disjoint ranges) and, inside the touched
+    * files, whole row groups (parquet min/max + pushed filters) —
+    * data skipping paid for once at write time, amortized by every
+    * downstream read. SortedScanSpec measures the skip: the scan's
+    * output-row metric must stay far below the table size. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  rowGroupBytes: Long = 8L * 1024 * 1024): Unit =
+    df.orderBy(sortCols.map(df.col): _*)
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
 }

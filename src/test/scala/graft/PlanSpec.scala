@@ -11,12 +11,21 @@ import graft.operators.Skew
   * regression fails CI, not a 100 TB job. */
 class PlanSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("plan-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may hand back another suite's session whose confs
+    // differ (BucketingSpec forces autoBroadcastJoinThreshold=-1,
+    // which silently turns every bounded cross join into a
+    // CartesianProduct). Plan contracts assume the defaults — pin the
+    // ones they depend on.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    s
+  }
 
   private val dir = "/root/testdata/sf0.001"
 
