@@ -17,16 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count threshold below which the components are solved with
+    * driver-side union-find instead of iterative propagation. 4M edges
+    * is ~64 MB on the driver — far inside any real driver budget — and
+    * the dedup pair graphs this serves are SPARSE by construction
+    * (bucket/block caps + exact verification bound the edges, not the
+    * corpus), so at 100 TB most runs still land under it. The win is
+    * structural: union-find is one job + O(E α(E)) driver work, where
+    * the propagation loop pays O(diameter) sequential Spark stages —
+    * pure scheduling latency on graphs this small. */
+  val LocalSolveMaxEdges = 4000000L
+
   /** @param edges two-column DataFrame (src, dst), undirected.
     * @return (node, component) where component = min node id reachable. */
   def run(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
-          maxIter: Int = 20): DataFrame = {
+          maxIter: Int = 20, localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
+    // Size-adaptive: count is ~free when the caller cached the pair
+    // frame (dropNearDuplicates does; the count doubles as the cache
+    // materialization the symmetrize union needs anyway).
+    if (localSolveMaxEdges > 0 && edges.limit(
+        (localSolveMaxEdges + 1).min(Int.MaxValue.toLong).toInt)
+        .count() <= localSolveMaxEdges)
+      return runLocal(edges, srcCol, dstCol)
     // no distinct(): callers emit each undirected pair once (id_a <
     // id_b), so the two union directions cannot collide — and even if
     // a caller passed duplicates, min-label propagation is unaffected
     // by edge multiplicity. Saves a full shuffle of the edge list.
+    // repartition by the join key: the per-round label join then
+    // reuses the cached hash partitioning instead of re-shuffling the
+    // (large) edge side every iteration — only the (small) label frame
+    // moves per round.
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .repartition(col("v"))
       .cache()
     val nodes = sym.select(col("u").as("node")).distinct()
     // localCheckpoint truncates lineage each round — iterative joins
@@ -34,41 +57,85 @@ object ConnectedComponents {
     // superlinearly and eventually OOMs the driver, long before the
     // executors feel anything).
     // lazy like the round checkpoints: round 1's materialization (via
-    // the first convergence count) computes it — no standalone init job
+    // the first convergence check) computes it — no standalone init job
     var labels = nodes.withColumn("comp", col("node")).localCheckpoint(false)
     var converged = false
     var iter = 0
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxIter) {
-      // smallest comp among self and neighbors
-      val neighborComp = sym
-        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "vcomp"), "v")
-        .groupBy(col("u").as("node"))
-        .agg(min("vcomp").as("ncomp"))
-      // LAZY checkpoint: the convergence count() is the action that
-      // materializes it, so a checked round costs ONE job (not
-      // checkpoint-job + count-job) and an unchecked round costs
-      // none — its checkpoint materializes as input of the next
-      // counted round. Lineage stays bounded at <= 2 rounds.
+      // Smallest comp in the closed neighborhood, TWO shuffles per
+      // round: propagate labels across edges (join on v), then union
+      // the nodes' own labels in before the min — the self label rides
+      // the same groupBy shuffle, where a labels⋈neighborMin left join
+      // would be a third exchange.
       // (Pointer-jumping — adopting comp[comp] each round for
       // O(log diameter) convergence — was measured SLOWER here: the
       // extra self-join per round costs more than the 2 rounds it
       // saves on near-dup graphs, whose diameter is already small.)
-      val next = labels.join(neighborComp, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
+      val next = sym
+        .join(labels.select(col("node").as("v"), col("comp").as("c")), "v")
+        .select(col("u").as("node"), col("c"))
+        .union(labels.select(col("node"), col("comp").as("c")))
+        .groupBy("node").agg(min("c").as("comp"))
         .localCheckpoint(false)
       iter += 1
+      // Convergence = the label-sum fixpoint: min-label propagation
+      // only ever DECREASES labels, so any change strictly decreases
+      // Σcomp, and two checked rounds with equal sums mean nothing
+      // moved in between. The check is a 1-row aggregate over the
+      // checkpointed frame (LAZY checkpoint: this is also the action
+      // that materializes the round) — no join against the previous
+      // round, no `changed` bookkeeping column. decimal(38,0): exact
+      // at any node-count × id-range the engine will meet.
       // Near-dup cliques converge in 2-4 rounds: checking every 2nd
       // round (and on the last) halves the driver-side job count —
       // at scale the per-round cost is job-scheduling latency, not
       // data. Worst case one extra (label-identical) round runs.
-      if (iter % 2 == 0 || iter == maxIter)
-        converged = next.where(col("changed")).count() == 0L
-      labels = next.select("node", "comp")
+      if (iter % 2 == 0 || iter == maxIter) {
+        val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first.getDecimal(0)
+        converged = prevSum.exists(_.compareTo(s) == 0)
+        prevSum = Some(s)
+      }
+      labels = next
     }
     sym.unpersist()
     labels
+  }
+
+  /** Driver-side union-find with min-id roots: unions always attach
+    * the larger root under the smaller, so each tree's root IS the
+    * component minimum — byte-identical output to the propagation
+    * loop. One collect, no iteration, no per-round stages. */
+  private def runLocal(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    es.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val out = new Array[(Long, Long)](nodes.size)
+    var i = 0
+    nodes.forEach { n => out(i) = (n.longValue, find(n.longValue)); i += 1 }
+    val dt = edges.schema(srcCol).dataType
+    spark.createDataFrame(out.toSeq).toDF("node", "comp")
+      .select(col("node").cast(dt).as("node"), col("comp").cast(dt).as("comp"))
   }
 
   /** Keep one representative (min id) per near-dup cluster: rows of

@@ -649,6 +649,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.keys.foreach { n =>
       assert(got(n) == component(n).min, s"node $n")
     }
+    // the distributed propagation loop (forced past the local-solve
+    // threshold) must agree with the local union-find byte-for-byte
+    val gotDist = ConnectedComponents.run(edgeDF, localSolveMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == got)
     // survivor selection: one row kept per component + all isolated rows
     val docs = (0L until 200L).map(i => (i, s"text$i")).toDF("doc_id", "t")
     val kept = ConnectedComponents.dropNearDuplicates(docs, "doc_id", edgeDF)
