@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // section/point lookups on 10^16-element products become O(window)).
     ext.injectOptimizerRule(_ => RangePruneRule)
 
+    // Planner: the native as-of join (AsofJoinNode → AsofJoinExec, a
+    // single-pass sort-merge over co-partitioned sorted children).
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),

@@ -194,6 +194,21 @@ object RelationalQueries {
         .select("event_id", "user_id", "signup_event")
     }),
 
+    // The SAME as-of join through the native custom operator
+    // (AsofJoinNode → AsofJoinExec via planner strategy): one
+    // forward-only merge pass over co-partitioned sorted children —
+    // no union, no WindowExec buffer — against the identical oracle.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+      graft.plans.AsofJoinNative.backward(purchases, signups,
+        "user_id", "ts", "ts", Seq("signup_event"))
+        .select("event_id", "user_id", "signup_event")
+    }),
+
     // TPC-H Q6 through the pure-SQL surface (spark.sql over registered
     // views): filters push to the scan, single partial+final agg.
     "q6_sql" -> ((s, dir) => {
@@ -541,6 +556,13 @@ object RelationalQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_purchase_signup" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS signup_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_native" ->
       """SELECT p.event_id, p.user_id, s.event_id AS signup_event
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
