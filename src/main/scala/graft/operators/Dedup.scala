@@ -305,4 +305,44 @@ object Dedup {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Corpus-wide segment-level dedup — the C4/RefinedWeb "line dedup"
+    * adapted to unstructured text: the text is cut into consecutive
+    * `segWords`-word segments, every segment that already occurred
+    * EARLIER in the corpus (first occurrence = smallest (doc id,
+    * position)) is dropped, and the survivors re-join in order. Docs
+    * reduced to nothing come back as empty text (kept, so the caller
+    * decides the drop policy).
+    *
+    * Keep-first is a min-aggregation + equijoin, NOT a window over
+    * segment content: min(struct(id, pos)) partial-aggregates
+    * map-side, so a boilerplate segment shared by 10^6 documents
+    * still ships one row per partition to the shuffle where a window
+    * would buffer the whole hot group on one task — the same
+    * skew-safety argument as Skew.saltedCountSum, for free. */
+  def dropDuplicateSegments(df: DataFrame, idCol: String, textCol: String,
+                            segWords: Int = 10): DataFrame = {
+    require(segWords >= 1, s"segWords=$segWords")
+    val words = split(trim(col(textCol)), "\\s+")
+    val nseg = greatest(
+      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
+    val segs = transform(sequence(lit(0), nseg - 1),
+      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
+    val exploded = df
+      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+    val firsts = exploded.groupBy("seg")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+      .withColumnRenamed("seg", "fseg")
+    val kept = exploded.join(firsts,
+      col("seg") === col("fseg") &&
+        struct(col(idCol), col("pos")) === col("first"))
+      .select(col(idCol), col("pos"), col("seg"))
+    val reassembled = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), " ").as(textCol))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -117,6 +117,12 @@ object PipelineQueries {
     "dd_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // Segment-level (C4-style "line") dedup: 10-word segments, corpus-
+    // wide keep-first via skew-safe min-agg + equijoin (no window over
+    // segment content), docs reassembled in order.
+    "dd_segment_dedup" -> ((s, dir) =>
+      Dedup.dropDuplicateSegments(docs(s, dir), "doc_id", "text", segWords = 10)),
+
     // Contamination sweep: corpus docs sharing >= 10 distinct 8-gram
     // shingles with any of the first 5 docs (standing in for an eval
     // probe set).
@@ -537,6 +543,26 @@ object PipelineQueries {
         |                                 i -> substr(text, i, 8))),
         |    s -> md5(s))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(ws[(i*10+1):least((i+1)*10, len(ws))], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |    greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) AS i)),
+        |kept AS (
+        |  SELECT doc_id, i, seg FROM (
+        |    SELECT doc_id, i, seg,
+        |      row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+        |    FROM seg) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dd_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n

@@ -135,6 +135,32 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           sum("l_quantity").cast("long").as("sum_qty"))),
 
+    // UNPIVOT (melt): the wide per-flag measure table back to long
+    // (l_returnflag, measure, value) triples — the inverse of q_pivot's
+    // long-to-wide, one Expand over the 3-row aggregate.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(dec("l_quantity")).cast("double").as("qty"),
+          sum(dec("l_extendedprice")).cast("double").as("price"),
+          sum(dec("l_discount")).cast("double").as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "value")),
+
+    // RANGE-frame window: per-customer trailing-30-day order revenue.
+    // The frame is value-based (days), not row-based — ties on the
+    // date all see the same frame. Ordered by an integer day number so
+    // the frame arithmetic is exact on both engines.
+    "q_range_window" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(day)
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        sum(dec("o_totalprice")).over(w).cast("double").as("rev_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+    }),
+
     // Semi join: customers that have at least one order, counted by nation.
     "q_semijoin" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -528,6 +554,27 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM agg
+        |UNION ALL SELECT l_returnflag, 'price', price FROM agg
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_semijoin" ->
       """SELECT c_nationkey, count(*) AS n_cust FROM customer c

@@ -623,6 +623,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${truth.diff(got)}; extra: ${got.diff(truth)}")
   }
 
+  test("segment dedup: keep-first semantics, full-drop docs kept empty, no window in the plan") {
+    import graft.operators.Dedup
+    // doc 1 owns both segments; doc 2 repeats seg A then adds C;
+    // doc 3 is wholly made of earlier segments -> empty text
+    val a = "a1 a2 a3"; val b = "b1 b2 b3"; val c = "c1 c2 c3"
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$b $c"), (4L, c)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSegments(docs, "doc_id", "text", segWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> s"$a $b", 2L -> c, 3L -> "", 4L -> ""))
+    // duplicate segment INSIDE one doc also dedups (keep first position)
+    val self = Seq((7L, s"$a $a $b")).toDF("doc_id", "text")
+    val outSelf = Dedup.dropDuplicateSegments(self, "doc_id", "text", segWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outSelf == Map(7L -> s"$a $b"))
+    // skew safety: keep-first must be the min-agg equijoin, never a
+    // window over segment content (hot segments would buffer one task)
+    val plan = Dedup.dropDuplicateSegments(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("connected components match BFS oracle; dropNearDuplicates keeps one per cluster") {
     import graft.operators.ConnectedComponents
     val rnd = new scala.util.Random(23)
