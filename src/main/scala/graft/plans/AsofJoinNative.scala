@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -17,28 +17,31 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
   * custom-operator preference order (SURVEY §7.3): whole-operator
   * semantics Spark's builtins can't express as ONE operator.
   *
-  * Semantics (backward, inclusive — reference semantics mirrored from
-  * [[graft.operators.AsofJoin]]): for every left row, attach the
-  * payload of the right row with the greatest (rightTs, payload)
-  * having rightTs <= leftTs and equal key; null payload when none.
-  * Ties on rightTs resolve to the maximum payload tuple — identical
-  * to the union+window composition's `last(_rrow)` choice, so the two
-  * implementations are result-interchangeable.
+  * Semantics (mirroring [[graft.operators.AsofJoin]], both modes):
+  * backward attaches, per left row, the payload of the right row with
+  * the greatest (rightTs, payload) having rightTs <= leftTs and equal
+  * keys; forward the one with the smallest ts >= leftTs (tie-break at
+  * equal ts: max payload tuple — identical to the composition's
+  * `last(_rrow)` choice, so the implementations are
+  * result-interchangeable). Null payload when no match; null keys and
+  * null timestamps never match (SQL comparison semantics).
   *
   * Physical shape — why a custom exec beats the composition at scale:
   * the composition UNIONs both sides through one shuffle + one running
   * window (all rows buffered through WindowExec); this exec shuffles
-  * each side by its own key, sorts each side once (Exchange + Sort per
-  * child, exactly like a sort-merge join), then streams BOTH sorted
-  * iterators through a single forward-only merge pass per partition —
-  * no window buffer, no unioned wide-null schema, one right-row copy
-  * as the only per-row allocation. Output preserves the left side's
-  * (key, ts) order and partitioning, so downstream per-key operators
-  * reuse the exchange. */
+  * each side by its own keys, sorts each side once (Exchange + Sort
+  * per child, exactly like a sort-merge join), then streams BOTH
+  * sorted iterators through a single forward-only merge pass per
+  * partition — no window buffer, no unioned wide-null schema, one
+  * right-row copy as the only per-row allocation. Output preserves the
+  * left side's (keys, ts) order and partitioning, so downstream
+  * per-key operators reuse the exchange. */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
-                        leftKey: Attribute, rightKey: Attribute,
+                        leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTs: Attribute, rightTs: Attribute,
-                        payload: Seq[Attribute]) extends BinaryNode {
+                        payload: Seq[Attribute],
+                        forward: Boolean) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
@@ -51,28 +54,33 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>
       AsofJoinExec(planLater(n.left), planLater(n.right),
-        n.leftKey, n.rightKey, n.leftTs, n.rightTs, n.payload, n.output) :: Nil
+        n.leftKeys, n.rightKeys, n.leftTs, n.rightTs, n.payload, n.forward,
+        n.output) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
-                        leftKey: Attribute, rightKey: Attribute,
+                        leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTs: Attribute, rightTs: Attribute,
-                        payload: Seq[Attribute],
+                        payload: Seq[Attribute], forward: Boolean,
                         output: Seq[Attribute]) extends BinaryExecNode {
 
+  private def tsDir = if (forward) Descending else Ascending
+
   // Same co-partitioning contract as SortMergeJoin: both children
-  // clustered on their key; EnsureRequirements/AQE plan compatible
+  // clustered on their keys; EnsureRequirements/AQE plan compatible
   // exchanges (and coalesce them identically — they feed one stage).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // Right side additionally sorted by payload so the "last match at
-  // equal ts" is the MAX payload tuple — the composition's tie-break.
+  // ts runs WITH the merge direction (desc for forward), so "already
+  // passed the bound" right rows are the ones still ahead; the right
+  // side additionally sorts by payload so the last match at equal ts
+  // is the MAX payload tuple — the composition's tie-break.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir)) ++
       payload.map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -81,16 +89,18 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
-    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lKeyIdx = leftKeys.map(k => lOut.indexWhere(_.exprId == k.exprId)).toArray
+    val rKeyIdx = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId)).toArray
     val lTsIdx = lOut.indexWhere(_.exprId == leftTs.exprId)
-    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
     val rTsIdx = rOut.indexWhere(_.exprId == rightTs.exprId)
-    val keyType = leftKey.dataType
+    val keyTypes = leftKeys.map(_.dataType).toArray
     val tsType = leftTs.dataType
+    val nKeys = keyTypes.length
     val payloadAttrs = payload
     val outAttrs = output
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val ordK = TypeUtils.getInterpretedOrdering(keyType)
+      val ordKs = keyTypes.map(TypeUtils.getInterpretedOrdering)
       val ordT = TypeUtils.getInterpretedOrdering(tsType)
       val payloadProj = UnsafeProjection.create(payloadAttrs, rOut)
       // input schema carries the NULLABLE payload attrs: bindReference
@@ -102,36 +112,64 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val nullPayload = new GenericInternalRow(payloadAttrs.length)
       // Forward-only merge state: the parked right head (copied — sort
       // iterators reuse row buffers) and the best match so far. The
-      // match stays valid while the left key equals matchKey; left
+      // match stays valid while the left keys equal matchKeys; left
       // keys only ascend, so dead right rows are never revisited.
       var rRow: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var matchRow: InternalRow = null
-      var matchKey: Any = null
+      var matchKeys: Array[Any] = null
       def advance(): Unit =
         rRow = if (rIter.hasNext) rIter.next().copy() else null
+      // key tuple of a row; null if ANY component is null (unmatchable)
+      def keysOf(row: InternalRow, idx: Array[Int]): Array[Any] = {
+        val out = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) {
+          if (row.isNullAt(idx(i))) return null
+          out(i) = row.get(idx(i), keyTypes(i))
+          i += 1
+        }
+        out
+      }
+      def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = ordKs(i).compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      // rt is inside the bound: <= t backward, >= t forward
+      def inBound(rt: Any, t: Any): Boolean = {
+        val c = ordT.compare(rt, t)
+        if (fwd) c >= 0 else c <= 0
+      }
       lIter.map { lRow =>
-        val k = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyType)
+        val lk = keysOf(lRow, lKeyIdx)
         val t = if (lRow.isNullAt(lTsIdx)) null else lRow.get(lTsIdx, tsType)
         var emitMatch = false
-        if (k != null && t != null) {
+        if (lk != null && t != null) {
           var scanning = true
           while (scanning && rRow != null) {
-            val rk = if (rRow.isNullAt(rKeyIdx)) null else rRow.get(rKeyIdx, keyType)
+            val rk = keysOf(rRow, rKeyIdx)
             if (rk == null) advance() // null keys never match; sorted first
             else {
-              val c = ordK.compare(rk, k)
+              val c = compareKeys(rk, lk)
               if (c < 0) advance() // dead key: left keys only ascend
               else if (c == 0) {
                 val rt = if (rRow.isNullAt(rTsIdx)) null else rRow.get(rTsIdx, tsType)
-                if (rt == null) advance() // null ts never matches; sorted first
-                else if (ordT.compare(rt, t) <= 0) {
-                  matchRow = rRow; matchKey = rk // rk points into the copy we keep
+                // null ts never matches — skip it wherever the null
+                // ordering put it (first for asc, last for desc)
+                if (rt == null) advance()
+                else if (inBound(rt, t)) {
+                  matchRow = rRow; matchKeys = rk // rk points into the kept copy
                   advance()
                 } else scanning = false
               } else scanning = false
             }
           }
-          emitMatch = matchRow != null && matchKey != null && ordK.compare(matchKey, k) == 0
+          emitMatch = matchRow != null && matchKeys != null &&
+            compareKeys(matchKeys, lk) == 0
         }
         joined(lRow, if (emitMatch) payloadProj(matchRow) else nullPayload)
         resultProj(joined)
@@ -145,15 +183,32 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 object AsofJoinNative {
-  /** Backward (inclusive) as-of join through the native operator.
-    * Requires a session with GraftExtensions (e.g. GraftSession.build)
-    * — the strategy is injected, not built in. The right side is
-    * re-aliased to fresh exprIds so self-joins (both sides derived
-    * from one source) never carry conflicting attributes into the
-    * binary node. */
+  /** Backward (inclusive) as-of join through the native operator. */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String]): DataFrame =
+    join(left, right, Seq(key), leftTs, rightTs, rightPayload, forward = false)
+
+  /** Forward (inclusive) as-of join: earliest right at-or-after. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              rightPayload: Seq[String]): DataFrame =
+    join(left, right, Seq(key), leftTs, rightTs, rightPayload, forward = true)
+
+  /** Multi-key backward as-of. */
+  def backwardKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightPayload: Seq[String]): DataFrame =
+    join(left, right, keys, leftTs, rightTs, rightPayload, forward = false)
+
+  /** Requires a session with GraftExtensions (e.g. GraftSession.build)
+    * or falls back to appending the strategy at runtime. The right
+    * side is re-aliased to fresh exprIds so self-joins (both sides
+    * derived from one source) never carry conflicting attributes into
+    * the binary node. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightPayload: Seq[String],
+           forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     DatasetBridge.ensureStrategy(spark, AsofJoinStrategy)
     val r = right.toDF(right.columns.toIndexedSeq: _*) // fresh exprIds
@@ -164,8 +219,8 @@ object AsofJoinNative {
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
     DatasetBridge.ofRows(spark, AsofJoinNode(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key),
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      rightPayload.map(attr(rPlan, _))))
+      rightPayload.map(attr(rPlan, _)), forward))
   }
 }

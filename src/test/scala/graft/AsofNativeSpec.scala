@@ -76,6 +76,43 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(rows(native) == rows(composed))
   }
 
+  test("forward mode: native == composition on random data") {
+    val (left, right) = randomSides(2000, 37)
+    val native = AsofJoinNative.forward(left, right, "user_id", "ts", "ts",
+      Seq("signup_event"))
+      .select("event_id", "user_id", "ts", "signup_event")
+    val composed = AsofJoin.forward(left,
+      right.select(col("user_id"), col("ts"), col("signup_event")),
+      "user_id", "ts", "ts", Seq("signup_event"))
+      .select("event_id", "user_id", "ts", "signup_event")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val n = rows(native)
+    assert(n == rows(composed))
+    assert(n.exists(_._4 >= 0) && n.exists(_._4 == -1L))
+  }
+
+  test("multi-key backward: native == composition") {
+    val extraL = (0 until 1500).map { i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(3).toLong, rnd.nextInt(400).toLong)
+    }.toDF("event_id", "k1", "k2", "ts")
+    val extraR = (0 until 1500).map { i =>
+      (20000L + i, rnd.nextInt(7).toLong, rnd.nextInt(3).toLong, rnd.nextInt(400).toLong)
+    }.toDF("signup_event", "k1", "k2", "ts")
+    val native = AsofJoinNative.backwardKeys(extraL, extraR, Seq("k1", "k2"),
+      "ts", "ts", Seq("signup_event"))
+      .select("event_id", "signup_event")
+    val composed = AsofJoin.backwardKeys(extraL,
+      extraR.select(col("k1"), col("k2"), col("ts"), col("signup_event")),
+      Seq("k1", "k2"), "ts", "ts", Seq("signup_event"))
+      .select("event_id", "signup_event")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows(native) == rows(composed))
+  }
+
   test("plan: one exchange + sort per side, a single AsofJoinExec, no window/union") {
     val (left, right) = randomSides(500, 11)
     val df = AsofJoinNative.backward(left, right, "user_id", "ts", "ts",
