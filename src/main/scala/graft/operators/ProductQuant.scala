@@ -140,4 +140,68 @@ object ProductQuant {
       .where(col("rk") <= topK)
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"), col("rk"))
   }
+
+  /** IVF-PQ: the production ANN layout — a coarse inverted file
+    * restricts ADC scoring to each probe's `nprobe` cells, so per-probe
+    * cost is (corpus/nCells)·nprobe code rows instead of the whole code
+    * table. `cells` is [[graft.operators.Similarity.assignCells]]'s
+    * (id, cell) frame; `centroids` the same nCells sampled vectors,
+    * collected (bounded by contract). Probe→cell routing runs on the
+    * driver with the identical 9-dp-rounded sequential cosine the
+    * distributed assignment uses, so the whole pipeline stays
+    * hash-gated. Scoring joins the code table to the broadcast
+    * (qid, cell, LUTs) routing table on cell — candidates never
+    * shuffle; at 100 TB the code table persists bucketed by cell and
+    * the probe is a bucket lookup. */
+  def ivfAdcTopK(codes: DataFrame, cells: DataFrame,
+                 centroids: Seq[(Long, Array[Double])],
+                 probes: Seq[(Long, Array[Double])],
+                 codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
+                 subDim: Int, nprobe: Int, topK: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val m = codebooks.length
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val centNorms = centroids.map { case (cid, cv) => (cid, cv, norm(cv)) }
+    val lutRows = probes.flatMap { case (qid, q) =>
+      val qn = norm(q)
+      val probeCells = centNorms.map { case (cid, cv, cn) =>
+        var dot = 0.0; var i = 0
+        while (i < q.length) { dot += q(i) * cv(i); i += 1 }
+        (cid, round9(dot / (qn * cn)))
+      }.sortBy { case (cid, sim) => (-sim, cid) }.take(nprobe).map(_._1)
+      val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { c =>
+          val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
+          var dqc = 0.0
+          var i = 0
+          while (i < subDim) { dqc += q(s * subDim + i) * c(i); i += 1 }
+          dcc - 2.0 * dqc
+        }.toSeq
+      }
+      probeCells.map(cell => Row.fromSeq(qid +: cell +: luts))
+    }
+    val lutSchema = StructType(
+      StructField("qid", LongType, nullable = false) +:
+        StructField("cell", LongType, nullable = false) +:
+        (0 until m).map(s => StructField(s"lut$s",
+          ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val routing = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows, 1), lutSchema)
+    val score = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"code$s") + 1)).reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score"), col("id"))
+    codes.join(cells, "id")
+      .join(broadcast(routing), "cell")
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"), col("rk"))
+  }
 }

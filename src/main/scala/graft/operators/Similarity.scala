@@ -113,6 +113,24 @@ object Similarity {
     ivfWithCentroids(queries, c, cent, k, nprobe, qidCol, vecCol)
   }
 
+  /** Coarse IVF cell assignment, shared by [[ivfTopK]] and the IVF-PQ
+    * composition ([[ProductQuant.ivfAdcTopK]]): each corpus vector goes
+    * to its nearest of the first `nCells` corpus vectors by 9-dp
+    * cosine, ties to the smaller centroid id — the same
+    * oracle-reproducible rule the knn_ivf gate pins. Returns
+    * (id, cell); the centroid table is nCells rows, always broadcast. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    val cent = c.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cent_id"), col("cv").as("centv"))
+    val wAsg = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    c.crossJoin(broadcast(cent))
+      .withColumn("csim", round(cosine(col("cv"), col("centv")), 9))
+      .withColumn("crk", row_number().over(wAsg)).where(col("crk") === 1)
+      .select(col("id"), col("cent_id").as("cell"))
+  }
+
   private def ivfWithCentroids(queries: DataFrame, c: DataFrame, cent: DataFrame,
                                k: Int, nprobe: Int, qidCol: String,
                                vecCol: String): DataFrame = {

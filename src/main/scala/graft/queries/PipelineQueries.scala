@@ -260,6 +260,26 @@ object PipelineQueries {
       ProductQuant.adcTopK(codes, probes, cbs, subDim = 16, topK = 5)
     }),
 
+    // IVF-PQ: coarse inverted file (8 sampled cells, 2 probed) over
+    // the PQ code table — ADC scores only the probes' cells, the
+    // production ANN layout. Same deterministic seams as knn_pq +
+    // knn_ivf, so the combined pipeline stays hash-gated.
+    "knn_ivfpq" -> ((s, dir) => {
+      import graft.operators.ProductQuant
+      val e = embs(s, dir)
+      val cbs = ProductQuant.trainCodebooks(e, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 8, iters = 2)
+      val codes = ProductQuant.encode(e, "vec_id", "embedding", cbs, subDim = 16)
+      val cells = Similarity.assignCells(e, "vec_id", "embedding", nCells = 8)
+      def collectVecs(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+      val centroids = collectVecs(e.orderBy("vec_id").limit(8))
+      val probes = collectVecs(e.where(col("vec_id") < 3).orderBy("vec_id"))
+      ProductQuant.ivfAdcTopK(codes, cells, centroids, probes, cbs,
+        subDim = 16, nprobe = 2, topK = 5)
+    }),
+
     // Brute-force exact cosine top-5 for the first 10 vectors.
     "knn_cosine" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -375,8 +395,9 @@ object PipelineQueries {
     * chain instantiated once per PQ subspace (slice offsets 0/16/32/48,
     * dim 16, k=8, 2 iterations), then encode, probe LUTs, and the ADC
     * score join. Same determinism seams as emb_kmeans: sequential
-    * list_sum dots, 1e-6 centroid snap, (score, cid) tie-breaks. */
-  private def pqOracleSql: String = {
+    * list_sum dots, 1e-6 centroid snap, (score, cid) tie-breaks.
+    * The subspace chain is shared with [[ivfPqOracleSql]]. */
+  private def pqSubspaceCtes: String = {
     val subs = (0 until 4).map { s =>
       val o = 16 * s
       def iter(n: Int): String = {
@@ -411,7 +432,11 @@ object PipelineQueries {
          |    2 * list_sum(list_transform(range(1, 17), i -> q.v[i] * c.c[i])) AS part
          |  FROM e$s q CROSS JOIN c${s}2 c WHERE q.id < 3)""".stripMargin
     }
-    s"""WITH ${subs.mkString(",\n")},
+    subs.mkString(",\n")
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH $pqSubspaceCtes,
        |sc AS (SELECT n0.id, l0.qid, l0.part + l1.part + l2.part + l3.part AS score
        |  FROM n0 JOIN n1 ON n0.id = n1.id JOIN n2 ON n0.id = n2.id JOIN n3 ON n0.id = n3.id
        |  JOIN l0 ON l0.code = n0.code
@@ -422,10 +447,48 @@ object PipelineQueries {
        |  SELECT qid, id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score, id) AS rk FROM sc) t
        |WHERE rk <= 5""".stripMargin
-  }
+
+  /** knn_ivfpq oracle: the PQ subspace chain plus the knn_ivf coarse
+    * assignment/probe CTEs (9-dp cosine, ties to the smaller centroid
+    * id); ADC scoring restricted to each probe's 2 cells. */
+  private def ivfPqOracleSql: String =
+    s"""WITH $pqSubspaceCtes,
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS centv, nrm AS cnrm
+       |         FROM v ORDER BY vec_id LIMIT 8),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |          i -> a.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (a.nrm * c.cnrm), 9) DESC, c.cent_id) AS crk
+       |    FROM v a, cent c) WHERE crk = 1),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.cnrm), 9) DESC, c.cent_id) AS prk
+       |    FROM v q, cent c WHERE q.vec_id < 3) WHERE prk <= 2),
+       |sc AS (SELECT n0.id, l0.qid, l0.part + l1.part + l2.part + l3.part AS score
+       |  FROM n0 JOIN n1 ON n0.id = n1.id JOIN n2 ON n0.id = n2.id JOIN n3 ON n0.id = n3.id
+       |  JOIN l0 ON l0.code = n0.code
+       |  JOIN l1 ON l1.code = n1.code AND l1.qid = l0.qid
+       |  JOIN l2 ON l2.code = n2.code AND l2.qid = l0.qid
+       |  JOIN l3 ON l3.code = n3.code AND l3.qid = l0.qid
+       |  JOIN asg ON asg.vec_id = n0.id
+       |  JOIN probe p ON p.cell = asg.cell AND p.qid = l0.qid)
+       |SELECT qid, id, round(score, 6) AS score, rk FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score, id) AS rk FROM sc) t
+       |WHERE rk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "knn_pq" -> pqOracleSql,
+    "knn_ivfpq" -> ivfPqOracleSql,
     "txt_tokens" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
         |       CAST(length(text) AS INT) AS len

@@ -295,6 +295,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("IVF-PQ equals ADC restricted to the probed cells; scores only those cells") {
+    import graft.operators.{ProductQuant, Similarity}
+    val rnd = new scala.util.Random(43)
+    val centers = IndexedSeq.fill(12)(Array.fill(32)(rnd.nextDouble() * 4 - 2))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.15).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = ProductQuant.trainCodebooks(df, "vec_id", "embedding",
+      m = 4, subDim = 8, k = 8, iters = 3)
+    val codes = ProductQuant.encode(df, "vec_id", "embedding", cbs, subDim = 8)
+    val cells = Similarity.assignCells(df, "vec_id", "embedding", nCells = 6)
+    val centroids = vecs.take(6).map { case (id, v) => id -> v.toArray }
+    val probes = vecs.take(4).map { case (id, v) => id -> v.toArray }
+    val got = ProductQuant.ivfAdcTopK(codes, cells, centroids, probes, cbs,
+      subDim = 8, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // Differential oracle: for each probe, run plain adcTopK over ONLY
+    // the codes in its 2 nearest cells (computed independently here).
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    }
+    val want = probes.flatMap { case (qid, qv) =>
+      val myCells = centroids.map { case (cid, cv) =>
+        (cid, BigDecimal(cos(qv, cv.toSeq)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1).toSet
+      val subset = codes.where(col("id").isin(
+        cellOf.collect { case (id, cell) if myCells(cell) => id }.toSeq: _*))
+      ProductQuant.adcTopK(subset, Seq(qid -> qv), cbs, subDim = 8, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }.toSet
+    assert(got == want, s"got minus want: ${got.diff(want).take(5)}")
+    // every returned id must live in a probed cell for its query
+    assert(got.nonEmpty && got.size == 4 * 5)
+  }
+
   test("cosineTopK matches brute-force oracle exactly") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() - 0.5)))

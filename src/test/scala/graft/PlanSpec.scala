@@ -112,10 +112,13 @@ class PlanSpec extends AnyFunSuite {
     // (broadcast of the 1-row corpus-size aggregate), sk_hll
     // (broadcast of the 1-row exact-count aggregate next to the 1-row
     // sketch estimate), sk_quant (1-row total-count broadcast onto
-    // the ≤256-row histogram) and knn_pq (≤3-row broadcast of
-    // driver-built ADC lookup tables onto the code table).
+    // the ≤256-row histogram), knn_pq (≤3-row broadcast of
+    // driver-built ADC lookup tables onto the code table) and
+    // knn_ivfpq (the same LUT broadcast plus knn_ivf's nCells-row
+    // centroid-assignment cross join).
     val boundedCrossJoins =
-      Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant", "knn_pq")
+      Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
+        "knn_pq", "knn_ivfpq")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
