@@ -611,6 +611,54 @@ object NativeExprs {
   def repStatsNative(text: Column): Column =
     ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
 
+  /** Order-0 character entropy of a string, in bits — the classic
+    * gibberish/boilerplate quality signal (uniform noise scores high,
+    * repeated filler low). One pass: code-point histogram, then
+    * H = log2(N) − (Σ c·log2 c)/N with the Σ taken in ASCENDING code
+    * point order — the same sequence DuckDB's `list(... ORDER BY c)` +
+    * `list_sum` folds, so the 6-dp-rounded value is cross-engine
+    * stable. Empty/null-less strings score 0. */
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val str = s.toString
+      if (str.isEmpty) return 0.0
+      val counts = new java.util.TreeMap[Integer, Long]()
+      var i = 0
+      var total = 0L
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        counts.merge(cp, 1L, (a, b) => a + b)
+        total += 1
+        i += Character.charCount(cp)
+      }
+      // exact for powers of two (DuckDB's log2(8) is exactly 3.0 where
+      // Math.log(8)/ln2 is one ulp off); generic log otherwise — the
+      // residual 1-ulp libm drift is absorbed by the 6-dp gate rounding
+      def log2(x: Long): Double =
+        if ((x & (x - 1)) == 0L) java.lang.Long.numberOfTrailingZeros(x).toDouble
+        else math.log(x.toDouble) / 0.6931471805599453
+      var acc = 0.0
+      val it = counts.values.iterator() // ascending code point order
+      while (it.hasNext) {
+        val c = it.next()
+        acc += c.toDouble * log2(c)
+      }
+      log2(total) - acc / total
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("charEntropyExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+      copy(child = newChild)
+  }
+
+  def charEntropyNative(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+
   // ---- Bloom filter (build + probe share one hash) ---------------------
 
   /** Bloom bit positions of a long key under Kirsch–Mitzenmacher double

@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[graft.functions.NativeExprs.CharEntropyExpr].getName,
+        "graft_char_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_char_entropy(text)")
+        graft.functions.NativeExprs.CharEntropyExpr(args.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash_md5"),
       new ExpressionInfo(classOf[SimHashMd5Expr].getName, "graft_simhash_md5"),
       (args: Seq[Expression]) => {

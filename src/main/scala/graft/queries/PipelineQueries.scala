@@ -39,6 +39,13 @@ object PipelineQueries {
     // Column form in TextFunctions), no shuffle; the scan is
     // repartitioned so per-row work spreads past the single parquet
     // file's one split.
+    // Char-entropy quality signal (one native pass; ascending-code-
+    // point sum order so the 6-dp value is cross-engine stable).
+    "txt_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(graft.functions.NativeExprs.charEntropyNative(col("text")), 6)
+          .as("entropy"))),
+
     "txt_rep" -> ((s, dir) => {
       val r = graft.functions.NativeExprs.repStatsNative(col("text"))
       graft.operators.Repartition.forCompute(docs(s, dir)).select(col("doc_id"),
@@ -493,6 +500,15 @@ object PipelineQueries {
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
         |       CAST(length(text) AS INT) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS N,
+        |        list(n * log2(n) ORDER BY c) AS terms FROM cnt GROUP BY 1)
+        |SELECT doc_id, round(log2(N) - list_sum(terms) / N, 6) AS entropy
+        |FROM tot ORDER BY doc_id""".stripMargin,
 
     "txt_quality" ->
       """SELECT doc_id,

@@ -21,6 +21,33 @@ class NativeExprsSpec extends AnyFunSuite {
 
   private lazy val rnd = new scala.util.Random(31)
 
+  test("charEntropyNative matches a driver-side recomputation incl. unicode and edge cases") {
+    def oracle(s: String): Double = {
+      if (s.isEmpty) return 0.0
+      val cps = s.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      def log2(x: Long): Double =
+        if ((x & (x - 1)) == 0L) java.lang.Long.numberOfTrailingZeros(x).toDouble
+        else math.log(x.toDouble) / 0.6931471805599453
+      val n = cps.length.toLong
+      log2(n) - counts.map { case (_, c) => c.toDouble * log2(c) }.sum / n
+    }
+    val fixtures = Seq("", "a", "aaaa", "abab", "abcd", "hello world",
+      "aábc€😀😀", "the quick brown fox") ++
+      (0 until 50).map(_ => rnd.alphanumeric.take(rnd.nextInt(80)).mkString)
+    val got = fixtures.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), NativeExprs.charEntropyNative(col("t")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    fixtures.zipWithIndex.foreach { case (t, i) =>
+      assert(math.abs(got(i) - oracle(t)) < 1e-12, s"'$t'")
+    }
+    // sanity: uniform > skewed
+    assert(got(fixtures.indexOf("abcd")) > got(fixtures.indexOf("abab")))
+    assert(got(fixtures.indexOf("aaaa")) == 0.0)
+  }
+
   test("jaccardNative == size(array_intersect)/size(array_union) on random token arrays") {
     val vocab = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "h", "ii", "jj")
     val rows = (0 until 300).map { i =>
