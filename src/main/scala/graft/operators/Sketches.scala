@@ -247,15 +247,26 @@ object Sketches {
     * the equijoin the bloom pre-pruned (see q_bloom_prune). */
   def bloomBuild(df: DataFrame, key: Column, m: Int, k: Int): Array[Long] = {
     require(m >= 64 && m % 64 == 0, s"m=$m must be a multiple of 64")
-    val rows = df.where(key.isNotNull)
+    val rows = bloomWordTable(df, key, m, k).collect()
+    val words = new Array[Long](m / 64)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** The open word table behind [[bloomBuild]]: one row per non-zero
+    * 64-bit word, (word, bits). `bit_or` is an algebraic aggregate, so
+    * the SAME operator runs unchanged as a streaming groupBy (update/
+    * complete mode) — the filter accretes bits monotonically as
+    * batches arrive, which is what makes a live membership filter over
+    * an unbounded key stream possible (StreamingSpec pins streamed ==
+    * batch). */
+  def bloomWordTable(df: DataFrame, key: Column, m: Int, k: Int): DataFrame = {
+    require(m >= 64 && m % 64 == 0, s"m=$m must be a multiple of 64")
+    df.where(key.isNotNull)
       .select(explode(
         graft.functions.NativeExprs.bloomPositionsNative(key, m.toLong, k)).as("pos"))
       .select(shiftrightunsigned(col("pos"), 6).as("word"),
         expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
       .groupBy("word").agg(bit_or(col("bit")).as("bits"))
-      .collect()
-    val words = new Array[Long](m / 64)
-    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    words
   }
 }

@@ -187,4 +187,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(estS == estB)
     } finally q.stop()
   }
+
+  test("bloom word table streams: incremental bit_or equals the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+
+    val keys = (0L until 3000L).map(i => i * 104729L + 7L)
+    val input = MemoryStream[Long]
+    val words = Sketches.bloomWordTable(input.toDF(), col("value"), m = 1 << 13, k = 4)
+    val q = words.writeStream.format("memory")
+      .queryName("bloom_out").outputMode("complete").start()
+    try {
+      input.addData(keys.take(1000): _*)
+      q.processAllAvailable()
+      input.addData(keys.drop(1000): _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Sketches.bloomWordTable(keys.toDF("value"), col("value"),
+        m = 1 << 13, k = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
