@@ -63,6 +63,49 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("reg").agg(max("r").as("r"))
 
+  /** Per-GROUP register tables: (group, reg, r) — approximate distinct
+    * per group, the workhorse OLAP sketch shape. Still bounded: the
+    * shuffle is ≤|groups|·2^p rows per partition at ANY input size,
+    * and a coarser rollup is just `groupBy(fewer cols, reg).max(r)` on
+    * the OUTPUT — re-aggregating sketches, never rescanning rows
+    * (PipelineOpsSpec pins rollup-of-sketches == sketch-of-rollup). */
+  def hllRegistersGrouped(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+                          p: Int, hashBits: Int = 32): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    require(hashBits > p && hashBits <= 64, s"hashBits=$hashBits")
+    val w = hashBits - p
+    val h = hashCol.cast("long")
+    val reg = shiftrightunsigned(h, w).as("reg")
+    val low = h.bitwiseAND(lit((1L << w) - 1))
+    val firstOne = instr(lpad(bin(low), w, "0"), "1")
+    val rho = when(firstOne === 0, lit(w + 1)).otherwise(firstOne)
+    df.where(hashCol.isNotNull)
+      .select(groupCols.map(col) :+ reg :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*).agg(max("rho").as("r"))
+  }
+
+  /** Per-group estimates from a grouped register table: one row per
+    * group of (group cols..., regs_hit, est) — same scaled-integer
+    * harmonic sum as [[hllEstimate]], grouped. */
+  def hllEstimateGrouped(regs: DataFrame, groupCols: Seq[String], p: Int,
+                         hashBits: Int = 32): DataFrame = {
+    val m = 1 << p
+    val w = hashBits - p
+    require(hashBits <= 32, "grouped estimate keeps the exact-integer path")
+    val c = w + 12
+    val scale = math.pow(2.0, c)
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(expr(s"cast(power(2.0, $c - r) as bigint)")), lit(0L))
+          .as("s_hit"),
+        count(lit(1)).as("nhit"))
+      .select(groupCols.map(col) :+
+        col("nhit").as("regs_hit") :+
+        round(alphaExpr(m) * lit(m.toDouble * m) * lit(scale) /
+          (col("s_hit") + (lit(m.toLong) - col("nhit")) * lit(scale.toLong)),
+          6).as("est"): _*)
+  }
+
   /** alpha_m bias constant, built from the same literal arithmetic on
     * both engines (constant-folded to the identical IEEE double). */
   private def alphaExpr(m: Int): Column =

@@ -380,6 +380,20 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
+    // Per-group HLL: approximate distinct parts per returnflag — the
+    // grouped register table keeps the shuffle ≤|groups|·2^p rows at
+    // any input size; exact counts alongside for the accuracy story.
+    "sk_hll_group" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
+      val regs = graft.operators.Sketches.hllRegistersGrouped(
+        li, Seq("l_returnflag"),
+        graft.operators.Sketches.md5Hash32(col("l_partkey")), p = 10)
+      graft.operators.Sketches.hllEstimateGrouped(regs, Seq("l_returnflag"), p = 10)
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("n_exact")), "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
     // PIVOT: long-to-wide event counts per user decile — explicit
     // value list (never inferred: an inferred pivot is a full distinct
     // scan AND a nondeterministic column set), conditional-aggregation
@@ -714,6 +728,33 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "sk_hll_group" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |       ((instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 4, 1)) - 1) * 65536
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 5, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 6, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 7, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 8, 1)) - 1)) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h // 4194304 AS reg,
+        |             max(CASE WHEN instr(lpad(bin(h % 4194304), 22, '0'), '1') = 0 THEN 23
+        |                      ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END) AS r
+        |      FROM h GROUP BY 1, 2),
+        |a AS (SELECT l_returnflag,
+        |             CAST(coalesce(sum(CAST(power(2.0, 34 - r) AS BIGINT)), 0) AS BIGINT) AS s_hit,
+        |             count(*) AS nhit FROM r GROUP BY 1),
+        |x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+        |      FROM lineitem GROUP BY 1)
+        |SELECT a.l_returnflag, CAST(nhit AS BIGINT) AS regs_hit,
+        |       round((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 17179869184.0
+        |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
+        |       x.n_exact
+        |FROM a JOIN x USING (l_returnflag) ORDER BY 1""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS decile,

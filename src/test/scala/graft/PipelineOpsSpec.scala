@@ -182,6 +182,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(est64 - n) < 5 * 0.0325 * n, s"est64=$est64")
   }
 
+  test("grouped HLL: rollup-of-sketches == sketch-of-rollup; per-group == filtered global") {
+    import graft.operators.Sketches
+    val df = (0L until 9000L).map(i => (i % 3, i * 7919L + 13L)).toDF("g", "k")
+    val grouped = Sketches.hllRegistersGrouped(df, Seq("g"),
+      Sketches.md5Hash32(col("k")), p = 10)
+    // per-group registers equal the plain sketch over that group's rows
+    for (g <- 0L until 3L) {
+      val direct = Sketches.hllRegisters(df.where(col("g") === g),
+        Sketches.md5Hash32(col("k")), 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val fromGrouped = grouped.where(col("g") === g).drop("g")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(fromGrouped == direct, s"g=$g")
+    }
+    // rolling the grouped table up (drop g, max r) == the global sketch:
+    // sketches re-aggregate, rows never rescan
+    val rolled = grouped.groupBy("reg").agg(max("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val global = Sketches.hllRegisters(df, Sketches.md5Hash32(col("k")), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rolled == global)
+    // grouped estimates land within 5 sigma of each group's true count
+    val ests = Sketches.hllEstimateGrouped(grouped, Seq("g"), p = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("est")).toMap
+    for (g <- 0L until 3L)
+      assert(math.abs(ests(g) - 3000.0) < 5 * 0.0325 * 3000.0, s"g=$g est=${ests(g)}")
+  }
+
   test("histogram quantile sketch: merge law, bin-width accuracy, clamping") {
     import graft.operators.Sketches
     val rnd = new scala.util.Random(23)
