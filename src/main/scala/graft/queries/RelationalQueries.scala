@@ -135,6 +135,20 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           sum("l_quantity").cast("long").as("sum_qty"))),
 
+    // Navigation/distribution window functions in one pass: lag, lead,
+    // first_value, ntile over a deterministic (date, key) order — all
+    // share one window spec, so ONE shuffle serves four functions.
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag("o_orderkey", 1).over(w).as("prev_key"),
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        first("o_orderkey").over(w).as("first_key"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // UNPIVOT (melt): the wide per-flag measure table back to long
     // (l_returnflag, measure, value) triples — the inverse of q_pivot's
     // long-to-wide, one Expand over the 3-row aggregate.
@@ -568,6 +582,16 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_unpivot" ->
       """WITH agg AS (SELECT l_returnflag,
