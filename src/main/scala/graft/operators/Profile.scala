@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass data profiling — the Deequ-style validation primitive
+  * every ingest pipeline runs before training data is trusted: per
+  * numeric column the row count, null count, exact distinct count, and
+  * min/max, emitted in long format (one row per column).
+  *
+  * Scale shape: ONE aggregation job over the table produces every
+  * non-distinct stat (count/nulls/min/max partial-aggregate map-side to
+  * a single row); the exact distinct counts ride the same `agg` call —
+  * Spark plans multi-`countDistinct` as one Expand (rows × |cols|) with
+  * partial aggregation, so the shuffle carries distinct values, not
+  * rows. For wide tables where exact distincts are not worth the
+  * Expand, [[Sketches.hllRegistersGrouped]] per column is the sketch
+  * alternative; this operator keeps exactness so the driver can
+  * hash-gate it. The 1-row wide result is melted to long format on the
+  * driver side of the aggregate (stack over one row — no extra
+  * shuffle). */
+object Profile {
+
+  /** Profile `cols` (numeric) of `df`: one row per column of
+    * (col_name, n, n_null, n_distinct, min_v, max_v), doubles for the
+    * value bounds. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+          countDistinct(col(c)).as(s"_nd_$c"),
+          min(col(c)).cast("double").as(s"_min_$c"),
+          max(col(c)).cast("double").as(s"_max_$c"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("_n").as("n"),
+        col(s"_null_$c").as("n_null"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_v"), col(s"_max_$c").as("max_v"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** Expectation check on a profile: not-null / unique / bounds per
+    * column, one row per violated expectation (empty = all pass).
+    * `bounds` maps column → (lo, hi) inclusive. */
+  def violations(profiled: DataFrame, notNull: Seq[String] = Nil,
+                 unique: Seq[String] = Nil,
+                 bounds: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+    val nn = when(col("col_name").isin(notNull: _*) && col("n_null") > 0,
+      lit("not_null"))
+    val uq = when(col("col_name").isin(unique: _*) && col("n_distinct") < col("n"),
+      lit("unique"))
+    val bd = bounds.foldLeft(lit(null).cast("string")) { case (acc, (c, (lo, hi))) =>
+      when(col("col_name") === c && (col("min_v") < lo || col("max_v") > hi),
+        lit("bounds")).otherwise(acc)
+    }
+    profiled
+      .select(col("col_name"), explode(array(nn, uq, bd)).as("violation"))
+      .where(col("violation").isNotNull)
+  }
+}

@@ -394,6 +394,15 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
+    // Single-pass data profile (the pipeline-validation primitive):
+    // per-column n / nulls / exact distinct / min / max in one
+    // aggregation job, melted to long format with no extra shuffle.
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("col_name")),
+
     // Per-group HLL: approximate distinct parts per returnflag — the
     // grouped register table keeps the shuffle ≤|groups|·2^p rows at
     // any input size; exact counts alongside for the accuracy story.
@@ -752,6 +761,30 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "q_profile" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders)
+        |SELECT 'o_custkey' AS col_name, n.n,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct,
+        |  (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders) AS min_v,
+        |  (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders) AS max_v
+        |FROM n
+        |UNION ALL
+        |SELECT 'o_orderkey', n.n,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey IS NULL),
+        |  (SELECT count(DISTINCT o_orderkey) FROM orders),
+        |  (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders),
+        |  (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders)
+        |FROM n
+        |UNION ALL
+        |SELECT 'o_totalprice', n.n,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+        |  (SELECT count(DISTINCT o_totalprice) FROM orders),
+        |  (SELECT CAST(min(o_totalprice) AS DOUBLE) FROM orders),
+        |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders)
+        |FROM n
+        |ORDER BY 1""".stripMargin,
 
     "sk_hll_group" ->
       """WITH h AS (

@@ -690,6 +690,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${truth.diff(got)}; extra: ${got.diff(truth)}")
   }
 
+  test("profile: exact per-column stats in one job; expectation violations fire precisely") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(20.0)), (2L, None), (4L, Some(999.0))
+    ).toDF("id", "v")
+    val p = Profile.profile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(p("id") == (4L, 0L, 3L, 1.0, 4.0))
+    assert(p("v") == (4L, 1L, 3L, 10.0, 999.0))
+    // one aggregation job: the plan has exactly one Aggregate chain, no join
+    val plan = Profile.profile(df, Seq("id", "v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val viols = Profile.violations(Profile.profile(df, Seq("id", "v")),
+      notNull = Seq("id", "v"), unique = Seq("id"),
+      bounds = Map("v" -> (0.0, 100.0)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viols == Set(("v", "not_null"), ("id", "unique"), ("v", "bounds")))
+    // clean data yields zero violations
+    val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
+    assert(Profile.violations(Profile.profile(clean, Seq("id", "v")),
+      notNull = Seq("id", "v"), unique = Seq("id"),
+      bounds = Map("v" -> (0.0, 100.0))).count() == 0)
+  }
+
   test("segment dedup: keep-first semantics, full-drop docs kept empty, no window in the plan") {
     import graft.operators.Dedup
     // doc 1 owns both segments; doc 2 repeats seg A then adds C;
