@@ -43,6 +43,31 @@ object Profile {
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Categorical companion to [[profile]]: per string column the row
+    * count, null count, exact distinct count, and the mode (most
+    * frequent value, ties to the smallest value — deterministic, so
+    * the driver can hash-gate it) with its frequency. One
+    * count-per-(column, value) aggregation per column over a union —
+    * each leg partial-aggregates map-side to ≤|distinct| rows, and the
+    * mode is a 1-row TakeOrdered per leg, never a global sort. */
+  def profileCategorical(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileCategorical needs at least one column")
+    cols.map { c =>
+      val counts = df.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val mode = counts.where(col("v").isNotNull)
+        .orderBy(col("cnt").desc, col("v")).limit(1)
+        .select(col("v").as("top_value"), col("cnt").as("top_n"))
+      val stats = counts.agg(
+        sum("cnt").as("n"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+      stats.crossJoin(mode) // both sides are 1 row
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("top_value"), col("top_n"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Expectation check on a profile: not-null / unique / bounds per
     * column, one row per violated expectation (empty = all pass).
     * `bounds` maps column → (lo, hi) inclusive. */

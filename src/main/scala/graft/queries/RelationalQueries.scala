@@ -403,6 +403,14 @@ object RelationalQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice"))
         .orderBy("col_name")),
 
+    // Categorical profile: per string column n / nulls / distinct /
+    // deterministic mode (ties to the smallest value) — bounded
+    // per-column aggregates, 1-row TakeOrdered for the mode.
+    "q_profile_cat" -> ((s, dir) =>
+      graft.operators.Profile.profileCategorical(
+        t(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // Per-group HLL: approximate distinct parts per returnflag — the
     // grouped register table keeps the shuffle ≤|groups|·2^p rows at
     // any input size; exact counts alongside for the accuracy story.
@@ -784,6 +792,28 @@ object RelationalQueries {
         |  (SELECT CAST(min(o_totalprice) AS DOUBLE) FROM orders),
         |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders)
         |FROM n
+        |ORDER BY 1""".stripMargin,
+
+    "q_profile_cat" ->
+      """WITH m1 AS (SELECT o_orderstatus AS v, count(*) AS cnt FROM orders
+        |           WHERE o_orderstatus IS NOT NULL GROUP BY 1
+        |           ORDER BY cnt DESC, v LIMIT 1),
+        |m2 AS (SELECT o_orderpriority AS v, count(*) AS cnt FROM orders
+        |       WHERE o_orderpriority IS NOT NULL GROUP BY 1
+        |       ORDER BY cnt DESC, v LIMIT 1)
+        |SELECT 'o_orderstatus' AS col_name,
+        |  (SELECT count(*) FROM orders) AS n,
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL) AS n_null,
+        |  (SELECT count(DISTINCT o_orderstatus) FROM orders) AS n_distinct,
+        |  m1.v AS top_value, m1.cnt AS top_n
+        |FROM m1
+        |UNION ALL
+        |SELECT 'o_orderpriority',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders),
+        |  m2.v, m2.cnt
+        |FROM m2
         |ORDER BY 1""".stripMargin,
 
     "sk_hll_group" ->

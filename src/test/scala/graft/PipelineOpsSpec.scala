@@ -715,6 +715,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       bounds = Map("v" -> (0.0, 100.0))).count() == 0)
   }
 
+  test("categorical profile: exact stats and deterministic mode tie-break") {
+    import graft.operators.Profile
+    // b and c tie at 2 occurrences: mode must be the SMALLER value (b)
+    val df = Seq(Some("b"), Some("c"), Some("b"), Some("c"), Some("a"), None)
+      .toDF("s")
+    val p = Profile.profileCategorical(df, Seq("s")).collect()(0)
+    assert((p.getString(0), p.getLong(1), p.getLong(2), p.getLong(3),
+      p.getString(4), p.getLong(5)) == ("s", 6L, 1L, 3L, "b", 2L))
+  }
+
   test("segment dedup: keep-first semantics, full-drop docs kept empty, no window in the plan") {
     import graft.operators.Dedup
     // doc 1 owns both segments; doc 2 repeats seg A then adds C;

@@ -115,10 +115,11 @@ class PlanSpec extends AnyFunSuite {
     // the ≤256-row histogram), knn_pq (≤3-row broadcast of
     // driver-built ADC lookup tables onto the code table) and
     // knn_ivfpq (the same LUT broadcast plus knn_ivf's nCells-row
-    // centroid-assignment cross join).
+    // centroid-assignment cross join) and q_profile_cat (per-column
+    // 1-row stats × 1-row mode).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
-        "knn_pq", "knn_ivfpq")
+        "knn_pq", "knn_ivfpq", "q_profile_cat")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
