@@ -351,6 +351,27 @@ object RelationalQueries {
           min("o_orderkey").as("min_key"))
     }),
 
+    // Binned range join (no equality key): lineitem ship dates against
+    // 24 generated 20-day promotion windows — the raw range predicate
+    // would plan a nested loop; the bin rewrite makes it a hash
+    // equijoin on day-bins + exact post-filter (PlanSpec's global
+    // no-BNLJ guard covers this gate like any other).
+    "q_range_join" -> ((s, dir) => {
+      val windows = s.range(24).select(col("id").as("win_id"),
+        (lit(8036L) + col("id") * 90L).as("lo"),
+        (lit(8036L) + col("id") * 90L + 19L).as("hi"))
+      val pts = t(s, dir, "lineitem").select(
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        dec("l_extendedprice").as("price"))
+      graft.operators.RangeJoin.pointInInterval(pts, "d", windows, "lo", "hi",
+        binWidth = 32L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("rev"))
+        .orderBy("win_id")
+    }),
+
     // Sort-on-write data skipping: events rewritten range-sorted by
     // user_id (disjoint per-file key ranges, bounded row groups), read
     // back through a sort-key range filter — the scan touches one
@@ -733,6 +754,16 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (SELECT i AS win_id, 8036 + i * 90 AS lo,
+        |                   8036 + i * 90 + 19 AS hi FROM range(0, 24) t(i)),
+        |pt AS (SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |              l_extendedprice FROM lineitem)
+        |SELECT win_id, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM pt JOIN iv ON pt.d BETWEEN iv.lo AND iv.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sorted_scan" ->

@@ -715,6 +715,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       bounds = Map("v" -> (0.0, 100.0))).count() == 0)
   }
 
+  test("binned range join == naive range join; plans an equijoin, not a nested loop") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(59)
+    // overlapping intervals of wildly varying length (1 to ~300) so
+    // single-bin, multi-bin, and shared-bin cases all occur
+    val ivs = (0 until 300).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(300).toLong)
+    }.toDF("iv_id", "lo", "hi")
+    val pts = (0 until 2000).map(i => (i.toLong, rnd.nextInt(5500).toLong))
+      .toDF("pt_id", "d")
+    for (w <- Seq(1L, 32L, 500L)) {
+      val got = RangeJoin.pointInInterval(pts, "d", ivs, "lo", "hi", w)
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // no duplicates by construction (one bin per point)
+      assert(got.length == got.toSet.size, s"w=$w duplicates")
+      val naive = pts.join(ivs, col("d") >= col("lo") && col("d") <= col("hi"))
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == naive, s"w=$w")
+      assert(naive.nonEmpty)
+    }
+    val plan = RangeJoin.pointInInterval(pts, "d", ivs, "lo", "hi", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("categorical profile: exact stats and deterministic mode tie-break") {
     import graft.operators.Profile
     // b and c tie at 2 occurrences: mode must be the SMALLER value (b)
