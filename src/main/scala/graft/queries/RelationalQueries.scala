@@ -351,6 +351,16 @@ object RelationalQueries {
           min("o_orderkey").as("min_key"))
     }),
 
+    // Global row index without the single-partition window: range-
+    // partitioned sort + per-partition offsets (two passes), where
+    // row_number() over an empty window funnels the table through one
+    // task. Total order via the (priority, orderkey) tiebreak.
+    "q_global_index" -> ((s, dir) =>
+      graft.operators.Repartition.withGlobalIndex(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        Seq("o_orderpriority", "o_orderkey"))
+        .select("o_orderkey", "idx")),
+
     // Binned range join (no equality key): lineitem ship dates against
     // 24 generated 20-day promotion windows — the raw range predicate
     // would plan a nested loop; the bin rewrite makes it a hash
@@ -755,6 +765,11 @@ object RelationalQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_global_index" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderpriority, o_orderkey) - 1 AS idx
+        |FROM orders ORDER BY idx""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (SELECT i AS win_id, 8036 + i * 90 AS lo,

@@ -715,6 +715,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       bounds = Map("v" -> (0.0, 100.0))).count() == 0)
   }
 
+  test("global index: exact 0..n-1 in order across partitions, no global window") {
+    import graft.operators.Repartition
+    val rnd = new scala.util.Random(61)
+    val df = (0 until 5000).map(_ => rnd.nextInt(1000000).toLong)
+      .distinct.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(16)
+    val out = Repartition.withGlobalIndex(df, Seq("v", "id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = out.length
+    assert(out.map(_._2).sorted.toSeq == (0L until n.toLong))
+    // index order == (v, id) sort order
+    assert(out.sortBy(_._2).map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    // and the plan never funnels the table through one task: the only
+    // sort is the range-partitioned orderBy, no Window at all
+    val plan = Repartition.withGlobalIndex(df, Seq("v", "id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("binned range join == naive range join; plans an equijoin, not a nested loop") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(59)
