@@ -351,6 +351,31 @@ object RelationalQueries {
           min("o_orderkey").as("min_key"))
     }),
 
+    // Incremental aggregate maintenance: the orders table arrives as
+    // two batches; each merges into a stored parquet aggregate state
+    // (union + re-aggregate over state+batch rows only — history is
+    // never rescanned). Final state must equal the one-shot aggregate,
+    // which is exactly what the oracle computes. Fresh state path per
+    // run (delete first) keeps the gate idempotent.
+    "q_incr_agg" -> ((s, dir) => {
+      val state = sys.props("java.io.tmpdir") + "/graft_q_incr_agg"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dec("o_totalprice").as("price"))
+      graft.sources.Sinks.mergeAggState(state,
+        orders.where(col("o_orderkey") % 2 === 0),
+        Seq("o_orderpriority"), "n", "price")
+      graft.sources.Sinks.mergeAggState(state,
+        orders.where(col("o_orderkey") % 2 =!= 0),
+        Seq("o_orderpriority"), "n", "price")
+        .select(col("o_orderpriority"), col("n"),
+          col("price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Global row index without the single-partition window: range-
     // partitioned sort + per-partition offsets (two passes), where
     // row_number() over an empty window funnels the table through one
@@ -765,6 +790,11 @@ object RelationalQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_global_index" ->
       """SELECT o_orderkey,

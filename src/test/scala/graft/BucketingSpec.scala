@@ -89,4 +89,31 @@ class BucketingSpec extends AnyFunSuite {
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("incremental agg state: N batch merges equal the one-shot aggregate") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val state = sys.props("java.io.tmpdir") + "/graft_incr_agg_spec"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    val rows = (0 until 3000).map { i =>
+      (s"k${i % 7}", BigDecimal(i).setScale(2))
+    }
+    val df = rows.toDF("k", "v").select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    // three uneven batches
+    val batches = Seq(df.limit(500), df.offset(500).limit(1700), df.offset(2200))
+    var last: org.apache.spark.sql.DataFrame = null
+    batches.foreach { b => last = Sinks.mergeAggState(state, b, Seq("k"), "n", "v") }
+    val got = last.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toString))).toMap
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toString))).toMap
+    assert(got == want)
+    // the state file survives and re-reads identically (atomic rename)
+    val reread = spark.read.parquet(state).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toString))).toMap
+    assert(reread == want)
+  }
 }
