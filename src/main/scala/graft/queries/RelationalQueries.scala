@@ -351,6 +351,22 @@ object RelationalQueries {
           min("o_orderkey").as("min_key"))
     }),
 
+    // Null-safe equality join (<=>): the null group is a real key —
+    // a plain equijoin silently drops it, the classic silent-data-loss
+    // bug at the ingest seam. Joining two aggregates keyed by a
+    // nullable bucket keeps both sides' null rows matched.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .groupBy(when(col("o_custkey") % 97 =!= 0, col("o_custkey") % 97).as("k"))
+        .agg(count(lit(1)).as("n_ord"))
+      val b = t(s, dir, "customer")
+        .groupBy(when(col("c_custkey") % 97 =!= 0, col("c_custkey") % 97).as("kb"))
+        .agg(count(lit(1)).as("n_cust"))
+      a.join(b, col("k") <=> col("kb"))
+        .select(col("k"), col("n_ord"), col("n_cust"))
+        .orderBy(col("k"))
+    }),
+
     // Incremental aggregate maintenance: the orders table arrives as
     // two batches; each merges into a stored parquet aggregate state
     // (union + re-aggregate over state+batch rows only — history is
@@ -790,6 +806,15 @@ object RelationalQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(o_custkey % 97, 0) AS k, count(*) AS n_ord
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT nullif(c_custkey % 97, 0) AS kb, count(*) AS n_cust
+        |      FROM customer GROUP BY 1)
+        |SELECT a.k, a.n_ord, b.n_cust
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb
+        |ORDER BY a.k""".stripMargin,
 
     "q_incr_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
