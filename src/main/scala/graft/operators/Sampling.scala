@@ -27,6 +27,23 @@ object Sampling {
     df.where(hashBucket(col(keyCol)) < lit(math.round(rate * 1000).toInt))
   }
 
+  /** Quality-weighted sampling: keep probability = rate · w(row), with
+    * w ∈ [0,1] a per-row weight column (e.g.
+    * [[graft.functions.TextFunctions.qualityScore]]) — the curation
+    * move that keeps more of the good data and less of the bad WITHOUT
+    * a hard threshold. Decision: md5₃₂(key) < ⌊rate·w·2³²⌋ — same
+    * determinism laws as [[hashSample]] (reproducible, join-stable)
+    * plus monotone in BOTH rate and weight: raising either only ADDS
+    * rows. The full 32-bit hash gives ~2⁻³² rate granularity so
+    * fine-grained weights act faithfully. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column,
+                         rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    val threshold =
+      floor(weight * lit(rate) * lit(4294967296.0)).cast("long")
+    df.where(Sketches.md5Hash32(col(keyCol)) < threshold)
+  }
+
   /** Data mixing: per-stratum sampling rates (e.g. downweight one
     * language or source), `defaultRate` for unlisted strata. */
   def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,

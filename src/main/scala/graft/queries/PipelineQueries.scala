@@ -347,6 +347,16 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
 
+    // Quality-weighted sampling: keep probability = 0.5 · quality —
+    // more of the good data, less of the bad, no hard threshold.
+    // Same determinism laws as q_mix_sample (md5-of-key decision).
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedHashSample(docs(s, dir), "doc_id",
+        graft.functions.TextFunctions.qualityScore(col("text")), rate = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))),
+
     // Int8 embedding quantization: per-vector scale + quantized values
     // + cosine between original and reconstruction (rounding is
     // floor(x+0.5) in both engines, so every output is deterministic).
@@ -1004,6 +1014,26 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tok, tok_before // 2048 AS seq,
         |  tok_before % 2048 AS seq_offset
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |          (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS w,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) AS h
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM q WHERE h < CAST(floor(w * 0.5 * 4294967296.0) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mix_sample" ->
       """WITH s AS (

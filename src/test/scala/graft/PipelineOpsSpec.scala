@@ -836,6 +836,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == isolated ++ comps.map(_.min))
   }
 
+  test("weighted sampling: monotone in rate AND weight, rate*w keep fraction, edges") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 20000).select(col("id"),
+      ((col("id") % 10).cast("double") / 10.0).as("w"))
+    def ids(rate: Double, wc: org.apache.spark.sql.Column): Set[Long] =
+      Sampling.weightedHashSample(df, "id", wc, rate)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s3 = ids(0.3, col("w")); val s7 = ids(0.7, col("w"))
+    assert(s3.subsetOf(s7)) // monotone in rate
+    assert(ids(0.5, col("w")).subsetOf(ids(0.5, least(col("w") * 2.0, lit(1.0))))) // monotone in weight
+    assert(ids(0.0, col("w")).isEmpty)
+    assert(ids(1.0, lit(1.0)).size == 20000) // w=1, rate=1 keeps all
+    // keep fraction ≈ rate·mean(w) = 0.5 · 0.45
+    val frac = ids(0.5, col("w")).size / 20000.0
+    assert(math.abs(frac - 0.225) < 0.02, s"frac=$frac")
+  }
+
   test("hash sampling: deterministic, monotone in rate, stratified rates hold approximately") {
     import graft.operators.Sampling
     val df = spark.range(0, 5000).select(col("id"),
