@@ -423,6 +423,24 @@ object RelationalQueries {
         .orderBy("win_id")
     }),
 
+    // Salted join under extreme key skew: events carry only 4 distinct
+    // event types, so a plain equijoin lands each hot key on ONE
+    // reducer; salting spreads every hot key over 8, replicating the
+    // (tiny) dim side once per salt. Result must equal the plain join.
+    "q_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("view", "1.00"), ("click", "5.00"),
+        ("purchase", "50.00"), ("signup", "10.00")).toDF("event_type", "w")
+        .select(col("event_type"), col("w").cast("decimal(18,2)").as("w"))
+      graft.operators.Skew.saltedJoin(
+        t(s, dir, "events").select(col("event_type"), dec("value").as("v")),
+        dim, "event_type", salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("w")).cast("double").as("wsum"))
+        .orderBy("event_type")
+    }),
+
     // Sort-on-write data skipping: events rewritten range-sorted by
     // user_id (disjoint per-file key ranges, bounded row groups), read
     // back through a sort-key range filter — the scan touches one
@@ -834,6 +852,14 @@ object RelationalQueries {
         |SELECT win_id, count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |FROM pt JOIN iv ON pt.d BETWEEN iv.lo AND iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH dim(event_type, w) AS (VALUES
+        |  ('view', 1.00), ('click', 5.00), ('purchase', 50.00), ('signup', 10.00))
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS wsum
+        |FROM events e JOIN dim USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sorted_scan" ->
