@@ -493,6 +493,20 @@ object RelationalQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice"))
         .orderBy("col_name")),
 
+    // Expectation check over a profile: assert uniqueness and value
+    // bounds the data does NOT satisfy — the violations (o_custkey is
+    // not unique; o_totalprice exceeds the claimed cap) come back as
+    // rows, which is the contract a pipeline gate consumes.
+    "q_profile_check" -> ((s, dir) => {
+      val p = graft.operators.Profile.profile(
+        t(s, dir, "orders"), Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      graft.operators.Profile.violations(p,
+        notNull = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        unique = Seq("o_orderkey", "o_custkey"),
+        bounds = Map("o_totalprice" -> (0.0, 400000.0)))
+        .orderBy("col_name", "violation")
+    }),
+
     // Categorical profile: per string column n / nulls / distinct /
     // deterministic mode (ties to the smallest value) — bounded
     // per-column aggregates, 1-row TakeOrdered for the mode.
@@ -920,6 +934,23 @@ object RelationalQueries {
         |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders)
         |FROM n
         |ORDER BY 1""".stripMargin,
+
+    "q_profile_check" ->
+      """WITH v AS (
+        |  SELECT 'o_orderkey' AS col_name, 'not_null' AS violation
+        |    WHERE (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) > 0
+        |  UNION ALL SELECT 'o_custkey', 'not_null'
+        |    WHERE (SELECT count(*) FROM orders WHERE o_custkey IS NULL) > 0
+        |  UNION ALL SELECT 'o_totalprice', 'not_null'
+        |    WHERE (SELECT count(*) FROM orders WHERE o_totalprice IS NULL) > 0
+        |  UNION ALL SELECT 'o_orderkey', 'unique'
+        |    WHERE (SELECT count(DISTINCT o_orderkey) FROM orders) < (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'o_custkey', 'unique'
+        |    WHERE (SELECT count(DISTINCT o_custkey) FROM orders) < (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'o_totalprice', 'bounds'
+        |    WHERE (SELECT CAST(min(o_totalprice) AS DOUBLE) FROM orders) < 0.0
+        |       OR (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders) > 400000.0)
+        |SELECT * FROM v ORDER BY 1, 2""".stripMargin,
 
     "q_profile_cat" ->
       """WITH m1 AS (SELECT o_orderstatus AS v, count(*) AS cnt FROM orders
