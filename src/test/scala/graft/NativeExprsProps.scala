@@ -76,4 +76,39 @@ object NativeExprsProps extends Properties("NativeExprs") {
         positions == positions.sorted && positions.distinct == positions &&
         sel.forall { case (p, h) => hs(p) == h }
     }
+
+  private val keySetGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)).map(_.take(200))
+
+  property("bloom: zero false negatives for every inserted key, any key set") =
+    forAll(keySetGen) { keys =>
+      import spark.implicits._
+      val words = graft.operators.Sketches.bloomBuild(
+        keys.toDF("k"), col("k"), m = 1 << 12, k = 4)
+      val hits = keys.distinct.toDF("k")
+        .where(NativeExprs.bloomMightContainNative(col("k"), words, 4))
+        .count()
+      hits == keys.distinct.size
+    }
+
+  property("char entropy: 0 <= H <= log2(distinct code points); 0 iff <=1 distinct") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd', 'x')).map(_.mkString.take(60))) { s =>
+      val h = spark.range(1).select(
+        NativeExprs.charEntropyNative(lit(s))).collect().head.getDouble(0)
+      val d = s.toSet.size
+      val hi = math.log(d.toDouble) / math.log(2.0)
+      h >= -1e-12 && h <= hi + 1e-9 && ((d <= 1) == (math.abs(h) < 1e-12))
+    }
+
+  property("weighted sampling: monotone in rate for any weight assignment") =
+    forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (r1, r2) =>
+      import spark.implicits._
+      val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+      val df = spark.range(0, 500).select(col("id"),
+        ((col("id") % 7).cast("double") / 7.0).as("w"))
+      def keep(rate: Double) =
+        graft.operators.Sampling.weightedHashSample(df, "id", col("w"), rate)
+          .select("id").collect().map(_.getLong(0)).toSet
+      keep(lo).subsetOf(keep(hi))
+    }
 }
