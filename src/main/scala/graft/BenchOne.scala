@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time one or more named catalog queries against a testdata
   * dir without running the whole Bench sweep.
   * Usage: runMain graft.BenchOne <sfDir> <query> [query ...]
-  * Two passes per query (min reported), same noop-sink forcing as
+  * Warm min-of-3 per query (reps consecutive, caches cleared between
+  * queries only), same methodology and noop-sink forcing as
   * [[Bench]]. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -20,8 +21,9 @@ object BenchOne {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val (a, b) = (once(), once())
-      println(f"BENCHONE $name%-20s min=${math.min(a, b)}%.2f s  (p1=$a%.2f p2=$b%.2f)")
+      val ts = (1 to 3).map(_ => once())
+      spark.catalog.clearCache()
+      println(f"BENCHONE $name%-20s min=${ts.min}%.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
     }
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -668,7 +668,12 @@ object NativeExprs {
     * [[BloomMightContainExpr]] — one hash implementation shared by
     * both expressions, so filter and probe can never drift apart. */
   case class BloomPositionsExpr(child: Expression, m: Long, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    // declared input type: int keys then cast to long at analysis time,
+    // so interpreted eval (constant folding, non-codegen paths) sees the
+    // same Long the codegen path casts to — without this an int key
+    // works under codegen but ClassCastExceptions under eval().
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     def positions(v: Long): GenericArrayData = {
       val h1 = XXH64.hashLong(v, 42L)
@@ -699,7 +704,8 @@ object NativeExprs {
     * on the parquet scan it is pruning. False positives possible
     * (rate ≈ (1−e^{−kn/m})^k), false negatives impossible. */
   case class BloomMightContainExpr(child: Expression, words: Array[Long], k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = BooleanType
     private val m: Long = words.length.toLong * 64L
     def test(v: Long): Boolean = {

@@ -34,8 +34,14 @@ object ConnectedComponents {
           maxIter: Int = 20, localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     // Size-adaptive: count is ~free when the caller cached the pair
     // frame (dropNearDuplicates does; the count doubles as the cache
-    // materialization the symmetrize union needs anyway).
-    if (localSolveMaxEdges > 0 && edges.limit(
+    // materialization the symmetrize union needs anyway). The local
+    // path packs ids into Long — only integral id columns may take it
+    // (a string/decimal id would silently NULL-out or change equality
+    // under cast("long"), diverging from the propagation path).
+    if (localSolveMaxEdges > 0 &&
+        isIntegral(edges.schema(srcCol).dataType) &&
+        isIntegral(edges.schema(dstCol).dataType) &&
+        edges.limit(
         (localSolveMaxEdges + 1).min(Int.MaxValue.toLong).toInt)
         .count() <= localSolveMaxEdges)
       return runLocal(edges, srcCol, dstCol)
@@ -59,6 +65,8 @@ object ConnectedComponents {
     // lazy like the round checkpoints: round 1's materialization (via
     // the first convergence check) computes it — no standalone init job
     var labels = nodes.withColumn("comp", col("node")).localCheckpoint(false)
+    val numericIds = edges.schema(srcCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var converged = false
     var iter = 0
     var prevSum: Option[java.math.BigDecimal] = None
@@ -92,14 +100,31 @@ object ConnectedComponents {
       // at scale the per-round cost is job-scheduling latency, not
       // data. Worst case one extra (label-identical) round runs.
       if (iter % 2 == 0 || iter == maxIter) {
-        val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first.getDecimal(0)
-        converged = prevSum.exists(_.compareTo(s) == 0)
-        prevSum = Some(s)
+        if (numericIds) {
+          val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first.getDecimal(0)
+          converged = prevSum.exists(_.compareTo(s) == 0)
+          prevSum = Some(s)
+        } else {
+          // Non-numeric labels (string ids) have no lossless numeric
+          // cast — the sum fixpoint would compare NULLs. Exact check
+          // instead: did any node's label change since last round?
+          // One join of two node-sized frames per checked round.
+          converged = next
+            .join(labels.select(col("node"), col("comp").as("prev")), "node")
+            .where(col("comp") =!= col("prev"))
+            .isEmpty
+        }
       }
       labels = next
     }
     sym.unpersist()
     labels
+  }
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
   }
 
   /** Driver-side union-find with min-id roots: unions always attach

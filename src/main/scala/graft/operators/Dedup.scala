@@ -261,22 +261,43 @@ object Dedup {
     * precision is 1.0. Buckets use the LCG hyperplane derivation
     * ([[graft.functions.NativeExprs.HyperplaneBucketLcgExpr]]), exactly
     * reproducible by the DuckDB oracle. */
-  /** @param maxBucketSize drop (table, bucket) groups larger than this
+  /** LSH hyperplane-bit sizing law: enough bits that the EXPECTED
+    * bucket holds ~`targetBucket` vectors — bits = ceil(log2(n /
+    * targetBucket)), clamped to [3, 48]. Computed integer-exact via
+    * bit length (no float log2) so a SQL oracle can reproduce it
+    * without last-ulp ceil() drift. A pinned bit count is the classic
+    * scale killer: per-bucket pairing is quadratic, so constant bits
+    * at 10x data means 100x pair work — the parameter must derive from
+    * the data, never ride a default (the reference's own discipline:
+    * worker pools sized from the data, `clusterquery.jl:114-117`). */
+  def lshBitsFor(n: Long, targetBucket: Long = 100L): Int = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    val v = math.max(1L, (n + targetBucket - 1) / targetBucket) // ceil(n/target)
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(v - 1) // ceil(log2(v)); 0 when v=1
+    math.min(48, math.max(3, bitLen))
+  }
+
+  /** @param bits hyperplane bits per table; `<= 0` (the default)
+    *   derives them from the corpus count via [[lshBitsFor]] — one
+    *   count job, paid once per call, so the bucket granularity scales
+    *   with the data instead of riding a constant.
+    * @param maxBucketSize drop (table, bucket) groups larger than this
     *   before pairing — guards degenerate directions (e.g. zero-ish
     *   vectors all landing in one cell) from going quadratic. Unlimited
-    *   by default; at scale, size `bits` ≈ log2(corpus/targetBucket)
-    *   first and use the cap as the backstop. */
+    *   by default; derived `bits` does the sizing, the cap is the
+    *   backstop. */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, tables: Int = 4, bits: Int = 4,
+                               threshold: Double, tables: Int = 4, bits: Int = 0,
                                seed: Long = 42L,
                                extraBlockCols: Seq[String] = Nil,
                                maxBucketSize: Int = Int.MaxValue): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
+    val nBits = if (bits > 0) bits else lshBitsFor(df.count())
     val v = df.select((col(idCol) +: extraBlockCols.map(col)) :+
       col(vecCol).cast("array<double>").as("v"): _*)
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        hyperplaneBucketLcgNative(col("v"), bits, seed + t).as("bkt"))): _*)
+        hyperplaneBucketLcgNative(col("v"), nBits, seed + t).as("bkt"))): _*)
     val tabled = v.select(col(idCol) +: extraBlockCols.map(col) :+
       explode(buckets).as("tb"): _*)
       .select(col(idCol) +: extraBlockCols.map(col) :+

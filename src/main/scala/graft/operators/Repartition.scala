@@ -40,9 +40,15 @@ object Repartition {
                       idxCol: String = "idx"): DataFrame = {
     require(orderCols.nonEmpty, "withGlobalIndex needs order columns")
     val spark = df.sparkSession
-    // cache: the counting pass and the indexing pass both read the
-    // sorted layout; without it the sort runs twice.
-    val sorted = df.orderBy(orderCols.map(col): _*).cache()
+    // localCheckpoint (NOT cache): the counting pass and the indexing
+    // pass both read the sorted layout, so it must be materialized
+    // exactly once — but a .cache() here registers the frame in the
+    // session CacheManager forever (the caller never gets a handle to
+    // unpersist), permanently pinning a sorted copy of the input per
+    // call. An eager local checkpoint materializes the same layout,
+    // is cleaned by the ContextCleaner once the returned frame is
+    // unreferenced, and truncates lineage as a bonus.
+    val sorted = df.orderBy(orderCols.map(col): _*).localCheckpoint(true)
     val rdd = sorted.rdd
     val counts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),

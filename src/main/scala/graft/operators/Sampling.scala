@@ -35,12 +35,24 @@ object Sampling {
     * determinism laws as [[hashSample]] (reproducible, join-stable)
     * plus monotone in BOTH rate and weight: raising either only ADDS
     * rows. The full 32-bit hash gives ~2⁻³² rate granularity so
-    * fine-grained weights act faithfully. */
+    * fine-grained weights act faithfully.
+    *
+    * Weights outside [0,1] are clamped (w>1 keeps at most `rate`, w<0
+    * keeps nothing) and a NULL/NaN weight keeps nothing — without the
+    * clamp a w>1 silently RAISES the keep probability above the
+    * documented `rate·w` ceiling and a NULL row's fate depends on SQL
+    * three-valued logic instead of a stated rule. */
   def weightedHashSample(df: DataFrame, keyCol: String, weight: Column,
                          rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    // NULL/NaN screened BEFORE the clamp: Spark orders NaN above every
+    // double, so least(greatest(NaN, 0), 1) would silently clamp NaN
+    // to 1.0 instead of dropping the row.
+    val wd = weight.cast("double")
+    val wSafe = when(wd.isNull || isnan(wd), lit(0.0))
+      .otherwise(least(greatest(wd, lit(0.0)), lit(1.0)))
     val threshold =
-      floor(weight * lit(rate) * lit(4294967296.0)).cast("long")
+      floor(wSafe * lit(rate) * lit(4294967296.0)).cast("long")
     df.where(Sketches.md5Hash32(col(keyCol)) < threshold)
   }
 

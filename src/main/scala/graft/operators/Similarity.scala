@@ -158,12 +158,18 @@ object Similarity {
   /** ANN top-k via hyperplane buckets: candidates share the query's
     * bucket; exact cosine rerank inside the bucket. Lower recall than
     * [[cosineTopK]]; bounded cost. `lcgBuckets` switches to the
-    * oracle-computable LCG hyperplane derivation. */
+    * oracle-computable LCG hyperplane derivation.
+    *
+    * `bits <= 0` (the default) derives the bucket granularity from the
+    * corpus count via [[Dedup.lshBitsFor]] — no similarity entry point
+    * ships a fixed-bucket default (a pinned bit count makes per-bucket
+    * rerank cost grow linearly with the corpus). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-              bits: Int = 8, qidCol: String = "qid", idCol: String = "id",
+              bits: Int = 0, qidCol: String = "qid", idCol: String = "id",
               vecCol: String = "vec", lcgBuckets: Boolean = false): DataFrame = {
+    val nBits = if (bits > 0) bits else Dedup.lshBitsFor(corpus.count())
     def bucket(c: Column): Column =
-      if (lcgBuckets) hyperplaneBucketLcg(c, bits) else hyperplaneBucket(c, dim, bits)
+      if (lcgBuckets) hyperplaneBucketLcg(c, nBits) else hyperplaneBucket(c, dim, nBits)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bkt", bucket(col("qv")))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))

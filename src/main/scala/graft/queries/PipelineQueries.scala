@@ -209,9 +209,13 @@ object PipelineQueries {
     // Embedding near-dup: cosine >= 0.4, blocked on label × multi-table
     // hyperplane-LSH buckets — the checked query IS the scale path
     // (equijoin on (label, table, bucket), never all-pairs-per-label).
+    // bits DERIVED from the corpus count (Dedup.lshBitsFor: ceil(log2(
+    // n/100)) clamped to >= 3) — the oracle recomputes the same law
+    // from count(*), so the gate holds at every sf while bucket size
+    // stays ~constant instead of growing with the corpus.
     "dd_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.4, tables = 4, bits = 3, seed = 42L,
+        threshold = 0.4, tables = 4, seed = 42L,
         extraBlockCols = Seq("label"), maxBucketSize = 1000)),
 
     // Full dedup: fingerprint-blocked exact-Jaccard pairs (j >= 0.5) ->
@@ -230,12 +234,12 @@ object PipelineQueries {
 
     // Embedding near-dup blocked by multi-table hyperplane-LSH buckets
     // (the label-free scale path; LCG hyperplanes so the oracle can
-    // recompute every bucket). Bucket cap in the checked path, mirrored
-    // in the oracle: largest observed bucket is 483 at sf0.1, so 1000
-    // changes nothing here while bounding a degenerate direction.
+    // recompute every bucket). bits derived from count(*) by the same
+    // law as dd_embed_cosine; bucket cap in the checked path, mirrored
+    // in the oracle, bounds a degenerate direction.
     "dd_embed_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.3, tables = 3, bits = 6, seed = 42L,
+        threshold = 0.3, tables = 3, seed = 42L,
         maxBucketSize = 1000)),
 
     // IVF-flat ANN: 8-cell sampled coarse quantizer, nprobe=2, top-3 —
@@ -780,10 +784,13 @@ object PipelineQueries {
     // identical integer math to HyperplaneBucketLcgExpr; list_sum over
     // list_transform matches the expression's sequential dot order.
     "dd_embed_cosine" ->
-      """WITH hp AS (
+      """WITH bits AS (
+        |  SELECT LEAST(48, GREATEST(3, length(bin((count(*) + 99) // 100 - 1)))) AS b
+        |  FROM embeddings),
+        |hp AS (
         |  SELECT t, j, d,
         |    (((48271 * ((48271 * (((42 + t) * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
-        |  FROM range(4) rt(t), range(3) rj(j), range(64) rd(d)),
+        |  FROM range(4) rt(t), range(48) rj(j), range(64) rd(d), bits WHERE j < bits.b),
         |hpl AS (SELECT t, j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1, 2),
         |bkt AS (
         |  SELECT e.vec_id, e.label, h.t,
@@ -811,10 +818,13 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "dd_embed_lsh" ->
-      """WITH hp AS (
+      """WITH bits AS (
+        |  SELECT LEAST(48, GREATEST(3, length(bin((count(*) + 99) // 100 - 1)))) AS b
+        |  FROM embeddings),
+        |hp AS (
         |  SELECT t, j, d,
         |    (((48271 * ((48271 * (((42 + t) * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
-        |  FROM range(3) rt(t), range(6) rj(j), range(64) rd(d)),
+        |  FROM range(3) rt(t), range(48) rj(j), range(64) rd(d), bits WHERE j < bits.b),
         |hpl AS (SELECT t, j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1, 2),
         |bkt AS (
         |  SELECT e.vec_id, h.t,

@@ -76,26 +76,39 @@ object Sinks {
     * historical raw data is never rescanned. count/sum (and any other
     * algebraic aggregate) re-aggregate losslessly; averages derive at
     * read time. The new state lands beside the old and replaces it by
-    * atomic rename, so a crashed merge leaves the previous state
-    * intact (same idempotence discipline as writeBucketed). */
+    * a two-rename swap (state → _bak, new → state, drop _bak), so a
+    * complete committed state exists on disk at every instant; a merge
+    * that crashes mid-swap is recovered from _bak on the next call. */
   def mergeAggState(statePath: String, batch: DataFrame, keyCols: Seq[String],
                     countCol: String, sumCol: String): DataFrame = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
+    val target = new org.apache.hadoop.fs.Path(statePath)
+    val bak = new org.apache.hadoop.fs.Path(statePath + "_bak")
+    val tmpP = new org.apache.hadoop.fs.Path(statePath + "_tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Recover from a crash inside a previous swap: the state is never
+    // deleted before its replacement is in place (see below), so a
+    // missing target with a surviving _bak means the crash hit between
+    // the two renames — the _bak IS the last committed state.
+    if (!fs.exists(target) && fs.exists(bak)) fs.rename(bak, target)
     val batchAgg = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as(countCol), sum(col(sumCol)).as(sumCol))
-    val fs = new org.apache.hadoop.fs.Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) batchAgg
+      if (!fs.exists(target)) batchAgg
       else spark.read.parquet(statePath).unionByName(batchAgg)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col(countCol)).as(countCol), sum(col(sumCol)).as(sumCol))
-    val tmp = statePath + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val target = new org.apache.hadoop.fs.Path(statePath)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true) // leftover from a crashed write
+    merged.write.mode("overwrite").parquet(tmpP.toString)
+    // Two-rename swap: at every instant either target or _bak holds a
+    // complete committed state (renames are atomic on HDFS-like FSs; a
+    // delete-then-rename would open a window where a crash loses the
+    // state entirely).
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(target)) fs.rename(target, bak)
+    fs.rename(tmpP, target)
+    fs.delete(bak, true)
     spark.read.parquet(statePath)
   }
 }

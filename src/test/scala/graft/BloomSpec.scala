@@ -60,6 +60,29 @@ class BloomSpec extends AnyFunSuite {
     assert(pos.forall(p => p >= 0 && p < m))
   }
 
+  test("int keys: interpreted eval (constant folding) agrees with the long-key path") {
+    // A foldable child makes the optimizer evaluate the expression
+    // interpreted (ConstantFolding calls eval()) — without declared
+    // inputTypes an IntegerType key ClassCastExceptioned there while
+    // working fine under codegen. lit(13) is IntegerType; keys.head=13.
+    val row = spark.range(1).select(
+      NativeExprs.bloomMightContainNative(lit(13), words, k).as("hit_int"),
+      NativeExprs.bloomMightContainNative(lit(13L), words, k).as("hit_long"),
+      NativeExprs.bloomPositionsNative(lit(13), m.toLong, k).as("pos_int"),
+      NativeExprs.bloomPositionsNative(lit(13L), m.toLong, k).as("pos_long"))
+      .collect()(0)
+    assert(row.getBoolean(0) && row.getBoolean(1))
+    assert(row.getSeq[Long](2) == row.getSeq[Long](3))
+    // int COLUMN keys probe identically to the same values as longs
+    val ints = spark.range(0, 500).select(col("id").cast("int").as("key"))
+    val gotInt = ints.where(NativeExprs.bloomMightContainNative(col("key"), words, k))
+      .collect().map(_.getInt(0)).toSet
+    val gotLong = spark.range(0, 500).toDF("key")
+      .where(NativeExprs.bloomMightContainNative(col("key"), words, k))
+      .collect().map(_.getLong(0).toInt).toSet
+    assert(gotInt == gotLong)
+  }
+
   test("pruned-then-verified equals the plain semijoin on testdata") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")

@@ -116,4 +116,32 @@ class BucketingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toString))).toMap
     assert(reread == want)
   }
+
+  test("incremental agg state: crash between the two swap renames is recovered") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val state = sys.props("java.io.tmpdir") + "/graft_incr_agg_crash_spec"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("", "_bak", "_tmp").foreach { sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(state + sfx), true)
+    }
+    val df = (0 until 1000).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "v")
+    val (b1, b2) = (df.limit(400), df.offset(400))
+    Sinks.mergeAggState(state, b1, Seq("k"), "n", "v")
+    // Simulate the swap's crash window: the previous commit has been
+    // renamed to _bak, the replacement never arrived. The next merge
+    // must recover the _bak state, not restart from zero (the old
+    // delete-then-rename code lost the state here).
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "_bak"))
+    val got = Sinks.mergeAggState(state, b2, Seq("k"), "n", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // and the swap leaves no _bak/_tmp droppings on the happy path
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_bak")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_tmp")))
+  }
 }

@@ -732,6 +732,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = Repartition.withGlobalIndex(df, Seq("v", "id"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
+    // no permanent cache pin: the sorted intermediate must NOT be
+    // registered in the session cache — with the old .cache() an
+    // identical orderBy afterwards planned an InMemoryTableScan
+    val replay = df.orderBy(col("v"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(!replay.contains("InMemoryTableScan"), replay)
   }
 
   test("binned range join == naive range join; plans an equijoin, not a nested loop") {
@@ -834,6 +840,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     val comps = got.keys.map(component).toSet
     val isolated = (0L until 200L).toSet.diff(got.keySet)
     assert(kept == isolated ++ comps.map(_.min))
+  }
+
+  test("connected components with string ids: local-solve guard falls back to propagation") {
+    import graft.operators.ConnectedComponents
+    // Non-integral ids must NOT take the driver union-find (it packs
+    // ids into Long; cast("long") of a string is NULL). The guard
+    // routes them to the propagation loop, where min is lexicographic.
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // integral ids still take (and agree with) the local path
+    val le = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val lg = ConnectedComponents.run(le)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lg == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("weighted sampling: w>1 clamps to rate ceiling; NULL/negative/NaN weights drop") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 5000).toDF("id")
+    def ids(wc: org.apache.spark.sql.Column): Set[Long] =
+      Sampling.weightedHashSample(df, "id", wc, 0.5)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // w = 5 must behave exactly like w = 1 (keep prob capped at rate),
+    // not 2.5x the documented ceiling
+    assert(ids(lit(5.0)) == ids(lit(1.0)))
+    assert(ids(lit(-3.0)).isEmpty)
+    assert(ids(lit(null).cast("double")).isEmpty)
+    assert(ids(lit(Double.NaN)).isEmpty)
   }
 
   test("weighted sampling: monotone in rate AND weight, rate*w keep fraction, edges") {
