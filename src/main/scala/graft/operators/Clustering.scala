@@ -12,9 +12,12 @@ import graft.functions.{NativeExprs, VectorAgg}
   * The execution shape is MLlib's dense Lloyd's: centroids live on the
   * driver (k × dim doubles — driver-sized at any corpus size) and reach
   * executors as literals inside a codegen'd argmin expression, so one
-  * iteration is ONE corpus scan feeding a map-side-combined per-cluster
-  * vector mean (k rows cross the shuffle per partition). The corpus is
-  * never shuffled, k-way exploded, or joined against itself.
+  * iteration is ONE scan of the (cached, ≤trainCap-row) training
+  * sample feeding a map-side-combined per-cluster vector mean (k rows
+  * cross the shuffle per partition). The corpus is never shuffled,
+  * k-way exploded, or joined against itself — and the full corpus is
+  * read only for the sizing count and the final assignment, never
+  * inside the iteration loop.
   *
   * Determinism contract (what lets the driver hash-gate the result):
   *  - seeding: the k lowest-`idCol` vectors, not a sampled init;
@@ -30,32 +33,31 @@ import graft.functions.{NativeExprs, VectorAgg}
   */
 object Clustering {
 
+  /** Rows the Lloyd loop may touch per iteration. A codebook's quality
+    * needs only a sample; the loop must never pay one full corpus read
+    * per iteration (at 100 TB that is `iters` full scans to train
+    * driver-sized state). */
+  val DefaultTrainCap = 100000L
+
   /** Per-cluster result after `iters` Lloyd iterations: (cid, n,
-    * centroid) with `n` the final assignment's cluster size (0 for an
-    * emptied cluster) and `centroid` on the 1e-6 grid. */
+    * centroid) with `centroid` on the 1e-6 grid and `n` the FULL
+    * corpus's cluster size under those returned centroids (0 for an
+    * emptied cluster) — self-consistent with [[kmeansAssign]]'s
+    * assignment by construction.
+    *
+    * Training runs on a deterministic hash sample of at most ~
+    * `trainCap` vectors ([[Sampling.hashSampleToCap]] — md5-bucket
+    * filter, engine-reproducible), cached for the loop; the full
+    * corpus is read exactly twice: the sizing count and the final
+    * count-per-cluster pass. Corpora at or under the cap train on
+    * everything — the sample is the identity there. */
   def kmeansCentroids(embs: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): DataFrame = {
-    require(k > 0 && iters > 0, "k and iters must be positive")
+                      k: Int, iters: Int,
+                      trainCap: Long = DefaultTrainCap): DataFrame = {
     val spark = embs.sparkSession
     val e = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    var centroids: IndexedSeq[Array[Double]] =
-      e.orderBy("id").limit(k).collect()
-        .map(_.getSeq[Double](1).toArray).toIndexedSeq
-    require(centroids.length == k, s"corpus has fewer than k=$k vectors")
-
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      assigned = assign(e, centroids)
-      val means = assigned.groupBy("cid")
-        .agg(VectorAgg.vectorMean(col("v")).as("c"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      centroids = centroids.zipWithIndex.map { case (old, cid) =>
-        means.get(cid).map(_.map(x => math.floor(x * 1e6 + 0.5) / 1e6)).getOrElse(old)
-      }
-    }
-
-    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+    val centroids = trainCentroids(e, k, iters, trainCap)
+    val counts = assign(e, centroids).groupBy("cid").agg(count(lit(1)).as("n"))
     val centRows = centroids.zipWithIndex.map { case (c, cid) => Row(cid, c.toSeq) }
     val centDF = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1),
@@ -67,13 +69,34 @@ object Clustering {
 
   /** Final (id, cid) assignment under the same trajectory. */
   def kmeansAssign(embs: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    val spark = embs.sparkSession
-    val finalCentroids = kmeansCentroids(embs, idCol, vecCol, k, iters)
-      .select("cid", "c").collect().sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray).toIndexedSeq
+                   k: Int, iters: Int,
+                   trainCap: Long = DefaultTrainCap): DataFrame = {
     val e = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    assign(e, finalCentroids).select("id", "cid")
+    assign(e, trainCentroids(e, k, iters, trainCap)).select("id", "cid")
+  }
+
+  /** The Lloyd loop itself: seeds + `iters` assign/mean rounds over the
+    * (cached) training sample. Every round is materialized by its
+    * collect, so the cache is dropped before returning. */
+  private def trainCentroids(e: DataFrame, k: Int, iters: Int,
+                             trainCap: Long): IndexedSeq[Array[Double]] = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val train = Sampling.hashSampleToCap(e, "id", trainCap).cache()
+    var centroids: IndexedSeq[Array[Double]] =
+      train.orderBy("id").limit(k).collect()
+        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+    require(centroids.length == k, s"training sample has fewer than k=$k vectors")
+    for (_ <- 1 to iters) {
+      val means = assign(train, centroids).groupBy("cid")
+        .agg(VectorAgg.vectorMean(col("v")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, cid) =>
+        means.get(cid).map(_.map(x => math.floor(x * 1e6 + 0.5) / 1e6)).getOrElse(old)
+      }
+    }
+    train.unpersist()
+    centroids
   }
 
   /** Argmin-by-(score, cid) as one codegen-friendly expression: an

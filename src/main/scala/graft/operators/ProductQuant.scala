@@ -44,16 +44,25 @@ object ProductQuant {
     * of m sequential trainings. The per-group contents are identical
     * to slice-at-a-time training, and centroids snap to the 1e-6 grid
     * between iterations, so the trajectory — and any oracle built on
-    * it — is unchanged. */
+    * it — is unchanged.
+    *
+    * Training reads a deterministic hash sample of at most ~`trainCap`
+    * vectors ([[Sampling.hashSampleToCap]]), cached for the loop —
+    * codebook quality needs a sample, not the corpus, and the full
+    * read happens exactly once, in [[encode]]. Corpora at or under the
+    * cap train on everything (sample = identity). */
   def trainCodebooks(embs: DataFrame, idCol: String, vecCol: String,
-                     m: Int, subDim: Int, k: Int,
-                     iters: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+                     m: Int, subDim: Int, k: Int, iters: Int,
+                     trainCap: Long = Clustering.DefaultTrainCap)
+      : IndexedSeq[IndexedSeq[Array[Double]]] = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
-    val e = embs.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    val e = Sampling.hashSampleToCap(
+      embs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")),
+      "id", trainCap).cache()
     val seeds = e.orderBy("id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
-    require(seeds.length == k, s"corpus has fewer than k=$k vectors")
+    require(seeds.length == k, s"training sample has fewer than k=$k vectors")
     var codebooks: IndexedSeq[IndexedSeq[Array[Double]]] =
       (0 until m).map(s => seeds.toIndexedSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 1 to iters) {
@@ -83,6 +92,7 @@ object ProductQuant {
         }
       }
     }
+    e.unpersist() // every iteration materialized by its collect
     codebooks
   }
 

@@ -56,6 +56,27 @@ object Sampling {
     df.where(Sketches.md5Hash32(col(keyCol)) < threshold)
   }
 
+  /** Deterministic ~`cap`-row subset: the per-mille hash-bucket filter
+    * with the smallest rate whose EXPECTED yield still reaches `cap`
+    * (ceil(cap·1000/n) per-mille; the whole frame when n <= cap).
+    * Same determinism laws as [[hashSample]] — the subset depends only
+    * on md5(key), so it is partitioning-invariant, reproducible in
+    * ANSI SQL, and stable across engines. This is the training-sample
+    * primitive: iterative trainers (k-means, PQ codebooks) run their
+    * Lloyd loops over this bounded frame and touch the full corpus
+    * exactly once for the final encode/assign — at 100 TB the
+    * alternative is one full read PER ITERATION for a codebook whose
+    * quality needs only a sample. Runs one count() job on `df`. */
+  def hashSampleToCap(df: DataFrame, keyCol: String, cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val n = df.count()
+    if (n <= cap) df
+    else {
+      val permille = math.min(1000L, (cap * 1000L + n - 1) / n).toInt
+      df.where(hashBucket(col(keyCol)) < lit(permille))
+    }
+  }
+
   /** Data mixing: per-stratum sampling rates (e.g. downweight one
     * language or source), `defaultRate` for unlisted strata. */
   def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,

@@ -334,7 +334,11 @@ object PipelineQueries {
     // seed (lowest vec_ids) and 1e-6-grid centroid snapping, so the
     // whole trajectory — assignments included — is engine-exact and
     // hash-gated. Centroid components land on the grid; no output
-    // rounding needed.
+    // rounding needed. `n` counts the FULL corpus under the returned
+    // centroids (oracle CTE a3). Training reads a <= 100k-row hash
+    // sample — the identity at every gate sf (500/2000 vectors), so
+    // the oracle's unsampled training CTEs stay exact; the sample-
+    // parity law itself is spec-tested (PipelineOpsSpec).
     "emb_kmeans" -> ((s, dir) =>
       graft.operators.Clustering.kmeansCentroids(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
@@ -771,11 +775,21 @@ object PipelineQueries {
         |  SELECT c1.cid, coalesce(mm.c, c1.c) AS c
         |  FROM c1 LEFT JOIN (
         |    SELECT cid, list(m ORDER BY d) AS c FROM m2 GROUP BY cid) mm
-        |    ON c1.cid = mm.cid)
+        |    ON c1.cid = mm.cid),
+        |s3 AS (
+        |  SELECT e.id, c2.cid,
+        |    list_sum(list_transform(c2.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c2.c[i])) AS s
+        |  FROM e CROSS JOIN c2),
+        |a3 AS (SELECT id, cid FROM (
+        |    SELECT id, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s3) WHERE rn = 1)
         |SELECT CAST(c2.cid AS INT) AS cid, coalesce(n.n, 0) AS n,
         |  c2.c[1] AS c1, c2.c[2] AS c2, c2.c[3] AS c3, c2.c[4] AS c4
         |FROM c2 LEFT JOIN (
-        |  SELECT cid, count(*) AS n FROM a2 GROUP BY cid) n ON c2.cid = n.cid
+        |  SELECT cid, count(*) AS n FROM a3 GROUP BY cid) n ON c2.cid = n.cid
         |ORDER BY 1""".stripMargin,
 
     // Lehmer-LCG hyperplane components (seed s, plane j, dim d):

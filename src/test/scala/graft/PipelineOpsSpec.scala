@@ -1034,18 +1034,22 @@ class PipelineOpsSpec extends AnyFunSuite {
   // Serial Lloyd's replicating Clustering's determinism contract:
   // lowest-id seeding, dcc - 2·dvc sequential scoring, lowest-cid
   // ties, 1e-6 grid snap between iterations, empty keeps centroid.
+  // Returned assignment is the FULL set's assignment under the FINAL
+  // centroids — the operator's (cid, n) contract and kmeansAssign's
+  // output are both defined against it.
   private def serialKmeans(vs: Seq[(Long, Array[Double])], k: Int, iters: Int)
       : (Map[Long, Int], IndexedSeq[Array[Double]]) = {
     var cents = vs.sortBy(_._1).take(k).map(_._2.clone()).toIndexedSeq
-    var asg: Map[Long, Int] = Map.empty
-    for (_ <- 1 to iters) {
-      asg = vs.map { case (id, v) =>
-        id -> cents.zipWithIndex.map { case (c, cid) =>
+    def assignAll(cs: IndexedSeq[Array[Double]]): Map[Long, Int] =
+      vs.map { case (id, v) =>
+        id -> cs.zipWithIndex.map { case (c, cid) =>
           val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
           val dvc = v.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
           (dcc - 2 * dvc, cid)
         }.min._2
       }.toMap
+    for (_ <- 1 to iters) {
+      val asg = assignAll(cents)
       cents = cents.zipWithIndex.map { case (old, cid) =>
         val members = vs.collect { case (id, v) if asg(id) == cid => v }
         if (members.isEmpty) old
@@ -1053,7 +1057,7 @@ class PipelineOpsSpec extends AnyFunSuite {
           math.floor(members.map(_(d)).sum / members.size * 1e6 + 0.5) / 1e6)
       }
     }
-    (asg, cents)
+    (assignAll(cents), cents)
   }
 
   test("kmeans centroids and assignment match the serial Lloyd oracle") {
@@ -1073,16 +1077,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     val gotAsg = graft.operators.Clustering
       .kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // kmeansAssign re-assigns under the FINAL centroids (one step past
-    // the oracle's last update): recompute the serial assignment there.
-    val wantAsg = vs.map { case (id, v) =>
-      id -> cents.zipWithIndex.map { case (c, cid) =>
-        val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
-        val dvc = v.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
-        (dcc - 2 * dvc, cid)
-      }.min._2
-    }.toMap
-    assert(gotAsg == wantAsg)
+    // the serial oracle's assignment is already the final-centroid one,
+    // so counts and kmeansAssign both compare against the same map
+    assert(gotAsg == asg)
+  }
+
+  test("kmeans sample training: capped run == training on the explicit hash subset") {
+    import graft.operators.{Clustering, Sampling}
+    val rnd = new scala.util.Random(31)
+    val vs = (0L until 400L).map(id =>
+      id -> Array.fill(6)((id % 5).toDouble * 3 + rnd.nextDouble()))
+    val df = vs.toDF("vec_id", "embedding")
+    // cap 150 of 400 forces a real per-mille sample
+    val capped = Clustering
+      .kmeansCentroids(df, "vec_id", "embedding", k = 5, iters = 2, trainCap = 150)
+      .collect().sortBy(_.getInt(0))
+    // parity law: training on hashSampleToCap's subset explicitly (as
+    // a pre-filtered frame, cap high enough to be the identity) gives
+    // the same centroids; counts still cover ALL 400 rows
+    val subset = Sampling.hashSampleToCap(df.select(col("vec_id"), col("embedding")),
+      "vec_id", 150)
+    val sampleN = subset.count()
+    assert(sampleN > 100 && sampleN < 250, s"sample size $sampleN")
+    val fromSubset = Clustering
+      .kmeansCentroids(subset, "vec_id", "embedding", k = 5, iters = 2, trainCap = 1000)
+      .collect().sortBy(_.getInt(0))
+    for (cid <- 0 until 5)
+      assert(capped(cid).getSeq[Double](2) == fromSubset(cid).getSeq[Double](2),
+        s"centroid $cid")
+    assert(capped.map(_.getLong(1)).sum == 400L) // n spans the full corpus
+    // PQ codebooks obey the same law
+    val cbA = graft.operators.ProductQuant
+      .trainCodebooks(df, "vec_id", "embedding", m = 2, subDim = 3, k = 4,
+        iters = 2, trainCap = 150)
+    val cbB = graft.operators.ProductQuant
+      .trainCodebooks(subset, "vec_id", "embedding", m = 2, subDim = 3, k = 4,
+        iters = 2, trainCap = 1000)
+    assert(cbA.map(_.map(_.toSeq)) == cbB.map(_.map(_.toSeq)))
   }
 
   test("kmeans: a duplicated seed empties its cluster, which keeps its centroid") {
@@ -1093,13 +1124,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       .kmeansCentroids(vs.toDF("vec_id", "embedding"), "vec_id", "embedding",
         k = 3, iters = 1)
       .collect().sortBy(_.getInt(0))
-    // ids 0,1 tie at distance 0 -> both choose cid 0; cluster 1 is
-    // empty after iteration 1 and must keep its seed centroid
-    assert(got(1).getLong(1) == 0L)
+    // ids 0,1 tie at distance 0 -> both choose cid 0 during training;
+    // cluster 1 empties in iteration 1 and must keep its seed centroid.
+    // Counts are under the RETURNED centroids: cluster 0 moved to
+    // (0.033333, 0), so the origin points now sit closest to the
+    // stationary cluster-1 seed — n reflects that final assignment.
     assert(got(1).getSeq[Double](2) == Seq(0.0, 0.0))
-    assert(got(0).getLong(1) == 3L && got(2).getLong(1) == 2L)
     assert(got(0).getSeq[Double](2) == Seq(0.033333, 0.0))
     assert(got(2).getSeq[Double](2) == Seq(8.95, 9.05))
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L))
     // ...and in the NEXT iteration the origin points migrate to the
     // stationary empty centroid (closer than the one that moved):
     // serial oracle and operator must agree on that dynamic too.
