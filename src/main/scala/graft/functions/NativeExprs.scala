@@ -69,48 +69,53 @@ object NativeExprs {
       copy(child = newChild)
   }
 
-  /** MinHash signature computed STRAIGHT from the text: the k-char
-    * windows are hashed in place (byte windows on ASCII text — one
-    * `getBytes` per row, zero per-window allocation; code-point windows
-    * otherwise), so no shingle array is ever materialized and no
-    * interpreted substr-per-window transform runs. Identical output to
-    * `MinHashSigExpr(charShingles(text, k))`: duplicate windows cannot
-    * change a minimum, so skipping the distinct is value-neutral.
-    * Texts shorter than k hash one (short) window — charShingles
-    * parity. */
+  /** Shared min-signature kernel of [[MinHashSigTextExpr]] and
+    * [[MinHashBandBucketsExpr]] — the signature computed STRAIGHT from
+    * the text: the k-char windows are hashed in place (byte windows on
+    * ASCII text — one `getBytes` per row, zero per-window allocation;
+    * code-point windows otherwise), so no shingle array is ever
+    * materialized and no interpreted substr-per-window transform runs.
+    * Identical output to `MinHashSigExpr(charShingles(text, k))`:
+    * duplicate windows cannot change a minimum, so skipping the
+    * distinct is value-neutral. Texts shorter than k hash one (short)
+    * window — charShingles parity. */
+  private[functions] def minhashMins(s: org.apache.spark.unsafe.types.UTF8String,
+                                     k: Int, numHashes: Int): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    @inline def update(base: Long): Unit = {
+      var j = 0
+      while (j < numHashes) {
+        val x = mix64(base + j * 0x9e3779b97f4a7c15L)
+        if (x < mins(j)) mins(j) = x
+        j += 1
+      }
+    }
+    val nChars = s.numChars()
+    val bytes = s.getBytes
+    if (bytes.length == nChars) { // pure ASCII: byte windows == char windows
+      val windows = math.max(1, nChars - k + 1)
+      var i = 0
+      while (i < windows) {
+        update(fnv64(bytes, i, math.min(k, nChars - i)))
+        i += 1
+      }
+    } else {
+      val windows = math.max(1, nChars - k + 1)
+      var i = 0
+      while (i < windows) {
+        update(fnv64(s.substring(i, math.min(i + k, nChars)).getBytes))
+        i += 1
+      }
+    }
+    mins
+  }
+
   case class MinHashSigTextExpr(child: Expression, k: Int, numHashes: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     /** Public for generated code (reference-object call from doGenCode). */
-    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      @inline def update(base: Long): Unit = {
-        var j = 0
-        while (j < numHashes) {
-          val x = mix64(base + j * 0x9e3779b97f4a7c15L)
-          if (x < mins(j)) mins(j) = x
-          j += 1
-        }
-      }
-      val nChars = s.numChars()
-      val bytes = s.getBytes
-      if (bytes.length == nChars) { // pure ASCII: byte windows == char windows
-        val windows = math.max(1, nChars - k + 1)
-        var i = 0
-        while (i < windows) {
-          update(fnv64(bytes, i, math.min(k, nChars - i)))
-          i += 1
-        }
-      } else {
-        val windows = math.max(1, nChars - k + 1)
-        var i = 0
-        while (i < windows) {
-          update(fnv64(s.substring(i, math.min(i + k, nChars)).getBytes))
-          i += 1
-        }
-      }
-      new GenericArrayData(mins)
-    }
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(minhashMins(s, k, numHashes))
     override protected def nullSafeEval(input: Any): Any =
       compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -118,6 +123,52 @@ object NativeExprs {
       nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(newChild: Expression): MinHashSigTextExpr =
+      copy(child = newChild)
+  }
+
+  /** Fused text → LSH band buckets: the minhash signature and the
+    * banding collapse into ONE native pass — no 128-long signature
+    * array is materialized, cached, or re-read, and the interpreted
+    * per-band `transform` of the Column-form banding disappears.
+    * Element b is the bucket key of band b (band id = array position,
+    * ready for posexplode). Bucket derivation is BIT-IDENTICAL to
+    * `TextFunctions.lshBands` over `minhashSigTextNative`:
+    * xxhash64(seed 42) of the comma-joined decimal minhashes of the
+    * band — so candidate sets (and every downstream gate) are
+    * unchanged. */
+  case class MinHashBandBucketsExpr(child: Expression, k: Int, numHashes: Int,
+                                    bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    require(bands * rowsPerBand <= numHashes,
+      s"bands($bands) x rowsPerBand($rowsPerBand) exceeds numHashes($numHashes)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val mins = minhashMins(s, k, numHashes)
+      val out = new Array[Long](bands)
+      val sb = new java.lang.StringBuilder(rowsPerBand * 21)
+      var b = 0
+      while (b < bands) {
+        sb.setLength(0)
+        var r = 0
+        while (r < rowsPerBand) {
+          if (r > 0) sb.append(',')
+          sb.append(mins(b * rowsPerBand + r))
+          r += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out(b) = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashBandBucketsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandBucketsExpr =
       copy(child = newChild)
   }
 
@@ -514,6 +565,117 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Open-addressing primitive long set (linear probe, power-of-two
+    * table) for the packed-window jaccard fast path — no boxing, no
+    * rehash churn at the ~hundreds-of-windows sizes involved. */
+  private final class PackedWindowSet(capacityHint: Int) {
+    private val cap = Integer.highestOneBit(math.max(8, capacityHint * 2) - 1) << 1
+    private val mask = cap - 1
+    private val table = Array.fill(cap)(EmptySlot)
+    var size = 0
+    def add(v: Long): Boolean = {
+      var i = java.lang.Long.hashCode(v * 0x9e3779b97f4a7c15L) & mask
+      while (true) {
+        val cur = table(i)
+        if (cur == EmptySlot) { table(i) = v; size += 1; return true }
+        if (cur == v) return false
+        i = (i + 1) & mask
+      }
+      false
+    }
+    def contains(v: Long): Boolean = {
+      var i = java.lang.Long.hashCode(v * 0x9e3779b97f4a7c15L) & mask
+      while (true) {
+        val cur = table(i)
+        if (cur == EmptySlot) return false
+        if (cur == v) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
+  // ASCII window packs never produce all-ones (bytes < 0x80, sentinel
+  // 0x80|len, zero fill), so -1 is a safe empty slot.
+  private val EmptySlot = -1L
+
+  /** Exact char-k-gram Jaccard computed STRAIGHT from two texts — the
+    * verification kernel for near-dup candidates. Byte-identical to
+    * `JaccardExpr(charShingles(a, k), charShingles(b, k))` (distinct
+    * window sets, inter/(|A|+|B|-inter) in the same double division)
+    * but no shingle ARRAY is ever materialized or shuffled: candidate
+    * joins ship the ~L-byte text instead of the ~8L-byte shingle set,
+    * and the set arithmetic happens inside the join projection.
+    * Fast path: ASCII text with k <= 8 packs each window BIJECTIVELY
+    * into one long (bytes left-aligned, 0x80|len sentinel when the
+    * window is shorter than 8 — ASCII bytes are < 0x80, so lengths
+    * can't collide), so set ops run on primitive longs with zero
+    * collision risk; non-ASCII or k > 8 falls back to UTF8String
+    * window sets — same values, charShingles parity either way. */
+  case class JaccardTextsExpr(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    require(k >= 1, "k must be positive")
+    override def dataType: DataType = DoubleType
+    private def packable(s: org.apache.spark.unsafe.types.UTF8String,
+                         bytes: Array[Byte]): Boolean =
+      k <= 8 && bytes.length == s.numChars()
+    def compute(a: Any, b: Any): Double = {
+      val ua = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val ub = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val ba = ua.getBytes
+      val bb = ub.getBytes
+      if (packable(ua, ba) && packable(ub, bb)) {
+        val wa = math.max(1, ba.length - k + 1)
+        val wb = math.max(1, bb.length - k + 1)
+        val sa = new PackedWindowSet(wa)
+        var i = 0
+        while (i < wa) { sa.add(pack(ba, i)); i += 1 }
+        val sb = new PackedWindowSet(wb)
+        var inter = 0
+        var j = 0
+        while (j < wb) {
+          val v = pack(bb, j)
+          if (sb.add(v) && sa.contains(v)) inter += 1
+          j += 1
+        }
+        val union = sa.size + sb.size - inter
+        if (union == 0) 0.0 else inter.toDouble / union
+      } else {
+        val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        val na = ua.numChars()
+        var i = 0
+        val wa = math.max(1, na - k + 1)
+        while (i < wa) { sa.add(ua.substring(i, math.min(i + k, na))); i += 1 }
+        val sb = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        val nb = ub.numChars()
+        var inter = 0
+        var j = 0
+        val wb = math.max(1, nb - k + 1)
+        while (j < wb) {
+          val s = ub.substring(j, math.min(j + k, nb))
+          if (sb.add(s) && sa.contains(s)) inter += 1
+          j += 1
+        }
+        val union = sa.size + sb.size - inter
+        if (union == 0) 0.0 else inter.toDouble / union
+      }
+    }
+    private def pack(bytes: Array[Byte], off: Int): Long = {
+      val len = math.min(k, bytes.length - off)
+      var v = 0L
+      var i = 0
+      while (i < len) { v |= (bytes(off + i) & 0xffL) << (56 - 8 * i); i += 1 }
+      if (len < 8) v |= (0x80L | len.toLong) << (56 - 8 * len)
+      v
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jaccardTextsExpr", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardTextsExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** All three repetition-quality stats in ONE tokenize+count pass:
     * struct(dup2, top2, dup3) where dup_n = 1 - distinct_n/total_n over
     * word n-grams and top2 = share of the most frequent bigram. Exact
@@ -578,6 +740,15 @@ object NativeExprs {
 
   def minhashSigTextNative(text: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigTextExpr(ColumnBridge.expression(text), k, numHashes))
+
+  def minhashBandBucketsNative(text: Column, k: Int, numHashes: Int,
+                               bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(MinHashBandBucketsExpr(ColumnBridge.expression(text),
+      k, numHashes, bands, rowsPerBand))
+
+  def jaccardTextsNative(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(JaccardTextsExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 
   def simhash64Native(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
@@ -735,4 +906,61 @@ object NativeExprs {
 
   def bloomMightContainNative(key: Column, words: Array[Long], k: Int): Column =
     ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(key), words, k))
+
+  // ---- BPE encode (trained merges) -------------------------------------
+
+  /** BPE tokenization of whitespace-split text under a trained, ranked
+    * merge table ([[TextFunctions.bpeTrainMerges]]): per word, the
+    * LOWEST-rank merge present in the symbol sequence is applied (all
+    * its adjacent occurrences, left to right) until no table pair
+    * remains — the standard BPE encode, matching the training
+    * trajectory by construction. The merge table rides the expression
+    * as one reference object (driver-bounded by maxVocab); the hot
+    * loop is plain JVM string work inside codegen, no UDF boxing.
+    * Tokens keep the `</w>` end-of-word sentinel, so the encoding is
+    * invertible: concat(tokens).replace(sentinel, " ") == the
+    * whitespace-normalized input (the txt_bpe_roundtrip gate law). */
+  case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+      m
+    }
+    private def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      var syms = TextFunctions.codePointSymbols(w) :+ TextFunctions.BpeEndOfWord
+      var continue = true
+      while (continue && syms.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestPair: (String, String) = null
+        var j = 0
+        while (j < syms.length - 1) {
+          val r = rank.get(syms(j) + " " + syms(j + 1))
+          if (r != null && r < bestRank) { bestRank = r; bestPair = (syms(j), syms(j + 1)) }
+          j += 1
+        }
+        if (bestPair == null) continue = false
+        else syms = TextFunctions.mergePair(syms, bestPair)
+      }
+      syms.foreach(s => out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val words = s.toString.trim.split("\\s+")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      words.foreach(encodeWord(_, out))
+      new GenericArrayData(out.toArray)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeEncodeExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+      copy(child = newChild)
+  }
+
+  def bpeEncodeNative(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(text), merges))
 }

@@ -221,4 +221,95 @@ object TextFunctions {
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  // ---- Byte-pair encoding (trained merges) -----------------------------
+
+  /** End-of-word marker symbol (Sennrich et al. 2016 convention): each
+    * word's symbol sequence ends in this sentinel, so merges crossing a
+    * word boundary are impossible and the tokenization is invertible
+    * (concatenate tokens, split at the marker). */
+  val BpeEndOfWord = "</w>"
+
+  /** Train a BPE merge table on a corpus — the REAL algorithm (Sennrich
+    * et al., "Neural Machine Translation of Rare Words with Subword
+    * Units", ACL 2016 — public), not a greedy longest-piece lookup:
+    * repeatedly merge the most frequent adjacent symbol pair.
+    *
+    * Spark shape: ONE distributed scan builds the word-frequency table
+    * (map-side-combined groupBy; capped at `maxVocab` words by
+    * (freq desc, word asc) so driver state is bounded at any corpus
+    * size); the merge loop then runs on the driver over that bounded
+    * table — BPE training is inherently sequential in the merge rank,
+    * and the per-iteration pair count over ≤maxVocab words is μs-scale
+    * driver work, so distributing the loop would buy nothing and cost
+    * a shuffle per merge. Deterministic: vocabulary cap and pair argmax
+    * both tie-break lexicographically.
+    *
+    * @return ranked merges, rank 0 first. Fewer than `nMerges` entries
+    *   when the vocabulary fuses completely first. */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     nMerges: Int, maxVocab: Int = 100000): Seq[(String, String)] = {
+    require(nMerges >= 0 && maxVocab > 0)
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = wf.map { case (w, f) =>
+      (codePointSymbols(w) :+ BpeEndOfWord, f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- vocab) {
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, f) => (mergePair(syms, best), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Code-point symbols of a word (surrogate-pair safe). */
+  private[functions] def codePointSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0; var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out(k) = new String(Character.toChars(cp))
+      i += Character.charCount(cp); k += 1
+    }
+    out
+  }
+
+  /** One left-to-right pass replacing every adjacent occurrence of
+    * `p` — the merge application shared by training and encoding. */
+  private[functions] def mergePair(syms: Array[String], p: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == p._1 && syms(j + 1) == p._2) {
+        out += syms(j) + syms(j + 1); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** BPE-encode a text column with a trained merge table — per word,
+    * the lowest-rank applicable merge is applied until none applies
+    * (the standard encode). Native expression; see
+    * [[NativeExprs.BpeEncodeExpr]]. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    NativeExprs.bpeEncodeNative(text, merges)
 }

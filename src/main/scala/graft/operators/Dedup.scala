@@ -55,6 +55,14 @@ object Dedup {
     val banded = sigDf
       .select(col(idCol), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    pairsFromBanded(banded, idCol, maxBucketSize)
+  }
+
+  /** The bucket-join half of [[lshCandidates]], shared with the fused
+    * text→bands path: (id, band, bucket) rows → verified-candidate
+    * pairs. */
+  private def pairsFromBanded(banded: DataFrame, idCol: String,
+                              maxBucketSize: Int): DataFrame = {
     val small = banded
       .groupBy("band", "bucket")
       .agg(collect_list(col(idCol)).as("ids"))
@@ -84,23 +92,42 @@ object Dedup {
                           threshold: Double, numHashes: Int = 128,
                           bands: Int = 32, rowsPerBand: Int = 4,
                           shingleK: Int = 8): DataFrame = {
-    // cache(): without it, projection collapse inlines the signature
-    // expression into every one of the `bands` band-key computations —
-    // a bands× recompute. The cached table is just (id, 128 longs).
-    val sigs = withMinhash(df, idCol, textCol, numHashes, shingleK).cache()
-    val cands = lshCandidates(sigs, idCol, bands, rowsPerBand).cache()
+    // Fused text→band-buckets native pass: the signature and its
+    // banding happen inside ONE expression, so no (id, 128-long)
+    // signature table exists to cache, re-read, or re-shuffle — the
+    // stage chain is scan → posexplode(bands longs) → ONE (band,
+    // bucket) shuffle. (The former shape cached the sig frame to stop
+    // projection collapse re-computing it per band; fusing removes the
+    // problem instead of caching around it.)
+    val banded = Repartition.forCompute(df).select(col(idCol),
+      posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
+        col(textCol), shingleK, numHashes, bands, rowsPerBand)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+    // cache + eager count: the pair frame feeds BOTH the semi-join's
+    // probe side and the verify join spine — left lazy, one cold run
+    // schedules the whole candidate chain (banding shuffle + the heavy
+    // pair distinct) once per branch before the cache fills. The count
+    // materializes it exactly once and is itself the candidate-volume
+    // telemetry a production sweep logs anyway.
+    val cands = pairsFromBanded(banded, idCol, maxBucketSize = 1000).cache()
+    cands.count()
     // Exact-verify ONLY the candidates: a semi-join trims the corpus to
-    // candidate ids BEFORE the shingle sets are computed — at 100 TB
-    // the O(text) shingling runs on the (tiny) candidate set, not on
-    // every document a second time.
+    // candidate ids first, then the pair joins carry the ~L-byte TEXT —
+    // not the ~8L-byte shingle array — and the jaccard is computed
+    // per pair inside the join projection (JaccardTextsExpr, identical
+    // values). On dup-dense corpora the candidate set is output-sized
+    // (millions of pairs), so join payload width IS the stage cost:
+    // text-joins move ~an order of magnitude fewer shuffle bytes than
+    // shingle-set joins for k=8.
     // no distinct: left_semi dedups the probe side by construction
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-    val sh = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), charShingles(col(textCol), shingleK).as("shingles"))
-    val sa = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val sb = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+    val txt = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val ta = txt.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = txt.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    cands.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", round(
+        graft.functions.NativeExprs.jaccardTextsNative(col("__ta"), col("__tb"), shingleK), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -55,11 +55,40 @@ object PipelineQueries {
     }),
 
     // BPE-ish token counting: letter runs / digit runs / single
-    // punctuation — the GPT-2-style pre-tokenizer approximation.
+    // punctuation — the GPT-2-style PRE-tokenizer approximation (the
+    // trained-merge tokenizer itself is txt_bpe_merges/_roundtrip).
     "txt_tokens_bpe" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
           .as("n_bpe_tokens"))),
+
+    // REAL BPE (Sennrich 2016): merge table trained in-engine — one
+    // distributed word-frequency scan (bounded by maxVocab), then the
+    // inherently rank-sequential merge loop on the driver. No ANSI-SQL
+    // oracle exists for iterative merge training, so this gate is
+    // rows-only by the driver contract; the algorithm is checked
+    // against an independent serial implementation in PipelineOpsSpec.
+    "txt_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TextFunctions.bpeTrainMerges(docs(s, dir), "text", nMerges = 50)
+        .zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "left", "right")
+    }),
+
+    // The trained tokenizer's losslessness law, hash-gated: encode
+    // every document with the in-engine-trained merges, reconstruct by
+    // concatenating tokens and turning the </w> sentinel back into
+    // spaces — must equal the whitespace-normalized input, which the
+    // DuckDB oracle computes with NO BPE state at all. Exercises the
+    // full train → encode → invert path end to end.
+    "txt_bpe_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.functions.TextFunctions.bpeTrainMerges(d, "text", nMerges = 50)
+      d.select(col("doc_id"),
+        rtrim(regexp_replace(
+          concat_ws("", graft.functions.TextFunctions.bpeEncode(col("text"), merges)),
+          "</w>", " ")).as("rejoined"))
+    }),
 
     // Winnowing fingerprint over MD5 window hashes, exploded to
     // (doc_id, selected position, window hash) — DuckDB recomputes the
@@ -575,6 +604,15 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id
         |                 LEFT JOIN s3 ON d.doc_id = s3.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // txt_bpe_merges: NO oracle on purpose — iterative merge training
+    // has no ANSI-SQL form; the driver records a rows-only check and
+    // PipelineOpsSpec holds the serial-oracle equality.
+    "txt_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> ''), ' ') AS rejoined
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_tokens_bpe" ->
       """SELECT doc_id,

@@ -202,4 +202,27 @@ class NativeExprsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getBoolean(0) && r.getBoolean(1))
   }
+
+  test("jaccardTextsNative == jaccard(charShingles) exactly (ascii fast path, unicode fallback, edges)") {
+    import graft.functions.TextFunctions.charShingles
+    val texts = Seq("", "a", "ab", "abcdefgh", "abcdefghi", "aaaaaaaaaaaa",
+      "the quick brown fox jumps", "àéîõü unicode façade", "😀😀 emoji ab",
+      "tab\tand\nnewline", "nul byte ascii") ++
+      (0 until 60).map(_ => rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    val pairs = for (i <- texts.indices; j <- texts.indices if (i + j) % 3 == 0)
+      yield (texts(i), texts(j))
+    for (k <- Seq(3, 8, 12)) {
+      val got = pairs.toDF("a", "b").select(
+        NativeExprs.jaccardTextsNative(col("a"), col("b"), k).as("fast"),
+        NativeExprs.jaccardNative(charShingles(col("a"), k), charShingles(col("b"), k)).as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0, s"k=$k")
+      }
+    }
+    // null in -> null out, like the array form
+    val n = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+      .select(NativeExprs.jaccardTextsNative(col("a"), col("b"), 8).isNull).collect().head
+    assert(n.getBoolean(0))
+  }
 }

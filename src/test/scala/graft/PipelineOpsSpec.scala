@@ -1171,4 +1171,88 @@ class PipelineOpsSpec extends AnyFunSuite {
       .sortBy(r => (r._1, r._5))
     assert(res == expect)
   }
+
+  // ---- BPE serial oracle (independent Sennrich-2016 implementation) ----
+
+  private def bpeApplyMerge(syms: List[String], p: (String, String)): List[String] =
+    syms match {
+      case a :: b :: rest if (a, b) == p => (a + b) :: bpeApplyMerge(rest, p)
+      case a :: rest => a :: bpeApplyMerge(rest, p)
+      case Nil => Nil
+    }
+
+  private def bpeSerialTrain(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val wf = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    var vocab = wf.map { case (w, f) => (w.map(_.toString).toList :+ "</w>", f) }
+    val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (ms.size < nMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; pair <- syms.zip(syms.tail))
+        counts(pair) = counts.getOrElse(pair, 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        ms += best
+        vocab = vocab.map { case (syms, f) => (bpeApplyMerge(syms, best), f) }
+      }
+    }
+    ms.toSeq
+  }
+
+  private def bpeSerialEncode(w: String, rank: Map[(String, String), Int]): List[String] = {
+    var syms = w.map(_.toString).toList :+ "</w>"
+    var go = true
+    while (go && syms.length > 1) {
+      val present = syms.zip(syms.tail).filter(rank.contains)
+      if (present.isEmpty) go = false
+      else syms = bpeApplyMerge(syms, present.minBy(rank))
+    }
+    syms
+  }
+
+  test("BPE: trained merges and encoding match the independent serial oracle") {
+    import graft.functions.TextFunctions
+    val merges = TextFunctions.bpeTrainMerges(docsDF, "text", nMerges = 40)
+    val want = bpeSerialTrain(corpus.map(_._2), nMerges = 40)
+    assert(merges == want)
+    assert(merges.length == 40) // this corpus doesn't exhaust in 40 merges
+    val rank = merges.zipWithIndex.toMap
+    val got = docsDF.select(col("doc_id"),
+      TextFunctions.bpeEncode(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    for ((id, text) <- corpus) {
+      val wantToks = text.trim.split("\\s+").toList.flatMap(bpeSerialEncode(_, rank))
+      assert(got(id) == wantToks, s"doc $id")
+    }
+    // losslessness: concat + sentinel split reconstructs the
+    // whitespace-normalized text (the txt_bpe_roundtrip gate law),
+    // including whitespace and empty-text edge cases
+    val edge = Seq((900L, ""), (901L, "x"), (902L, "  a  b "))
+    val all = docsDF.union(edge.toDF("doc_id", "text"))
+    val rejoined = all.select(col("doc_id"),
+      rtrim(regexp_replace(concat_ws("",
+        TextFunctions.bpeEncode(col("text"), merges)), "</w>", " ")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- corpus ++ edge)
+      assert(rejoined(id) == text.trim.split("\\s+").filter(_.nonEmpty).mkString(" "),
+        s"doc $id")
+  }
+
+  test("BPE gate paths on driver testdata: merges well-formed, roundtrip lossless") {
+    val dir = "/root/testdata/sf0.001"
+    val m = SparkEntry.queries("txt_bpe_merges")(spark, dir).collect()
+    assert(m.length == 50)
+    assert(m.map(_.getInt(0)).toSeq == (0 until 50)) // dense ranks
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rt = SparkEntry.queries("txt_bpe_roundtrip")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt.keySet == docs.keySet)
+    for ((id, text) <- docs)
+      assert(rt(id) == text.trim.split("\\s+").filter(_.nonEmpty).mkString(" "),
+        s"doc $id")
+  }
 }
