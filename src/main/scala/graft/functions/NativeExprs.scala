@@ -676,6 +676,44 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exact whitespace-token-set Jaccard computed STRAIGHT from two
+    * texts — the token-level sibling of [[JaccardTextsExpr]], for the
+    * fingerprint-blocked dedup family: byte-identical to
+    * `JaccardExpr(tokenSet(a), tokenSet(b))` (same trim+split
+    * tokenization as the Column form, distinct sets, same double
+    * division) without materializing or shuffling token arrays through
+    * the block join. */
+  case class JaccardTokenSetsExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    def compute(a: Any, b: Any): Double = {
+      val ta = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .trim().toString.split("\\s+", -1)
+      val tb = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .trim().toString.split("\\s+", -1)
+      val sa = new java.util.HashSet[String]()
+      var i = 0
+      while (i < ta.length) { sa.add(ta(i)); i += 1 }
+      val sb = new java.util.HashSet[String]()
+      var inter = 0
+      var j = 0
+      while (j < tb.length) {
+        val s = tb(j)
+        if (sb.add(s) && sa.contains(s)) inter += 1
+        j += 1
+      }
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jaccardTokenSetsExpr", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardTokenSetsExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** All three repetition-quality stats in ONE tokenize+count pass:
     * struct(dup2, top2, dup3) where dup_n = 1 - distinct_n/total_n over
     * word n-grams and top2 = share of the most frequent bigram. Exact
@@ -749,6 +787,10 @@ object NativeExprs {
   def jaccardTextsNative(a: Column, b: Column, k: Int): Column =
     ColumnBridge.column(JaccardTextsExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+
+  def jaccardTokenSetsNative(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardTokenSetsExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def simhash64Native(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))

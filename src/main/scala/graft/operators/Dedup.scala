@@ -145,10 +145,14 @@ object Dedup {
                               shingleK: Int = 8,
                               maxBlockSize: Int = Int.MaxValue): DataFrame = {
     // cached: both join sides derive from it, and the md5-per-shingle
-    // fingerprint is the expensive part.
+    // fingerprint is the expensive part. The frame carries the raw
+    // TEXT, not a token array: block pairs are output-sized (millions
+    // on dup-dense corpora), so the block join's payload width is the
+    // stage cost — the token-set jaccard is computed per pair inside
+    // the join projection (JaccardTokenSetsExpr, identical values).
     val f0 = Repartition.forCompute(df)
       .select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
-        tokenSet(col(textCol)).as("toks")).cache()
+        col(textCol).as("__t")).cache()
     // Cap as a broadcast ANTI-join against the OVERSIZED blocks: blocks
     // past the cap are few by construction (only degenerate boilerplate
     // exceeds it), so the blocked-fp list is broadcastable at any
@@ -160,12 +164,13 @@ object Dedup {
         broadcast(f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
           .where(col("bsz") > maxBlockSize).select("fp")),
         Seq("fp"), "left_anti")
-    val a = f.select(col(idCol).as("id_a"), col("fp"), col("toks").as("toks_a"))
-    val b = f.select(col(idCol).as("id_b"), col("fp"), col("toks").as("toks_b"))
+    val a = f.select(col(idCol).as("id_a"), col("fp"), col("__t").as("__ta"))
+    val b = f.select(col(idCol).as("id_b"), col("fp"), col("__t").as("__tb"))
     a.join(b, "fp")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+        round(graft.functions.NativeExprs.jaccardTokenSetsNative(
+          col("__ta"), col("__tb")), 6).as("jaccard"))
   }
 
   /** Cross-corpus near-dup pairs: documents of `left` vs documents of
@@ -185,7 +190,7 @@ object Dedup {
       Repartition.forCompute(df).select(
         col(idCol).as(s"id_$side"),
         minhashFingerprint(col(textCol), shingleK).as("fp"),
-        tokenSet(col(textCol)).as(s"toks_$side"))
+        col(textCol).as(s"__t$side"))
     val a = prep(left, "a").cache()
     val b = prep(right, "b").cache()
     val joined =
@@ -197,8 +202,11 @@ object Dedup {
         a.join(broadcast(blocked), Seq("fp"), "left_anti")
           .join(b.join(broadcast(blocked), Seq("fp"), "left_anti"), "fp")
       }
+    // token-set jaccard per pair in the join projection — text payload
+    // instead of token arrays, same rationale as fingerprintJaccardPairs
     joined.select(col("id_a"), col("id_b"),
-      round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+      round(graft.functions.NativeExprs.jaccardTokenSetsNative(
+        col("__ta"), col("__tb")), 6).as("jaccard"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.

@@ -225,4 +225,21 @@ class NativeExprsSpec extends AnyFunSuite {
       .select(NativeExprs.jaccardTextsNative(col("a"), col("b"), 8).isNull).collect().head
     assert(n.getBoolean(0))
   }
+
+  test("jaccardTokenSetsNative == jaccard(tokenSet) exactly incl. whitespace edges") {
+    import graft.functions.TextFunctions.tokenSet
+    val vocab = Vector("spark", "scan", "join", "the", "a", "of", "row", "key")
+    val texts = Seq("", " ", "one", "a a a", "tab\there", "x\ny z",
+      "  leading and trailing  ", "unicode façade tokens") ++
+      (0 until 50).map(_ => Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val pairs = for (i <- texts.indices; j <- texts.indices if (i * 7 + j) % 4 == 0)
+      yield (texts(i), texts(j))
+    val got = pairs.toDF("a", "b").select(
+      NativeExprs.jaccardTokenSetsNative(col("a"), col("b")).as("fast"),
+      NativeExprs.jaccardNative(tokenSet(col("a")), tokenSet(col("b"))).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+  }
 }
