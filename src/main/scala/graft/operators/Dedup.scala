@@ -379,13 +379,7 @@ object Dedup {
   def dropDuplicateSegments(df: DataFrame, idCol: String, textCol: String,
                             segWords: Int = 10): DataFrame = {
     require(segWords >= 1, s"segWords=$segWords")
-    val words = split(trim(col(textCol)), "\\s+")
-    val nseg = greatest(
-      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
-    val segs = transform(sequence(lit(0), nseg - 1),
-      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
-    val exploded = df
-      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+    val exploded = segmentsExploded(df, idCol, textCol, segWords)
     val firsts = exploded.groupBy("seg")
       .agg(min(struct(col(idCol), col("pos"))).as("first"))
       .withColumnRenamed("seg", "fseg")
@@ -393,6 +387,53 @@ object Dedup {
       col("seg") === col("fseg") &&
         struct(col(idCol), col("pos")) === col("first"))
       .select(col(idCol), col("pos"), col("seg"))
+    reassembleSegments(df, kept, idCol, textCol)
+  }
+
+  /** C4-style boilerplate REMOVAL (the frequency-filter sibling of
+    * [[dropDuplicateSegments]]): a segment that occurs in MORE than
+    * `maxDocFreq` distinct documents is dropped from EVERY document —
+    * nav chrome, cookie banners, license headers. Where keep-first
+    * dedup preserves one copy, the frequency filter treats corpus-wide
+    * repetition itself as the signal and keeps none.
+    *
+    * Scale shape: one (seg -> distinct-doc count) aggregation — the
+    * count-distinct partial-aggregates map-side per segment — then a
+    * LEFT ANTI join of the exploded segments against the over-threshold
+    * set. Both sides shuffle on `seg`, so the hot boilerplate key ships
+    * one row per partition into the count and the anti-join probe is
+    * hash-local; nothing buffers a whole hot group on one task. */
+  def dropFrequentSegments(df: DataFrame, idCol: String, textCol: String,
+                           segWords: Int = 10, maxDocFreq: Int = 2): DataFrame = {
+    require(segWords >= 1, s"segWords=$segWords")
+    require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq")
+    val exploded = segmentsExploded(df, idCol, textCol, segWords)
+    val frequent = exploded.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .where(col("ndocs") > maxDocFreq)
+      .select("seg")
+    val kept = exploded.join(frequent, Seq("seg"), "left_anti")
+      .select(col(idCol), col("pos"), col("seg"))
+    reassembleSegments(df, kept, idCol, textCol)
+  }
+
+  /** (id, pos, seg) rows: consecutive `segWords`-word windows of the
+    * trimmed, whitespace-split text; every doc yields >= 1 segment. */
+  private def segmentsExploded(df: DataFrame, idCol: String, textCol: String,
+                               segWords: Int): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nseg = greatest(
+      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
+    val segs = transform(sequence(lit(0), nseg - 1),
+      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
+    df.select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+  }
+
+  /** Surviving (id, pos, seg) rows -> one text per ORIGINAL doc, segments
+    * re-joined in position order; docs reduced to nothing come back as
+    * empty text (kept, so the caller decides the drop policy). */
+  private def reassembleSegments(df: DataFrame, kept: DataFrame,
+                                 idCol: String, textCol: String): DataFrame = {
     val reassembled = kept.groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),

@@ -159,6 +159,22 @@ object PipelineQueries {
     "dd_segment_dedup" -> ((s, dir) =>
       Dedup.dropDuplicateSegments(docs(s, dir), "doc_id", "text", segWords = 10)),
 
+    // C4-style boilerplate REMOVAL: segments occurring in > 2 distinct
+    // docs are dropped from every doc (vs keep-first above). Distinct-
+    // doc counting partial-aggregates map-side; the drop is a seg-keyed
+    // anti-join, so hot boilerplate keys never buffer on one task.
+    "dd_boilerplate" -> ((s, dir) =>
+      Dedup.dropFrequentSegments(docs(s, dir), "doc_id", "text",
+        segWords = 10, maxDocFreq = 2)),
+
+    // CCNet-style LM quality signal: average unigram surprisal (bits
+    // per token) under the corpus's own exact unigram MLE. Per-token
+    // log-probs are integer-quantized once, so all distributed sums are
+    // order-independent and the 6-dp score is cross-engine exact.
+    "txt_unigram_lm" -> ((s, dir) =>
+      graft.operators.LanguageModel.unigramSurprisal(
+        docs(s, dir), "doc_id", "text")),
+
     // Contamination sweep: corpus docs sharing >= 10 distinct 8-gram
     // shingles with any of the first 5 docs (standing in for an eval
     // probe set).
@@ -698,6 +714,40 @@ object PipelineQueries {
         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS text
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dd_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(ws[(i*10+1):least((i+1)*10, len(ws))], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |    greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) AS i)),
+        |freq AS (
+        |  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) > 2),
+        |kept AS (
+        |  SELECT s.doc_id, s.i, s.seg FROM seg s ANTI JOIN freq f USING (seg))
+        |SELECT d.doc_id,
+        |  coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "txt_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |n AS (SELECT sum(c) AS total FROM cnt),
+        |lp AS (SELECT token, CAST(round(log2(c / total) * 1e9) AS BIGINT) AS li
+        |       FROM cnt CROSS JOIN n),
+        |dt AS (SELECT doc_id, token, count(*) AS nt FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, sum(nt) AS n_tok, sum(nt * li) AS s
+        |      FROM dt JOIN lp USING (token) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round(-s / 1e9 / n_tok, 6) AS bits_per_token
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "dd_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n

@@ -802,6 +802,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("boilerplate filter: over-threshold segments drop everywhere, in-doc repeats don't count twice") {
+    import graft.operators.Dedup
+    val a = "a1 a2 a3"; val b = "b1 b2 b3"; val c = "c1 c2 c3"
+    // `a` appears in 3 distinct docs (boilerplate at maxDocFreq=2);
+    // `b` in 2 (kept); doc 4 repeats `c` twice INSIDE one doc — only
+    // 1 distinct doc, so in-doc repetition alone is NOT boilerplate.
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$a $b"), (4L, s"$c $c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropFrequentSegments(docs, "doc_id", "text",
+      segWords = 3, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> b, 2L -> c, 3L -> b, 4L -> s"$c $c"))
+    // every copy of the boilerplate segment is gone (vs keep-first,
+    // which would retain doc 1's); a doc made only of boilerplate
+    // comes back empty but present
+    val allBoiler = Seq((1L, a), (2L, a), (3L, a)).toDF("doc_id", "text")
+    val outAll = Dedup.dropFrequentSegments(allBoiler, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outAll == Map(1L -> "", 2L -> "", 3L -> ""))
+    // skew safety: distinct-doc counting aggregates, never windows
+    val plan = Dedup.dropFrequentSegments(docs, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("unigram LM surprisal matches a serial MLE oracle at 6 dp") {
+    import graft.operators.LanguageModel
+    val docs = (corpus ++ Seq((9001L, "zzquux"), (9002L, ""))).toDF("doc_id", "text")
+    val got = LanguageModel.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // serial oracle: exact UNQUANTIZED unigram MLE over the same rows
+    val toks = (corpus ++ Seq((9001L, "zzquux"), (9002L, "")))
+      .map { case (id, t) => id -> t.trim.split("\\s+", -1).toSeq }
+    val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cnt.values.sum.toDouble
+    val want: Map[Long, (Long, Double)] = toks.map { case (id, ts) =>
+      val bits = ts.map(t => -math.log(cnt(t) / total) / math.log(2.0)).sum / ts.size
+      id -> (ts.size.toLong, bits)
+    }.toMap
+    got.foreach { case (id, n, b) =>
+      assert(n == want(id)._1, s"doc $id n_tok")
+      // quantization at 1e-9 per token keeps the mean within 1e-6
+      assert(math.abs(b - want(id)._2) < 2e-6, s"doc $id: got $b want ${want(id)._2}")
+    }
+    // rarest token ("zzquux", count 1) must be the most surprising doc
+    val top = got.maxBy(_._3)._1
+    assert(top == 9001L)
+    // empty text = single "" token, shared with nothing... but counted
+    assert(got.exists(_._1 == 9002L))
+  }
+
   test("connected components match BFS oracle; dropNearDuplicates keeps one per cluster") {
     import graft.operators.ConnectedComponents
     val rnd = new scala.util.Random(23)

@@ -116,10 +116,11 @@ class PlanSpec extends AnyFunSuite {
     // driver-built ADC lookup tables onto the code table) and
     // knn_ivfpq (the same LUT broadcast plus knn_ivf's nCells-row
     // centroid-assignment cross join) and q_profile_cat (per-column
-    // 1-row stats × 1-row mode).
+    // 1-row stats × 1-row mode) and txt_unigram_lm (broadcast of the
+    // 1-row corpus-token-total aggregate onto the vocab).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
-        "knn_pq", "knn_ivfpq", "q_profile_cat")
+        "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
