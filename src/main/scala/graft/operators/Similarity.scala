@@ -181,4 +181,56 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("qid", "id", "rk", "sim")
   }
+
+  /** Approximate k-NN JOIN: every row's top-`k` cosine neighbors among
+    * the corpus rows it shares a multi-table hyperplane-LSH bucket with
+    * — the semantic-dedup / cluster-seed primitive ("for each doc, its
+    * k closest docs"), where [[annTopK]] serves a small probe set.
+    *
+    * Scale shape: candidates come from `tables` independent (tbl,
+    * bucket) equijoins — never all pairs; `bits <= 0` derives bucket
+    * granularity from the corpus count ([[Dedup.lshBitsFor]]) so
+    * density stays ~flat as data grows, and `maxBucketSize` anti-joins
+    * away degenerate buckets as the quadratic backstop. The per-row
+    * top-k is a rank window whose `rk <= k` filter Spark rewrites into
+    * WindowGroupLimit: map-side partial top-k before the exchange, so
+    * the shuffle carries ~k candidates per row, not every candidate.
+    * Ranking orders by the 6-dp-rounded sim with id as tie-break, so
+    * ranks are deterministic cross-engine. */
+  def annSelfTopK(df: DataFrame, k: Int, idCol: String = "id",
+                  vecCol: String = "vec", tables: Int = 3, bits: Int = 0,
+                  seed: Long = 42L,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
+    val nBits = if (bits > 0) bits else Dedup.lshBitsFor(df.count())
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucketLcgNative(col("v"), nBits, seed + t).as("bkt"))): _*)
+    val tabled = v.select(col("id"), explode(buckets).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) tabled
+      else tabled.join(
+        broadcast(tabled.groupBy("tbl", "bkt").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > maxBucketSize).select("tbl", "bkt")),
+        Seq("tbl", "bkt"), "left_anti")
+    val a = capped.withColumnRenamed("id", "qid")
+    val b = capped.withColumnRenamed("id", "nid")
+    // DIRECTED candidate pairs (both orientations) — each row ranks its
+    // own neighbor list; a pair colliding in several tables reranks once
+    val cands = a.join(b, Seq("tbl", "bkt"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .distinct()
+    val withNorm = v.withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+    val va = withNorm.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val vb = withNorm.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cands.join(va, "qid").join(vb, "nid")
+      .withColumn("sim",
+        round(dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("qid", "nid", "rk", "sim")
+  }
 }

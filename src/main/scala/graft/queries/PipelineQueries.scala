@@ -359,6 +359,15 @@ object PipelineQueries {
         .select(col("qid"), col("id"), col("rk"))
     }),
 
+    // Approximate k-NN JOIN: EVERY vector's top-5 neighbors among its
+    // multi-table LSH bucket mates (derived bits, capped buckets,
+    // exact cosine rerank, WindowGroupLimit top-k). The per-probe-set
+    // sibling is knn_ann; this is the semantic-dedup/cluster-seed op.
+    "knn_join" -> ((s, dir) =>
+      Similarity.annSelfTopK(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 5, tables = 3, maxBucketSize = 1000)),
+
     // Per-label embedding centroid via the typed VectorMean Aggregator
     // (map-side partial aggregation; one buffer per label/partition).
     // First four dims exposed for the oracle.
@@ -951,6 +960,41 @@ object PipelineQueries {
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+
+    "knn_join" ->
+      """WITH bits AS (
+        |  SELECT LEAST(48, GREATEST(3, length(bin((count(*) + 99) // 100 - 1)))) AS b
+        |  FROM embeddings),
+        |hp AS (
+        |  SELECT t, j, d,
+        |    (((48271 * ((48271 * (((42 + t) * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
+        |  FROM range(3) rt(t), range(48) rj(j), range(64) rd(d), bits WHERE j < bits.b),
+        |hpl AS (SELECT t, j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT e.vec_id, h.t,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
+        |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hpl h GROUP BY 1, 2),
+        |bc AS (SELECT t, bucket FROM bkt GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |bkt2 AS (SELECT bkt.* FROM bkt JOIN bc USING (t, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        |  FROM bkt2 a JOIN bkt2 b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT c.qid, c.nid,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) AS sim
+        |  FROM cand c JOIN v a ON c.qid = a.vec_id JOIN v b ON c.nid = b.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rk
+        |      FROM scored)
+        |SELECT qid, nid, rk, sim FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "knn_ann" ->
       """WITH hp AS (

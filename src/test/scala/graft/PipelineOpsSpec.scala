@@ -404,6 +404,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.length == 4)
   }
 
+  test("annSelfTopK: per-row ranks exact over its candidate set, cluster recall, cap only removes") {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
+    val vecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextDouble() * 0.05))
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.annSelfTopK(df, k = 3, tables = 3, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // every row has a neighbor list; neighbors never cross clusters
+    assert(got.map(_._1).distinct.length == 80)
+    got.foreach { case (q, n, _, _) =>
+      assert(q % 4 == n % 4, s"ANN crossed clusters: $q -> $n")
+    }
+    // ranks are 1..m consecutive and sims non-increasing per query
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val byRk = rows.sortBy(_._3)
+      assert(byRk.map(_._3).toSeq == (1 to rows.length).toSeq, s"ranks for $q")
+      assert(byRk.map(_._4).toSeq == byRk.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"sims not descending for $q")
+      assert(rows.length <= 3)
+    }
+    // symmetric candidates: if n ranks for q at sim s, q appears among
+    // n's candidates too (directed pairs from the same buckets) — check
+    // via brute-force: each (q, n) really is in some shared LSH bucket
+    // is implied by construction; instead pin exact rerank: recompute
+    // cosine serially and compare at 6 dp
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.toMap
+    got.foreach { case (q, n, _, sim) =>
+      assert(math.abs(sim - cos(byId(q), byId(n))) < 5e-6, s"sim $q->$n")
+    }
+    // the bucket cap removes candidates (fewer or equal rows), and what
+    // survives still never crosses clusters
+    val capped = Similarity.annSelfTopK(df, k = 3, tables = 3, bits = 4,
+      maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length <= got.length)
+    capped.foreach { case (q, n) => assert(q % 4 == n % 4) }
+  }
+
   test("multi-table hyperplane LSH: precision 1.0, recall beats single table on clustered vectors") {
     val rnd = new scala.util.Random(29)
     val centers = Array.fill(6)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
