@@ -20,6 +20,7 @@ object ScaleProbe {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <bits> [tables] [threshold]")
     if (args(0) == "fp") { fpProbe(args(1), args(2).toInt); return }
     if (args(0) == "sig") { sigProbe(args(1), args(2).toInt); return }
+    if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
     val threshold = if (args.length > 3) args(3).toDouble else 0.3
@@ -57,6 +58,36 @@ object ScaleProbe {
     }
     val (t1, t2) = (once(), once())
     println(f"SCALEPROBE sig dir=$sfDir h=$numHashes min=${math.min(t1, t2)}%.2f s")
+    spark.stop()
+  }
+
+  /** `knn <sfDir> <cap>`: bucket-density diagnostics for
+    * [[graft.operators.Similarity.annSelfTopK]]'s candidate stage —
+    * reports derived bits, the bucket-size tail, and the directed
+    * candidate count with/without the cap, the quantity the rerank
+    * join and per-row top-k actually pay for. */
+  private def knnProbe(sfDir: String, cap: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.NativeExprs.hyperplaneBucketLcgNative
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val n = df.count()
+    val bits = graft.operators.Dedup.lshBitsFor(n)
+    val tabled = df.select(col("id"), explode(array((0 until 3).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucketLcgNative(col("v"), bits, 42L + t).as("bkt"))): _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val sizes = tabled.groupBy("tbl", "bkt").agg(count(lit(1)).as("c")).cache()
+    val all = sizes.agg(max("c"), expr("percentile_approx(c, 0.99)"),
+      count(lit(1)), sum(col("c") * (col("c") - 1))).collect()(0)
+    val capped = sizes.where(col("c") <= cap)
+      .agg(sum(col("c") * (col("c") - 1))).collect()(0)
+    sizes.unpersist()
+    println(s"SCALEPROBE knn dir=$sfDir n=$n bits=$bits maxBucket=${all.get(0)} " +
+      s"p99=${all.get(1)} nBuckets=${all.get(2)} cands=${all.get(3)} cappedCands=${capped.get(0)}")
     spark.stop()
   }
 

@@ -325,17 +325,28 @@ object Dedup {
                                threshold: Double, tables: Int = 4, bits: Int = 0,
                                seed: Long = 42L,
                                extraBlockCols: Seq[String] = Nil,
-                               maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                               maxBucketSize: Int = Int.MaxValue,
+                               chunks: Int = 4): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
+    require(chunks >= 1, s"chunks=$chunks")
     val nBits = if (bits > 0) bits else lshBitsFor(df.count())
+    // Vector + norm ride the bucket explode and the cosine is computed
+    // in the bucket join's own projection, so candidates leave the join
+    // as narrow (id_a, id_b, sim) triples and the only post-join work
+    // is the threshold filter and an output-sized distinct (a pair
+    // colliding in several tables scores identically in each). The
+    // former shape — distinct id pairs, then two vector equijoins —
+    // shuffled every candidate with two ~dim×8-byte payloads: fine
+    // while the corpus side still broadcasts, a cliff beyond it.
     val v = df.select((col(idCol) +: extraBlockCols.map(col)) :+
       col(vecCol).cast("array<double>").as("v"): _*)
+      .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         hyperplaneBucketLcgNative(col("v"), nBits, seed + t).as("bkt"))): _*)
     val tabled = v.select(col(idCol) +: extraBlockCols.map(col) :+
-      explode(buckets).as("tb"): _*)
-      .select(col(idCol) +: extraBlockCols.map(col) :+
+      col("v") :+ col("nrm") :+ explode(buckets).as("tb"): _*)
+      .select(col(idCol) +: extraBlockCols.map(col) :+ col("v") :+ col("nrm") :+
         col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
     val joinKeys = Seq("tbl", "bkt") ++ extraBlockCols
     // broadcast anti-join against the oversized buckets (same rationale
@@ -347,19 +358,32 @@ object Dedup {
         broadcast(tabled.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("bsz"))
           .where(col("bsz") > maxBucketSize).select(joinKeys.map(col): _*)),
         joinKeys, "left_anti")
+    // The pairing join is OUTPUT-EXPLOSIVE (input n×tables rows, output
+    // sum-of-bucket-size²), which defeats AQE's input-byte-based
+    // planning twice over: coalescing packs the whole pairing into a
+    // few tasks, and a hot bucket is one indivisible hash key. Same two
+    // countermeasures as Similarity.annSelfTopK — sub-block chunking
+    // (probe side replicated over `chunks` sub-chunks, build side
+    // hashed into one) and an explicit user-pinned repartition AQE
+    // won't coalesce.
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
+    val chunkKeys = (joinKeys :+ "cj").map(col)
     val a = capped.withColumnRenamed(idCol, "id_a")
+      .withColumnRenamed("v", "va").withColumnRenamed("nrm", "na")
+      .withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
+      .repartition(parts, chunkKeys: _*)
     val b = capped.withColumnRenamed(idCol, "id_b")
-    val cands = a.join(b, joinKeys)
+      .withColumnRenamed("v", "vb").withColumnRenamed("nrm", "nb")
+      .withColumn("cj", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
+      .repartition(parts, chunkKeys: _*)
+    a.join(b, joinKeys :+ "cj")
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct() // a pair may collide in several tables — verify once
-    val withNorm = v.withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
-    val va = withNorm.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = withNorm.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("sim", round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .select(col("id_a"), col("id_b"),
+        round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
       .where(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .distinct() // a pair may collide in several tables — identical sim
   }
 
   /** Corpus-wide segment-level dedup — the C4/RefinedWeb "line dedup"

@@ -200,37 +200,72 @@ object Similarity {
   def annSelfTopK(df: DataFrame, k: Int, idCol: String = "id",
                   vecCol: String = "vec", tables: Int = 3, bits: Int = 0,
                   seed: Long = 42L,
-                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                  maxBucketSize: Int = Int.MaxValue,
+                  chunks: Int = 4): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
+    require(chunks >= 1, s"chunks=$chunks")
     val nBits = if (bits > 0) bits else Dedup.lshBitsFor(df.count())
+    // Vectors (plus precomputed norm) RIDE THE BUCKET EXPLODE — n×tables
+    // rows with payload — and the cosine is computed inside the bucket
+    // join's projection, so candidate rows leave the join as narrow
+    // (qid, nid, sim) triples. The alternative (distinct id pairs, then
+    // two vector equijoins) shuffles every candidate WITH two vector
+    // payloads: fine while one side still broadcasts, a cliff the
+    // moment the corpus outgrows the broadcast threshold.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         hyperplaneBucketLcgNative(col("v"), nBits, seed + t).as("bkt"))): _*)
-    val tabled = v.select(col("id"), explode(buckets).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val tabled = v.select(col("id"), col("v"), col("nrm"), explode(buckets).as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val capped =
       if (maxBucketSize == Int.MaxValue) tabled
       else tabled.join(
         broadcast(tabled.groupBy("tbl", "bkt").agg(count(lit(1)).as("bsz"))
           .where(col("bsz") > maxBucketSize).select("tbl", "bkt")),
         Seq("tbl", "bkt"), "left_anti")
-    val a = capped.withColumnRenamed("id", "qid")
-    val b = capped.withColumnRenamed("id", "nid")
-    // DIRECTED candidate pairs (both orientations) — each row ranks its
-    // own neighbor list; a pair colliding in several tables reranks once
-    val cands = a.join(b, Seq("tbl", "bkt"))
+    // This join is OUTPUT-EXPLOSIVE: its shuffle input is n×tables
+    // payload rows but its output is sum-of-bucket-size² candidates, so
+    // AQE's byte-based coalescing — which only sees the input — packs
+    // the whole pairing into a handful of tasks that then each
+    // materialize millions of join rows serially. Two countermeasures,
+    // both required: (1) sub-block CHUNKING — the probe side replicates
+    // over `chunks` sub-chunks and the build side hashes into one, so a
+    // hot bucket's quadratic work spreads over chunks× more join keys;
+    // (2) an EXPLICIT repartition(n, keys) on both sides, whose
+    // user-pinned partition count AQE does not coalesce away. Measured
+    // at 20k vectors / 32 cores: 16 s -> 2.6 s warm.
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
+    val a = capped.select(col("id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("tbl"), col("bkt"))
+      .withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
+      .repartition(parts, col("tbl"), col("bkt"), col("cj"))
+    val b = capped.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("tbl"), col("bkt"))
+      .withColumn("cj", pmod(xxhash64(col("nid")), lit(chunks)).cast("int"))
+      .repartition(parts, col("tbl"), col("bkt"), col("cj"))
+    // DIRECTED pairs (both orientations) — each row ranks its own
+    // neighbor list. A pair colliding in several tables scores in each
+    // (the native dot is cheaper than shuffling payloads to dedup
+    // first) — producing IDENTICAL (sim, nid) copies, so dense_rank
+    // ranks exactly as row_number over the distinct list would, a
+    // WindowGroupLimit still prunes to ~k per partition map-side, and
+    // the post-rank distinct touches only ~k rows per query. (An
+    // explicit pre-rank groupBy(qid, nid) dedup measured 2-3x slower:
+    // a corpus-of-candidates-sized hash aggregation for copies the
+    // rank collapses for free.)
+    val scored = a.join(b, Seq("tbl", "bkt", "cj"))
       .where(col("qid") =!= col("nid"))
-      .select("qid", "nid")
-      .distinct()
-    val withNorm = v.withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
-    val va = withNorm.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val vb = withNorm.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+      .select(col("qid"), col("nid"),
+        round(dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cands.join(va, "qid").join(vb, "nid")
-      .withColumn("sim",
-        round(dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    scored
+      .withColumn("rk", dense_rank().over(w)).where(col("rk") <= k)
+      .distinct()
       .select("qid", "nid", "rk", "sim")
   }
 }
