@@ -164,9 +164,22 @@ object Dedup {
         broadcast(f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
           .where(col("bsz") > maxBlockSize).select("fp")),
         Seq("fp"), "left_anti")
+    // The block join is OUTPUT-EXPLOSIVE (input = corpus rows, output =
+    // sum-of-block-size² pairs with two text payloads), which AQE's
+    // input-byte planning packs into too few tasks — same hazard and
+    // same countermeasures as Similarity.annSelfTopK: sub-block
+    // chunking to split hot blocks across join keys, under an explicit
+    // user-pinned repartition AQE won't coalesce.
+    val chunks = 4
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("__t").as("__ta"))
+      .withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
+      .repartition(parts, col("fp"), col("cj"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("__t").as("__tb"))
-    a.join(b, "fp")
+      .withColumn("cj", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
+      .repartition(parts, col("fp"), col("cj"))
+    a.join(b, Seq("fp", "cj"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.jaccardTokenSetsNative(
@@ -191,20 +204,30 @@ object Dedup {
         col(idCol).as(s"id_$side"),
         minhashFingerprint(col(textCol), shingleK).as("fp"),
         col(textCol).as(s"__t$side"))
-    val a = prep(left, "a").cache()
-    val b = prep(right, "b").cache()
-    val joined =
-      if (maxBlockSize == Int.MaxValue) a.join(b, "fp")
+    val a0 = prep(left, "a").cache()
+    val b0 = prep(right, "b").cache()
+    val (aT, bT) =
+      if (maxBlockSize == Int.MaxValue) (a0, b0)
       else {
-        val blocked = a.select("fp").unionAll(b.select("fp"))
+        val blocked = a0.select("fp").unionAll(b0.select("fp"))
           .groupBy("fp").agg(count(lit(1)).as("bsz"))
           .where(col("bsz") > maxBlockSize).select("fp")
-        a.join(broadcast(blocked), Seq("fp"), "left_anti")
-          .join(b.join(broadcast(blocked), Seq("fp"), "left_anti"), "fp")
+        (a0.join(broadcast(blocked), Seq("fp"), "left_anti"),
+          b0.join(broadcast(blocked), Seq("fp"), "left_anti"))
       }
+    // chunk + pinned repartition against the output-explosive block
+    // join, as in fingerprintJaccardPairs (the probe/new side is the
+    // replicated one — it is the smaller corpus in the daily-sweep use)
+    val chunks = 4
+    val parts = math.max(
+      left.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
+    val a = aT.withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
+      .repartition(parts, col("fp"), col("cj"))
+    val b = bT.withColumn("cj", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
+      .repartition(parts, col("fp"), col("cj"))
     // token-set jaccard per pair in the join projection — text payload
     // instead of token arrays, same rationale as fingerprintJaccardPairs
-    joined.select(col("id_a"), col("id_b"),
+    a.join(b, Seq("fp", "cj")).select(col("id_a"), col("id_b"),
       round(graft.functions.NativeExprs.jaccardTokenSetsNative(
         col("__ta"), col("__tb")), 6).as("jaccard"))
   }
