@@ -63,7 +63,14 @@ object Dedup {
     * pairs. */
   private def pairsFromBanded(banded: DataFrame, idCol: String,
                               maxBucketSize: Int): DataFrame = {
+    // The double-explode downstream of this aggregate is
+    // OUTPUT-EXPLOSIVE (bucket rows in, bucket-size² pairs out), so the
+    // aggregate's exchange is pinned to an explicit partition count:
+    // AQE would otherwise size it by the modest (band, bucket) byte
+    // volume and run the quadratic expansion in a handful of tasks.
+    val parts = banded.sparkSession.sessionState.conf.numShufflePartitions * 2
     val small = banded
+      .repartition(parts, col("band"), col("bucket"))
       .groupBy("band", "bucket")
       .agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")).between(2, maxBucketSize))
