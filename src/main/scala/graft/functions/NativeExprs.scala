@@ -375,6 +375,51 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Johnson–Lindenstrauss-style random projection onto `dims`
+    * Lehmer-LCG pseudo-random directions — the SAME direction
+    * construction as [[HyperplaneBucketLcgExpr]] (seed, j, d ↦
+    * component in [-0.5, 0.5)), returning the raw dot values instead of
+    * sign bits. Deterministic and oracle-reproducible: the directions
+    * are pure arithmetic on (seed, j, d), so an engine with integer
+    * modular math can regenerate them exactly; the dot accumulates in
+    * ascending-d order to match list-fold evaluation. The
+    * dimensionality-reduction step ahead of ANN/clustering at scale:
+    * 64-dim float payloads shrink 4× at dims=16 while JL preserves
+    * pairwise distances within ~1±ε. */
+  case class RandomProjectionLcgExpr(child: Expression, dims: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private val M = 2147483647L // 2^31 - 1
+    @inline private def comp(j: Int, d: Int): Double = {
+      val x = Math.floorMod(seed * 1000003L + j * 8191L + d * 127L + 1L, M)
+      val h1 = (48271L * x) % M
+      val h2 = (48271L * h1) % M
+      (h2 % 1000L).toDouble / 1000.0 - 0.5
+    }
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(v: ArrayData): ArrayData = {
+      val n = v.numElements()
+      val out = new Array[Double](dims)
+      var j = 0
+      while (j < dims) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += v.getDouble(d) * comp(j, d); d += 1 }
+        out(j) = dot
+        j += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("randomProjectionLcgExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): RandomProjectionLcgExpr =
+      copy(child = newChild)
+  }
+
   /** Winnowing fingerprint over MD5 window hashes: the k-char windows
     * of the text are MD5-hashed (lowercase hex), and the rightmost
     * minimum of each w-window of hashes is selected (per-position
@@ -800,6 +845,9 @@ object NativeExprs {
 
   def hyperplaneBucketLcgNative(vec: Column, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneBucketLcgExpr(ColumnBridge.expression(vec), bits, seed))
+
+  def randomProjectionLcgNative(vec: Column, dims: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(RandomProjectionLcgExpr(ColumnBridge.expression(vec), dims, seed))
 
   def winnowMd5Native(text: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowMd5Expr(ColumnBridge.expression(text), k, w))

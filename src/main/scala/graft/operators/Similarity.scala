@@ -182,6 +182,19 @@ object Similarity {
       .select("qid", "id", "rk", "sim")
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `dims` dimensions (Lehmer-LCG directions — deterministic, seeded,
+    * regenerable by any engine, no matrix to broadcast or store). The
+    * payload-shrinking step ahead of ANN / clustering / dedup at scale:
+    * one narrow map, no shuffle, codegen native expression. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, seed: Long = 42L): DataFrame = {
+    import graft.functions.NativeExprs.randomProjectionLcgNative
+    require(dims >= 1, s"dims=$dims")
+    df.select(col(idCol), randomProjectionLcgNative(
+      col(vecCol).cast("array<double>"), dims, seed).as("proj"))
+  }
+
   /** Approximate k-NN JOIN: every row's top-`k` cosine neighbors among
     * the corpus rows it shares a multi-table hyperplane-LSH bucket with
     * — the semantic-dedup / cluster-seed primitive ("for each doc, its

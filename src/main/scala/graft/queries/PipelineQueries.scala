@@ -359,6 +359,17 @@ object PipelineQueries {
         .select(col("qid"), col("id"), col("rk"))
     }),
 
+    // JL random projection 64 -> 16 dims (Lehmer-LCG directions, no
+    // stored matrix): the payload-shrinking step ahead of ANN at scale.
+    // Gate shape: one row per (vector, output dim) — the driver's hash
+    // compare handles scalars, not arrays — value rounded to 6 dp.
+    "emb_project" -> ((s, dir) =>
+      Similarity.randomProject(
+        embs(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dims = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "val")))
+        .select(col("vec_id"), col("j"), round(col("val"), 6).as("val"))),
+
     // Approximate k-NN JOIN: EVERY vector's top-5 neighbors among its
     // multi-table LSH bucket mates (derived bits, capped buckets,
     // exact cosine rerank, WindowGroupLimit top-k). The per-probe-set
@@ -960,6 +971,17 @@ object PipelineQueries {
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+
+    "emb_project" ->
+      """WITH hp AS (
+        |  SELECT j, d,
+        |    (((48271 * ((48271 * ((42 * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
+        |  FROM range(16) rj(j), range(64) rd(d)),
+        |hpl AS (SELECT j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1)
+        |SELECT e.vec_id, CAST(h.j AS INT) AS j,
+        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])), 6) AS val
+        |FROM embeddings e, hpl h ORDER BY vec_id, j""".stripMargin,
 
     "knn_join" ->
       """WITH bits AS (

@@ -404,6 +404,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.length == 4)
   }
 
+  test("randomProject: serial LCG parity, determinism, JL cosine preservation on average") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.randomProject(df, "id", "vec", dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // serial oracle: same Lehmer-LCG direction construction
+    val M = 2147483647L
+    def comp(j: Int, d: Int): Double = {
+      val x = Math.floorMod(42L * 1000003L + j * 8191L + d * 127L + 1L, M)
+      ((48271L * ((48271L * x) % M)) % M % 1000L).toDouble / 1000.0 - 0.5
+    }
+    vecs.foreach { case (id, v) =>
+      val want = Array.tabulate(16)(j => v.indices.map(d => v(d) * comp(j, d)).sum)
+      assert(got(id).length == 16)
+      got(id).zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"id=$id")
+      }
+    }
+    // JL sanity for the dedup use: NEAR-DUP pairs (tiny perturbations,
+    // cos ≈ 1) must stay high-cosine after projection, and clearly
+    // above random pairs' average. (At k=16 the distortion for
+    // near-orthogonal pairs is ~sqrt(ln n / k) — random-pair cosines
+    // are NOT individually preserved; separation is the contract.)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val dupProj = vecs.take(20).map { case (id, v) =>
+      val pert = v.map(x => x + rnd.nextDouble() * 0.01)
+      val p = Array.tabulate(16)(j => pert.indices.map(d => pert(d) * comp(j, d)).sum)
+      cos(got(id), p)
+    }
+    val randProj = (0 until 40).map { _ =>
+      val i = rnd.nextInt(60); var j = rnd.nextInt(60); if (j == i) j = (j + 1) % 60
+      cos(got(vecs(i)._1), got(vecs(j)._1))
+    }
+    val dupMean = dupProj.sum / dupProj.size
+    val randMean = randProj.map(math.abs).sum / randProj.size
+    assert(dupMean > 0.95, s"near-dup projected cosine mean $dupMean")
+    assert(dupMean > randMean + 0.3,
+      s"no separation: dup $dupMean vs |random| $randMean")
+  }
+
   test("annSelfTopK: per-row ranks exact over its candidate set, cluster recall, cap only removes") {
     val rnd = new scala.util.Random(41)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
