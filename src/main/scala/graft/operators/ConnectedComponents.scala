@@ -65,8 +65,14 @@ object ConnectedComponents {
     // lazy like the round checkpoints: round 1's materialization (via
     // the first convergence check) computes it — no standalone init job
     var labels = nodes.withColumn("comp", col("node")).localCheckpoint(false)
-    val numericIds = edges.schema(srcCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // Sum-fixpoint convergence is INTEGRAL-only (same gate as the local
+    // solve): fractional ids (double/float/scaled decimal) round under
+    // cast("decimal(38,0)"), so a strict label decrease inside one unit
+    // (2.4 -> 2.1) can leave the sum unchanged and declare convergence
+    // with unconverged labels. Everything non-integral takes the exact
+    // per-node change check instead.
+    val integralIds = isIntegral(edges.schema(srcCol).dataType) &&
+      isIntegral(edges.schema(dstCol).dataType)
     var converged = false
     var iter = 0
     var prevSum: Option[java.math.BigDecimal] = None
@@ -100,15 +106,15 @@ object ConnectedComponents {
       // at scale the per-round cost is job-scheduling latency, not
       // data. Worst case one extra (label-identical) round runs.
       if (iter % 2 == 0 || iter == maxIter) {
-        if (numericIds) {
+        if (integralIds) {
           val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first.getDecimal(0)
           converged = prevSum.exists(_.compareTo(s) == 0)
           prevSum = Some(s)
         } else {
-          // Non-numeric labels (string ids) have no lossless numeric
-          // cast — the sum fixpoint would compare NULLs. Exact check
-          // instead: did any node's label change since last round?
-          // One join of two node-sized frames per checked round.
+          // Non-integral labels (string ids: no lossless numeric cast;
+          // fractional ids: decimal rounding can mask a change). Exact
+          // check instead: did any node's label change since last
+          // round? One join of two node-sized frames per checked round.
           converged = next
             .join(labels.select(col("node"), col("comp").as("prev")), "node")
             .where(col("comp") =!= col("prev"))

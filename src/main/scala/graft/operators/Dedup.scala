@@ -94,7 +94,11 @@ object Dedup {
     * shared vocabulary collide constantly on 2-hash bands. Exact
     * verification removes every false positive and `maxBucketSize`
     * caps degenerate buckets, so precision is always 1.0 — banding
-    * only trades recall against candidate-join cost. */
+    * only trades recall against candidate-join cost.
+    *
+    * NOT lazy: constructing the result runs one Spark job (an eager
+    * checkpoint of the candidate-pair frame, which both output
+    * branches reuse). */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, numHashes: Int = 128,
                           bands: Int = 32, rowsPerBand: Int = 4,
@@ -110,14 +114,16 @@ object Dedup {
       posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
         col(textCol), shingleK, numHashes, bands, rowsPerBand)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
-    // cache + eager count: the pair frame feeds BOTH the semi-join's
+    // EAGER localCheckpoint: the pair frame feeds BOTH the semi-join's
     // probe side and the verify join spine — left lazy, one cold run
     // schedules the whole candidate chain (banding shuffle + the heavy
-    // pair distinct) once per branch before the cache fills. The count
-    // materializes it exactly once and is itself the candidate-volume
-    // telemetry a production sweep logs anyway.
-    val cands = pairsFromBanded(banded, idCol, maxBucketSize = 1000).cache()
-    cands.count()
+    // pair distinct) once per branch before a cache could fill. Eager
+    // checkpoint materializes it exactly once (this call RUNS a Spark
+    // job), and unlike cache()+count() the pinned blocks are released
+    // by the ContextCleaner when the frame is garbage-collected — no
+    // unpersist handle for the caller to leak in a long-lived session.
+    val cands = pairsFromBanded(banded, idCol, maxBucketSize = 1000)
+      .localCheckpoint(true)
     // Exact-verify ONLY the candidates: a semi-join trims the corpus to
     // candidate ids first, then the pair joins carry the ~L-byte TEXT —
     // not the ~8L-byte shingle array — and the jaccard is computed
@@ -201,6 +207,12 @@ object Dedup {
     * rate), not another full-corpus O(n²) pass. The block cap counts
     * the COMBINED (left + right) block population, bounding the cross
     * product of any degenerate key at cap²/4.
+    *
+    * ARGUMENT ORDER MATTERS AT SCALE: `left` is the side the explosive
+    * block join REPLICATES over its sub-chunks — pass the SMALLER
+    * corpus (the probe / today's crawl) as `left` and the large
+    * standing corpus as `right`, or the sweep silently pays chunks×
+    * replication of the big side.
     */
   def crossCorpusJaccardPairs(left: DataFrame, right: DataFrame,
                               idCol: String, textCol: String,
@@ -344,8 +356,12 @@ object Dedup {
 
   /** @param bits hyperplane bits per table; `<= 0` (the default)
     *   derives them from the corpus count via [[lshBitsFor]] — one
-    *   count job, paid once per call, so the bucket granularity scales
-    *   with the data instead of riding a constant.
+    *   count job, paid once per call (an EXTRA full scan when `df` is
+    *   an uncached plan: pass `corpusCount` if the caller already
+    *   knows it), so the bucket granularity scales with the data
+    *   instead of riding a constant.
+    * @param corpusCount precomputed row count of `df`; `<= 0` (the
+    *   default) counts at call time. Only consulted when `bits <= 0`.
     * @param maxBucketSize drop (table, bucket) groups larger than this
     *   before pairing — guards degenerate directions (e.g. zero-ish
     *   vectors all landing in one cell) from going quadratic. Unlimited
@@ -356,10 +372,12 @@ object Dedup {
                                seed: Long = 42L,
                                extraBlockCols: Seq[String] = Nil,
                                maxBucketSize: Int = Int.MaxValue,
-                               chunks: Int = 4): DataFrame = {
+                               chunks: Int = 4,
+                               corpusCount: Long = 0L): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
     require(chunks >= 1, s"chunks=$chunks")
-    val nBits = if (bits > 0) bits else lshBitsFor(df.count())
+    val nBits = if (bits > 0) bits
+      else lshBitsFor(if (corpusCount > 0) corpusCount else df.count())
     // Vector + norm ride the bucket explode and the cosine is computed
     // in the bucket join's own projection, so candidates leave the join
     // as narrow (id_a, id_b, sim) triples and the only post-join work

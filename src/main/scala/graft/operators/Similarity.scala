@@ -163,11 +163,15 @@ object Similarity {
     * `bits <= 0` (the default) derives the bucket granularity from the
     * corpus count via [[Dedup.lshBitsFor]] — no similarity entry point
     * ships a fixed-bucket default (a pinned bit count makes per-bucket
-    * rerank cost grow linearly with the corpus). */
+    * rerank cost grow linearly with the corpus). The derivation counts
+    * the corpus at call time — an extra scan when it's an uncached
+    * plan; pass `corpusCount` if the caller already knows it. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               bits: Int = 0, qidCol: String = "qid", idCol: String = "id",
-              vecCol: String = "vec", lcgBuckets: Boolean = false): DataFrame = {
-    val nBits = if (bits > 0) bits else Dedup.lshBitsFor(corpus.count())
+              vecCol: String = "vec", lcgBuckets: Boolean = false,
+              corpusCount: Long = 0L): DataFrame = {
+    val nBits = if (bits > 0) bits
+      else Dedup.lshBitsFor(if (corpusCount > 0) corpusCount else corpus.count())
     def bucket(c: Column): Column =
       if (lcgBuckets) hyperplaneBucketLcg(c, nBits) else hyperplaneBucket(c, dim, nBits)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
@@ -214,10 +218,12 @@ object Similarity {
                   vecCol: String = "vec", tables: Int = 3, bits: Int = 0,
                   seed: Long = 42L,
                   maxBucketSize: Int = Int.MaxValue,
-                  chunks: Int = 4): DataFrame = {
+                  chunks: Int = 4,
+                  corpusCount: Long = 0L): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
     require(chunks >= 1, s"chunks=$chunks")
-    val nBits = if (bits > 0) bits else Dedup.lshBitsFor(df.count())
+    val nBits = if (bits > 0) bits
+      else Dedup.lshBitsFor(if (corpusCount > 0) corpusCount else df.count())
     // Vectors (plus precomputed norm) RIDE THE BUCKET EXPLODE — n×tables
     // rows with payload — and the cosine is computed inside the bucket
     // join's projection, so candidate rows leave the join as narrow

