@@ -203,13 +203,26 @@ object PMapReduce {
                                             init: Option[B]): B = {
     require(len > 0, "cannot reduce over an empty collection")
     val npEff = math.max(1L, math.min(np.toLong, len)).toInt
+    // Plain while loops, not Range.iterator.map(f).reduceLeft(op): the
+    // per-partition fold may run 10^8+ iterations, and the iterator
+    // chain (NumericRange[Long] boxing + two megamorphic apply sites)
+    // both costs per element and takes C2 several seconds of profiling
+    // to JIT — which showed up as multi-second scatter in repeated
+    // bench records of frozen code. A monomorphic while loop reaches
+    // compiled steady state in a fraction of the iterations.
+    def foldRange(drop: Long, take: Long): B = {
+      var acc = f(drop)
+      var j = drop + 1
+      val end = drop + take
+      while (j < end) { acc = op(acc, f(j)); j += 1 }
+      acc
+    }
     if (npEff == 1) {
-      val total = (0L until len).iterator.map(f).reduceLeft(op)
-      foldInit(init, op, total)
+      foldInit(init, op, foldRange(0L, len))
     } else {
       val partials = spark.sparkContext.parallelize(1 to npEff, npEff).map { p =>
         val (drop, take) = ProductIndexMath.dropTake(len, npEff, p)
-        (p, (drop until drop + take).iterator.map(f).reduceLeft(op))
+        (p, foldRange(drop, take))
       }
       foldInit(init, op, reducePartials(partials, op))
     }
