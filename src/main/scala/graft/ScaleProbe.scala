@@ -21,6 +21,7 @@ object ScaleProbe {
     if (args(0) == "fp") { fpProbe(args(1), args(2).toInt); return }
     if (args(0) == "sig") { sigProbe(args(1), args(2).toInt); return }
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
+    if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
     val threshold = if (args.length > 3) args(3).toDouble else 0.3
@@ -88,6 +89,41 @@ object ScaleProbe {
     sizes.unpersist()
     println(s"SCALEPROBE knn dir=$sfDir n=$n bits=$bits maxBucket=${all.get(0)} " +
       s"p99=${all.get(1)} nBuckets=${all.get(2)} cands=${all.get(3)} cappedCands=${capped.get(0)}")
+    spark.stop()
+  }
+
+  /** `shuffle <sfDir> <query...>`: run named catalog queries and report
+    * total shuffle WRITE bytes/records (a SparkListener sums task
+    * metrics). Local wall-clock hides shuffle payload on a 32-thread
+    * in-memory box; on a 1000-executor cluster the bytes ARE the cost,
+    * so payload-slimming changes are judged on this number. */
+  private def shuffleProbe(sfDir: String, queries: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+    queries.foreach { name =>
+      bytes.set(0); recs.set(0)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      // Listener events drain asynchronously (waitUntilEmpty is
+      // private[spark]); a settle pause is plenty for a dev probe.
+      Thread.sleep(1500)
+      println(f"SCALEPROBE shuffle dir=$sfDir q=$name wrMB=${bytes.get / 1e6}%.1f recs=${recs.get} t=$t%.2f s")
+    }
     spark.stop()
   }
 

