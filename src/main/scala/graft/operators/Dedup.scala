@@ -68,7 +68,7 @@ object Dedup {
     // aggregate's exchange is pinned to an explicit partition count:
     // AQE would otherwise size it by the modest (band, bucket) byte
     // volume and run the quadratic expansion in a handful of tasks.
-    val parts = banded.sparkSession.sessionState.conf.numShufflePartitions * 2
+    val parts = ExplosiveJoin.pinnedParts(banded)
     val small = banded
       .repartition(parts, col("band"), col("bucket"))
       .groupBy("band", "bucket")
@@ -178,21 +178,11 @@ object Dedup {
           .where(col("bsz") > maxBlockSize).select("fp")),
         Seq("fp"), "left_anti")
     // The block join is OUTPUT-EXPLOSIVE (input = corpus rows, output =
-    // sum-of-block-size² pairs with two text payloads), which AQE's
-    // input-byte planning packs into too few tasks — same hazard and
-    // same countermeasures as Similarity.annSelfTopK: sub-block
-    // chunking to split hot blocks across join keys, under an explicit
-    // user-pinned repartition AQE won't coalesce.
-    val chunks = 4
-    val parts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
+    // sum-of-block-size² pairs with two text payloads) — the
+    // ExplosiveJoin countermeasures apply.
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("__t").as("__ta"))
-      .withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
-      .repartition(parts, col("fp"), col("cj"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("__t").as("__tb"))
-      .withColumn("cj", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
-      .repartition(parts, col("fp"), col("cj"))
-    a.join(b, Seq("fp", "cj"))
+    ExplosiveJoin.explosiveBucketJoin(a, b, Seq("fp"), "id_b", chunks = 4)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.jaccardTokenSetsNative(
@@ -234,21 +224,15 @@ object Dedup {
         (a0.join(broadcast(blocked), Seq("fp"), "left_anti"),
           b0.join(broadcast(blocked), Seq("fp"), "left_anti"))
       }
-    // chunk + pinned repartition against the output-explosive block
-    // join, as in fingerprintJaccardPairs (the probe/new side is the
-    // replicated one — it is the smaller corpus in the daily-sweep use)
-    val chunks = 4
-    val parts = math.max(
-      left.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
-    val a = aT.withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
-      .repartition(parts, col("fp"), col("cj"))
-    val b = bT.withColumn("cj", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
-      .repartition(parts, col("fp"), col("cj"))
-    // token-set jaccard per pair in the join projection — text payload
-    // instead of token arrays, same rationale as fingerprintJaccardPairs
-    a.join(b, Seq("fp", "cj")).select(col("id_a"), col("id_b"),
-      round(graft.functions.NativeExprs.jaccardTokenSetsNative(
-        col("__ta"), col("__tb")), 6).as("jaccard"))
+    // Output-explosive block join -> ExplosiveJoin countermeasures;
+    // the probe/new (`left`) side is the replicated one — it is the
+    // smaller corpus in the daily-sweep use (see method scaladoc).
+    // Token-set jaccard per pair in the join projection — text payload
+    // instead of token arrays, same rationale as fingerprintJaccardPairs.
+    ExplosiveJoin.explosiveBucketJoin(aT, bT, Seq("fp"), "id_b", chunks = 4)
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.NativeExprs.jaccardTokenSetsNative(
+          col("__ta"), col("__tb")), 6).as("jaccard"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -407,25 +391,12 @@ object Dedup {
           .where(col("bsz") > maxBucketSize).select(joinKeys.map(col): _*)),
         joinKeys, "left_anti")
     // The pairing join is OUTPUT-EXPLOSIVE (input n×tables rows, output
-    // sum-of-bucket-size²), which defeats AQE's input-byte-based
-    // planning twice over: coalescing packs the whole pairing into a
-    // few tasks, and a hot bucket is one indivisible hash key. Same two
-    // countermeasures as Similarity.annSelfTopK — sub-block chunking
-    // (probe side replicated over `chunks` sub-chunks, build side
-    // hashed into one) and an explicit user-pinned repartition AQE
-    // won't coalesce.
-    val parts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
-    val chunkKeys = (joinKeys :+ "cj").map(col)
+    // sum-of-bucket-size²) -> ExplosiveJoin countermeasures.
     val a = capped.withColumnRenamed(idCol, "id_a")
       .withColumnRenamed("v", "va").withColumnRenamed("nrm", "na")
-      .withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
-      .repartition(parts, chunkKeys: _*)
     val b = capped.withColumnRenamed(idCol, "id_b")
       .withColumnRenamed("v", "vb").withColumnRenamed("nrm", "nb")
-      .withColumn("cj", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
-      .repartition(parts, chunkKeys: _*)
-    a.join(b, joinKeys :+ "cj")
+    ExplosiveJoin.explosiveBucketJoin(a, b, joinKeys, "id_b", chunks)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)

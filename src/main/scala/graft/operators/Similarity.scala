@@ -246,26 +246,14 @@ object Similarity {
           .where(col("bsz") > maxBucketSize).select("tbl", "bkt")),
         Seq("tbl", "bkt"), "left_anti")
     // This join is OUTPUT-EXPLOSIVE: its shuffle input is n×tables
-    // payload rows but its output is sum-of-bucket-size² candidates, so
-    // AQE's byte-based coalescing — which only sees the input — packs
-    // the whole pairing into a handful of tasks that then each
-    // materialize millions of join rows serially. Two countermeasures,
-    // both required: (1) sub-block CHUNKING — the probe side replicates
-    // over `chunks` sub-chunks and the build side hashes into one, so a
-    // hot bucket's quadratic work spreads over chunks× more join keys;
-    // (2) an EXPLICIT repartition(n, keys) on both sides, whose
-    // user-pinned partition count AQE does not coalesce away. Measured
-    // at 20k vectors / 32 cores: 16 s -> 2.6 s warm.
-    val parts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions * 2, chunks)
+    // payload rows but its output is sum-of-bucket-size² candidates —
+    // Dedup-family-wide countermeasures live in
+    // [[graft.operators.ExplosiveJoin]] (measured here: 16 s -> 2.6 s
+    // warm at 20k vectors / 32 cores).
     val a = capped.select(col("id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"), col("tbl"), col("bkt"))
-      .withColumn("cj", explode(sequence(lit(0), lit(chunks - 1))))
-      .repartition(parts, col("tbl"), col("bkt"), col("cj"))
     val b = capped.select(col("id").as("nid"), col("v").as("nv"),
       col("nrm").as("nn"), col("tbl"), col("bkt"))
-      .withColumn("cj", pmod(xxhash64(col("nid")), lit(chunks)).cast("int"))
-      .repartition(parts, col("tbl"), col("bkt"), col("cj"))
     // DIRECTED pairs (both orientations) — each row ranks its own
     // neighbor list. A pair colliding in several tables scores in each
     // (the native dot is cheaper than shuffling payloads to dedup
@@ -276,7 +264,8 @@ object Similarity {
     // explicit pre-rank groupBy(qid, nid) dedup measured 2-3x slower:
     // a corpus-of-candidates-sized hash aggregation for copies the
     // rank collapses for free.)
-    val scored = a.join(b, Seq("tbl", "bkt", "cj"))
+    val scored = graft.operators.ExplosiveJoin
+      .explosiveBucketJoin(a, b, Seq("tbl", "bkt"), "nid", chunks)
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)

@@ -241,4 +241,38 @@ class PlanSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("lv") + col("rv"))).collect().head
     assert(got == want)
   }
+
+  test("explosiveBucketJoin: chunk invariant (= plain join) and AQE-proof pinned exchange") {
+    import graft.operators.ExplosiveJoin
+    // A hot bucket (key 1: 200 left rows x 200 right rows) plus a tail.
+    val probe = spark.range(400).select(
+      when(col("id") < 200, lit(1L)).otherwise(col("id")).as("bk"),
+      col("id").as("pa"))
+    val build = spark.range(400).select(
+      when(col("id") < 200, lit(1L)).otherwise(col("id")).as("bk"),
+      (col("id") + 10000).as("pb"))
+    val joined = ExplosiveJoin.explosiveBucketJoin(probe, build, Seq("bk"), "pb", chunks = 4)
+    // Chunk invariant: every matching (probe, build) pair appears
+    // EXACTLY once — identical multiset of rows as the plain join.
+    val got = joined.groupBy("bk").agg(count(lit(1)).as("n"), sum("pa").as("sa"),
+      sum("pb").as("sb")).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = probe.join(build, Seq("bk")).groupBy("bk")
+      .agg(count(lit(1)).as("n"), sum("pa").as("sa"), sum("pb").as("sb"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got(1L)._1 == 200L * 200L)
+    // The transient chunk column must not leak.
+    assert(!joined.columns.contains("cj"))
+    // The pinned exchange survives AQE: with AQE on (the session
+    // default) the join's output partitioning keeps the explicit
+    // 2x-shuffle-partitions count instead of being coalesced to a
+    // handful of byte-sized tasks.
+    val parts = ExplosiveJoin.pinnedParts(probe, floor = 4)
+    assert(joined.rdd.getNumPartitions == parts,
+      s"expected pinned $parts partitions, got ${joined.rdd.getNumPartitions}")
+    // And both sides' exchanges are explicit user repartitions in the
+    // physical plan (REPARTITION_BY_NUM origin is what AQE respects).
+    val p = physical(joined)
+    assert(countOccurrences(p, s"REPARTITION_BY_NUM") >= 2, p)
+  }
 }
