@@ -54,9 +54,15 @@ object PipelineQueries {
         r("dup3").as("dup3"))
     }),
 
-    // BPE-ish token counting: letter runs / digit runs / single
-    // punctuation — the GPT-2-style PRE-tokenizer approximation (the
-    // trained-merge tokenizer itself is txt_bpe_merges/_roundtrip).
+    // PRE-tokenizer token counting: letter runs / digit runs / single
+    // punctuation — the GPT-2-style pre-tokenization pass, counted as
+    // a cost/quality signal. This is deliberately NOT the trained
+    // tokenizer: the library has exactly ONE trained-BPE encoder
+    // (TextFunctions.bpeEncode, the native merge-application
+    // expression), and that path is hash-gated end to end by
+    // txt_bpe_roundtrip below. A trained-token COUNT gate would be
+    // unverifiable (merge application has no ANSI-SQL form), so the
+    // count gate covers the pre-tokenizer stage instead.
     "txt_tokens_bpe" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
@@ -346,13 +352,16 @@ object PipelineQueries {
     // ANN (hyperplane-LSH) top-3 with LCG buckets: the oracle
     // recomputes the buckets, the candidate join, and the rerank, so
     // the whole ANN pipeline is hash-gated. Recall vs exact is
-    // spec-checked on the splitmix variant.
+    // spec-checked on the splitmix variant. `bits` is DERIVED from the
+    // corpus count (lshBitsFor, the default) and the oracle recomputes
+    // the same law from count(*) — no checked LSH path carries a fixed
+    // bucket granularity.
     "knn_ann" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.annTopK(q, c, k = 3, dim = 64, bits = 4, lcgBuckets = true)
+      Similarity.annTopK(q, c, k = 3, dim = 64, lcgBuckets = true)
         .select(col("qid"), col("id"), col("rk"))
     }),
 
@@ -1013,10 +1022,13 @@ object PipelineQueries {
         |SELECT qid, nid, rk, sim FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "knn_ann" ->
-      """WITH hp AS (
+      """WITH bits AS (
+        |  SELECT LEAST(48, GREATEST(3, length(bin(GREATEST(1, (count(*) + 99) // 100) - 1)))) AS b
+        |  FROM embeddings),
+        |hp AS (
         |  SELECT j, d,
         |    (((48271 * ((48271 * ((42 * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
-        |  FROM range(4) rj(j), range(64) rd(d)),
+        |  FROM range(48) rj(j), range(64) rd(d), bits WHERE j < bits.b),
         |hpl AS (SELECT j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1),
         |bkt AS (
         |  SELECT e.vec_id,
