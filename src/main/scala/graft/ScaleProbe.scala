@@ -22,6 +22,7 @@ object ScaleProbe {
     if (args(0) == "sig") { sigProbe(args(1), args(2).toInt); return }
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
+    if (args(0) == "mh") { mhProbe(args(1)); return }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
     val threshold = if (args.length > 3) args(3).toDouble else 0.3
@@ -124,6 +125,23 @@ object ScaleProbe {
       Thread.sleep(1500)
       println(f"SCALEPROBE shuffle dir=$sfDir q=$name wrMB=${bytes.get / 1e6}%.1f recs=${recs.get} t=$t%.2f s")
     }
+    spark.stop()
+  }
+
+  /** `mh <sfDir>`: count minhash near-dup verified pairs + wall-clock
+    * — the output-volume normalizer for dd_minhash_lsh growth rows
+    * (time-per-pair is the scale-honest metric for an output-bound
+    * stage). */
+  private def mhProbe(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t0 = System.nanoTime()
+    val n = graft.operators.Dedup.minhashNearDupPairs(
+      docs, "doc_id", "text", threshold = 0.7).count()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEPROBE mh dir=$sfDir pairs=$n t=$t%.2f s usPerPair=${t * 1e6 / math.max(1, n)}%.2f")
     spark.stop()
   }
 

@@ -114,16 +114,22 @@ object Dedup {
       posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
         col(textCol), shingleK, numHashes, bands, rowsPerBand)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
-    // EAGER localCheckpoint: the pair frame feeds BOTH the semi-join's
-    // probe side and the verify join spine — left lazy, one cold run
-    // schedules the whole candidate chain (banding shuffle + the heavy
-    // pair distinct) once per branch before a cache could fill. Eager
-    // checkpoint materializes it exactly once (this call RUNS a Spark
-    // job), and unlike cache()+count() the pinned blocks are released
-    // by the ContextCleaner when the frame is garbage-collected — no
-    // unpersist handle for the caller to leak in a long-lived session.
-    val cands = pairsFromBanded(banded, idCol, maxBucketSize = 1000)
-      .localCheckpoint(true)
+    // cache() + eager count(): the pair frame feeds BOTH the
+    // semi-join's probe side and the verify join spine — left lazy,
+    // one cold run schedules the whole candidate chain (banding
+    // shuffle + the heavy pair distinct) once per branch before the
+    // cache fills; the count materializes it exactly once. NOT
+    // localCheckpoint(true), though that would free the caller from
+    // the cache pin: an eager checkpoint rewrites the frame into a
+    // stats-less LogicalRDD (sizeInBytes falls back to
+    // spark.sql.defaultSizeInBytes), and the downstream semi-join +
+    // two pair joins all plan against that worst-case estimate —
+    // measured 2.5x slower at sf0.1 and 14x (13 s -> 191 s) at sf1.
+    // The cache is QUERY-SCOPED state: long-lived sessions issuing
+    // many near-dup sweeps should spark.catalog.clearCache() between
+    // them (as Bench does) or uncache via the plan's InMemoryRelation.
+    val cands = pairsFromBanded(banded, idCol, maxBucketSize = 1000).cache()
+    cands.count()
     // Exact-verify ONLY the candidates: a semi-join trims the corpus to
     // candidate ids first, then the pair joins carry the ~L-byte TEXT —
     // not the ~8L-byte shingle array — and the jaccard is computed
