@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators: the selection passes a training-data
+  * pipeline runs AFTER scoring/dedup — per-domain caps and
+  * perplexity-band bucketing (public provenance: Gopher's per-domain
+  * caps, CCNet's perplexity terciles).
+  */
+object Curation {
+
+  /** Gopher-style per-group cap: keep at most `cap` rows per value of
+    * `groupCol`, the TOP `cap` by `scoreCol` (desc), ties broken by
+    * `idCol` (asc) so selection is total-ordered and deterministic.
+    * Returns the kept rows plus their in-group rank `rk` (1-based).
+    *
+    * Scale shape: the rank-filter pattern compiles to
+    * WindowGroupLimit, so each map task pre-prunes every group to its
+    * local top-`cap` BEFORE the shuffle — a hot domain with 10^8 docs
+    * ships `cap` rows per partition, not the domain. No driver state,
+    * no per-group collect. */
+  def capPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+                  idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= cap)
+  }
+
+  /** CCNet-style perplexity bucketing: label each document head /
+    * middle / tail by its unigram surprisal relative to its language's
+    * corpus distribution (head = most probable text under the LM).
+    *
+    * DEVIATION from CCNet's exact terciles, on purpose: exact
+    * per-language terciles need a global rank within each language —
+    * a window over a handful of hot language partitions that one
+    * task per language would have to sort at 100 TB. Instead the
+    * thresholds are mean ± 0.4307·σ of the per-language surprisal
+    * distribution (the exact tercile cuts IF surprisal were normal;
+    * Φ(-0.4307) = 1/3), computed with one aggregate-only pass:
+    * integer-quantized surprisal (already order-independent, see
+    * [[LanguageModel]]) summed exactly as decimal — so mean and σ are
+    * bit-reproducible — then broadcast back. Every stage is a
+    * map-side-combined aggregate or a broadcast join; nothing sorts a
+    * language.
+    *
+    * Output: (idCol, langCol, n_tok, bits_per_token, bucket) with
+    * bucket ∈ {head, middle, tail}; thresholds rounded to 6 dp before
+    * the comparison so the cut is cross-engine deterministic. */
+  def surprisalBuckets(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String): DataFrame = {
+    val sur = LanguageModel.unigramSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    // Quantized surprisal: 6-dp value scaled to exact integers, so the
+    // per-language sums below are order-independent (decimal, not
+    // double — sum of squares at 2e7² × 10^9 rows overflows a long).
+    // cache(): the scored frame feeds both the threshold aggregate and
+    // the output join — query-scoped, same policy as the dedup family.
+    val q = sur.withColumn("bq",
+      round(col("bits_per_token") * 1e6, 0).cast("decimal(38,0)")).cache()
+    val stats = q.groupBy(langCol).agg(
+      count(lit(1)).as("ln"),
+      sum(col("bq")).as("s1"),
+      sum(col("bq") * col("bq")).as("s2"))
+    // Exact integer sums -> doubles with the SAME expression shape the
+    // oracle uses; mq*mq (not pow: Math.pow is 1-ulp, not bit-exact
+    // across engines), every op IEEE-deterministic, 6-dp round last.
+    val mq = col("s1").cast("double") / col("ln")
+    val sq = col("s2").cast("double") / col("ln")
+    val sdq = sqrt(sq - mq * mq)
+    val thr = stats.select(col(langCol),
+      round(mq / 1e6 - lit(0.4307) * sdq / 1e6, 6).as("t_lo"),
+      round(mq / 1e6 + lit(0.4307) * sdq / 1e6, 6).as("t_hi"))
+    q.join(broadcast(thr), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_tok"), col("bits_per_token"),
+        when(col("bits_per_token") < col("t_lo"), lit("head"))
+          .when(col("bits_per_token") >= col("t_hi"), lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+  }
+}

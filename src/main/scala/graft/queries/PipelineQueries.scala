@@ -178,6 +178,25 @@ object PipelineQueries {
       graft.operators.LanguageModel.unigramSurprisal(
         docs(s, dir), "doc_id", "text")),
 
+    // CCNet-style perplexity bucketing: head/middle/tail per language
+    // by unigram surprisal vs aggregate-only mean ± 0.4307σ thresholds
+    // (the exact-tercile cut under normality; exact terciles would
+    // need a per-language global sort — see Curation scaladoc). The
+    // oracle recomputes the full LM chain, the quantized per-lang
+    // moments, and the same IEEE threshold arithmetic.
+    "txt_ppl_buckets" -> ((s, dir) =>
+      graft.operators.Curation.surprisalBuckets(
+        docs(s, dir), "doc_id", "text", "lang")),
+
+    // Gopher-style per-domain cap: top-10 docs per source by quality
+    // score (ties by doc_id; the cap BINDS at every gate sf — 25+
+    // docs/source at sf0.01) — the rank filter rides WindowGroupLimit
+    // so hot domains prune map-side.
+    "dd_domain_cap" -> ((s, dir) =>
+      graft.operators.Curation.capPerGroup(docs(s, dir), "source",
+          graft.functions.TextFunctions.qualityScore(col("text")), "doc_id", cap = 10)
+        .select(col("doc_id"), col("source"), col("rk"))),
+
     // Contamination sweep: corpus docs sharing >= 10 distinct 8-gram
     // shingles with any of the first 5 docs (standing in for an eval
     // probe set).
@@ -771,6 +790,50 @@ object PipelineQueries {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  round(-s / 1e9 / n_tok, 6) AS bits_per_token
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Same LM chain as txt_unigram_lm, then quantized per-lang moments
+    // (HUGEINT sums = Spark's decimal sums, exact) and the identical
+    // IEEE threshold expression: s1d/ln first, /1e6 last, mq*mq not
+    // pow, 6-dp round before comparison.
+    "txt_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |n AS (SELECT sum(c) AS total FROM cnt),
+        |lp AS (SELECT token, CAST(round(log2(c / total) * 1e9) AS BIGINT) AS li
+        |       FROM cnt CROSS JOIN n),
+        |dt AS (SELECT doc_id, token, count(*) AS nt FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, sum(nt) AS n_tok, sum(nt * li) AS s
+        |      FROM dt JOIN lp USING (token) GROUP BY doc_id),
+        |q AS (SELECT d.doc_id, doc.lang, CAST(d.n_tok AS BIGINT) AS n_tok,
+        |        round(-d.s / 1e9 / d.n_tok, 6) AS bits_per_token,
+        |        CAST(round(round(-d.s / 1e9 / d.n_tok, 6) * 1e6) AS BIGINT) AS bq
+        |      FROM d JOIN documents doc ON d.doc_id = doc.doc_id),
+        |st AS (SELECT lang, count(*) AS ln, sum(bq) AS s1, sum(bq * bq) AS s2
+        |       FROM q GROUP BY lang),
+        |thr AS (SELECT lang,
+        |  round(CAST(s1 AS DOUBLE) / ln / 1e6
+        |    - 0.4307 * sqrt(CAST(s2 AS DOUBLE) / ln
+        |        - (CAST(s1 AS DOUBLE) / ln) * (CAST(s1 AS DOUBLE) / ln)) / 1e6, 6) AS t_lo,
+        |  round(CAST(s1 AS DOUBLE) / ln / 1e6
+        |    + 0.4307 * sqrt(CAST(s2 AS DOUBLE) / ln
+        |        - (CAST(s1 AS DOUBLE) / ln) * (CAST(s1 AS DOUBLE) / ln)) / 1e6, 6) AS t_hi
+        |  FROM st)
+        |SELECT q.doc_id, q.lang, q.n_tok, q.bits_per_token,
+        |  CASE WHEN q.bits_per_token < t.t_lo THEN 'head'
+        |       WHEN q.bits_per_token >= t.t_hi THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM q JOIN thr t USING (lang) ORDER BY q.doc_id""".stripMargin,
+
+    "dd_domain_cap" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY
+        |    round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |          (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+'))), 6) DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
 
     "dd_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n

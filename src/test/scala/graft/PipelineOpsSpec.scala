@@ -943,6 +943,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 9002L))
   }
 
+  test("capPerGroup: serial top-cap law, binding and non-binding groups") {
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7), (4L, "a", 0.7),
+      (5L, "b", 0.3), (6L, "b", 0.3),
+      (7L, "c", 0.1))
+    val df = rows.toDF("id", "grp", "score")
+    val got = Curation.capPerGroup(df, "grp", col("score"), "id", cap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    // serial oracle: sort by (score desc, id asc) within group, take 2
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(r => (-r._3, r._1)).take(2).zipWithIndex
+        .map { case (r, i) => (r._1, r._2, i + 1) }
+    }.toSet
+    assert(got == want)
+    // the 0.7 tie resolves by id: doc 3 in, doc 4 out
+    assert(got.contains((3L, "a", 2)) && !got.exists(_._1 == 4L))
+  }
+
+  test("surprisalBuckets: thresholds follow the documented moment law; buckets partition") {
+    import graft.operators.{Curation, LanguageModel}
+    val docs = (corpus.map { case (id, t) => (id, t, if (id % 2 == 0) "en" else "de") } ++
+      Seq((9001L, "zzquux zzquux", "en"))).toDF("doc_id", "text", "lang")
+    val got = Curation.surprisalBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(got.map(_._1).toSet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // serial oracle: recompute per-lang mean ± 0.4307σ from the SAME
+    // 6-dp surprisal values via the quantized-moment law
+    val sur = LanguageModel.unigramSurprisal(docs.select("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lang = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byLang = sur.toSeq.groupBy { case (id, _) => lang(id) }
+    for ((lg, xs) <- byLang) {
+      val bq = xs.map { case (_, b) => math.round(b * 1e6) }
+      val n = bq.size.toDouble
+      val mq = bq.sum.toDouble / n
+      val sq = bq.map(x => x.toDouble * x).sum / n
+      val sd = math.sqrt(sq - mq * mq)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (tLo, tHi) = (r6(mq / 1e6 - 0.4307 * sd / 1e6), r6(mq / 1e6 + 0.4307 * sd / 1e6))
+      for ((id, lg2, b, bucket) <- got if lg2 == lg) {
+        val want = if (b < tLo) "head" else if (b >= tHi) "tail" else "middle"
+        assert(bucket == want, s"doc $id lang $lg: got $bucket want $want (b=$b lo=$tLo hi=$tHi)")
+      }
+    }
+    // the rare-token doc is the most surprising English doc -> tail
+    assert(got.find(_._1 == 9001L).get._4 == "tail")
+  }
+
   test("connected components match BFS oracle; dropNearDuplicates keeps one per cluster") {
     import graft.operators.ConnectedComponents
     val rnd = new scala.util.Random(23)

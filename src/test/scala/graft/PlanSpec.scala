@@ -117,10 +117,12 @@ class PlanSpec extends AnyFunSuite {
     // knn_ivfpq (the same LUT broadcast plus knn_ivf's nCells-row
     // centroid-assignment cross join) and q_profile_cat (per-column
     // 1-row stats × 1-row mode) and txt_unigram_lm (broadcast of the
-    // 1-row corpus-token-total aggregate onto the vocab).
+    // 1-row corpus-token-total aggregate onto the vocab; inherited by
+    // txt_ppl_buckets, which runs the same LM chain underneath).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
-        "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm")
+        "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
+        "txt_ppl_buckets")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
@@ -178,6 +180,9 @@ class PlanSpec extends AnyFunSuite {
     assert(knn.contains("WindowGroupLimit"), knn)
     val win = physical(SparkEntry.queries("q_window_top_order")(spark, dir))
     assert(win.contains("WindowGroupLimit"), win)
+    // the per-domain cap prunes hot domains map-side too
+    val cap = physical(SparkEntry.queries("dd_domain_cap")(spark, dir))
+    assert(cap.contains("WindowGroupLimit"), cap)
   }
 
   test("vocabulary is TakeOrdered over a map-side-combined aggregate") {
