@@ -90,4 +90,37 @@ object Sampling {
     }
     df.where(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** Token-budget mixing — [[stratifiedHashSample]] with the rates
+    * DERIVED from the data: stratum `s` with a budget samples at
+    * per-mille ⌊budgetₛ·1000 / tokensₛ⌋ (its expected kept-token count
+    * lands at-or-under the budget; a stratum already within budget, or
+    * without one, keeps everything). The per-row decision is the same
+    * md5 per-mille bucket as every sampler here, so the kept set is
+    * reproducible, partitioning-invariant, and monotone in the budget
+    * (raising a budget only ADDS rows).
+    *
+    * Scale shape: one map-side-combined aggregate derives per-stratum
+    * token totals (strata = languages/sources, a tiny frame), the
+    * per-mille rates broadcast back, and the filter itself is
+    * shuffle-free. All-INTEGER rate arithmetic (`div`, not double
+    * division + floor — a double quotient can land epsilon under an
+    * integer and misfloor) so any SQL engine reproduces the exact
+    * kept set. */
+  def mixToTokenBudget(df: DataFrame, keyCol: String, stratumCol: String,
+                       tokensCol: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val rates = df.groupBy(stratumCol)
+      .agg(sum(tokensCol.cast("long")).as("toks"))
+      .withColumn("b", budgetCol)
+      .selectExpr(stratumCol,
+        "CASE WHEN b IS NULL OR toks <= b THEN 1000 " +
+          "ELSE CAST((b * 1000) DIV toks AS INT) END AS pm")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(hashBucket(col(keyCol)) < col("pm"))
+      .drop("pm")
+  }
 }

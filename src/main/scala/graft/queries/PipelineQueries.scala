@@ -445,6 +445,20 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
 
+    // Token-budget mixing: rates DERIVED from per-language token
+    // totals (en capped at 20k tokens, zh at 5k, others unlimited) —
+    // q_mix_sample's fixed-rate sibling where the budget, not the
+    // rate, is the spec. All-integer rate arithmetic, so the oracle
+    // recomputes the exact kept set.
+    "q_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.mixToTokenBudget(docs(s, dir), "doc_id", "lang",
+          size(split(trim(col("text")), "\\s+")),
+          Map("en" -> 20000L, "zh" -> 5000L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("kept_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
     // Quality-weighted sampling: keep probability = 0.5 · quality —
     // more of the good data, less of the bad, no hard threshold.
     // Same determinism laws as q_mix_sample (md5-of-key decision).
@@ -1280,6 +1294,29 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM q WHERE h < CAST(floor(w * 0.5 * 4294967296.0) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |tot AS (SELECT lang, sum(toks) AS toks FROM t GROUP BY 1),
+        |r AS (SELECT lang,
+        |  CASE WHEN lang = 'en' THEN (CASE WHEN toks <= 20000 THEN 1000 ELSE (20000 * 1000) // toks END)
+        |       WHEN lang = 'zh' THEN (CASE WHEN toks <= 5000 THEN 1000 ELSE (5000 * 1000) // toks END)
+        |       ELSE 1000 END AS pm
+        |  FROM tot),
+        |s AS (
+        |  SELECT t.doc_id, t.lang, t.toks,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    +(instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    +(instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    +(instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS h
+        |  FROM t)
+        |SELECT s.lang, count(*) AS n, CAST(sum(s.toks) AS BIGINT) AS kept_tokens,
+        |  min(s.doc_id) AS min_id, max(s.doc_id) AS max_id
+        |FROM s JOIN r USING (lang) WHERE s.h < r.pm
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mix_sample" ->

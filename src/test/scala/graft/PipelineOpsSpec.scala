@@ -992,6 +992,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 9001L).get._4 == "tail")
   }
 
+  test("mixToTokenBudget: integer rate law, within-budget strata untouched, monotone in budget") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 4000).select(col("id"),
+      when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"),
+      (col("id") % 7 + 1).as("toks"))
+    def kept(budgets: Map[String, Long]): Map[String, Set[Long]] =
+      Sampling.mixToTokenBudget(df, "id", "lang", col("toks"), budgets)
+        .select("lang", "id")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val totals = df.groupBy("lang").agg(sum("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en capped at 1/4 of its tokens, de unbudgeted
+    val got = kept(Map("en" -> totals("en") / 4))
+    assert(got("de").size == 2000) // no budget -> everything
+    // the en kept set must be exactly the per-mille law's subset
+    val pm = (totals("en") / 4 * 1000L) / totals("en")
+    val wantEn = df.where(col("lang") === "en").collect().map(_.getLong(0))
+      .filter { id =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val bucket = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 1000
+        bucket < pm
+      }.toSet
+    assert(got("en") == wantEn)
+    // monotone: raising the budget only adds rows
+    val more = kept(Map("en" -> totals("en") / 2))
+    assert(got("en").subsetOf(more("en")) && more("en").size > got("en").size)
+    // a stratum already within budget keeps everything
+    val all = kept(Map("en" -> totals("en")))
+    assert(all("en").size == 2000)
+  }
+
   test("connected components match BFS oracle; dropNearDuplicates keeps one per cluster") {
     import graft.operators.ConnectedComponents
     val rnd = new scala.util.Random(23)
