@@ -113,16 +113,38 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  // RE2-compatible patterns (no backrefs/lookarounds) so the DuckDB
-  // oracle's regexp_replace behaves identically to Java's.
+  // RE2-compatible patterns (no backrefs/lookarounds, ASCII classes
+  // only) so the DuckDB oracle's regexp functions behave identically
+  // to Java's. Alternation-free, so Java's leftmost-FIRST and RE2's
+  // leftmost-LONGEST semantics pick the same match.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   private val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 
-  /** PII scrubbing for training corpora: email addresses then
-    * phone-like digit runs replaced with typed placeholders. Order
-    * matters — emails first, or the phone pattern eats their digits. */
+  /** PII scrubbing for training corpora: email addresses, then dotted
+    * IPv4 quads, then phone-like digit runs, each replaced with a typed
+    * placeholder. Order matters — emails first or the phone pattern
+    * eats their digit runs; IPs before phones (the phone class has no
+    * '.', so an IP would otherwise survive as four short digit runs). */
   def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    regexp_replace(regexp_replace(regexp_replace(
+      text, emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")
+
+  /** PII detection stats + scrub in one struct: counts are taken on the
+    * PROGRESSIVELY redacted text (emails on the raw text, IPs after
+    * email redaction, phones after both) so each span is counted under
+    * exactly one type — the same staging `redactPii` applies. Fields:
+    * n_email, n_ip, n_phone (int), redacted (string). Pure builtin
+    * regexp Columns — codegen'd, no UDF, linear per-row work. */
+  def piiStats(text: Column): Column = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Re), lit(0))).as("n_ip"),
+      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).as("n_phone"),
+      regexp_replace(afterIp, phoneRe, "<PHONE>").as("redacted"))
+  }
 
   // ---- Quality scoring -------------------------------------------------
 

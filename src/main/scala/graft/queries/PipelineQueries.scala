@@ -126,6 +126,34 @@ object PipelineQueries {
           lpad((col("doc_id") % 100).cast("string"), 2, "0"),
           lit(" about: "), substring(col("text"), 1, 40))).as("redacted"))),
 
+    // PII detection + scrub: the corpus carries no PII, so
+    // deterministic email / IPv4 / phone spans derived from doc_id are
+    // appended (the oracle rebuilds the same augmented text) and the
+    // staged count-and-redact law — emails counted on raw text, IPs
+    // after email redaction, phones after both, so every span lands
+    // under exactly one type — is hash-gated end to end. Phones are
+    // injected on every third doc only, so zero-count rows are
+    // exercised too. Pure regexp builtins: codegen'd, linear per row,
+    // embarrassingly parallel at any scale.
+    "txt_pii" -> ((s, dir) => {
+      val aug = concat(
+        substring(col("text"), 1, 60),
+        lit(" reach "), col("source"), lit(".team+"),
+        col("doc_id").cast("string"),
+        lit("@data.example.com host 192.168."),
+        (col("doc_id") % 200).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" tel +44 20 7946 09"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit(" no phone")))
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.piiStats(aug).as("p"))
+        .select(col("doc_id"),
+          col("p.n_email").as("n_email"), col("p.n_ip").as("n_ip"),
+          col("p.n_phone").as("n_phone"), col("p.redacted").as("redacted"))
+    }),
+
     // Language-ID heuristic (stopword profiles, deterministic argmax).
     "txt_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -694,12 +722,43 @@ object PipelineQueries {
     "txt_normalize" ->
       """SELECT doc_id,
         |  substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 80) AS norm80,
-        |  regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
         |    'contact ' || source || '@example.org or call +1 (415) 555-01' ||
         |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' about: ' || substr(text, 1, 40),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || ' reach ' || source || '.team+' ||
+        |      CAST(doc_id AS VARCHAR) || '@data.example.com host 192.168.' ||
+        |      CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN ' tel +44 20 7946 09' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |           ELSE ' no phone' END AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |st2 AS (
+        |  SELECT doc_id, t, t1,
+        |    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |                   '<IP>', 'g') AS t2
+        |  FROM st)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS INT) AS n_phone,
+        |  regexp_replace(t2, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM st2 ORDER BY doc_id""".stripMargin,
 
     "txt_vocab" ->
       """SELECT token, count(*) AS n FROM (

@@ -1498,4 +1498,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(rt(id) == text.trim.split("\\s+").filter(_.nonEmpty).mkString(" "),
         s"doc $id")
   }
+
+  test("piiStats: staged counts and redaction match a serial regex oracle") {
+    val samples = Seq(
+      (1L, "mail a.b+c@ex-ample.org and x_9%d@sub.domain.co today"),
+      (2L, "server 10.0.255.3 talked to 192.168.1.200 over tcp"),
+      (3L, "call +1 (415) 555-0134 or 020-7946-0958 now"),
+      (4L, "mix bob@corp.io from 172.16.4.20 dial +44 20 7946 0911"),
+      (5L, "no pii here at all"),
+      (6L, "edge a@b.cd 1.2.3.4 12-34 x"), // 12-34 too short for phone
+      (7L, ""))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val got = samples.toDF("id", "t")
+      .select(col("id"), TextFunctions.piiStats(col("t")).as("p"))
+      .select(col("id"), col("p.n_email"), col("p.n_ip"), col("p.n_phone"),
+        col("p.redacted"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    for ((id, t) <- samples) {
+      val t1 = t.replaceAll(emailRe, "<EMAIL>")
+      val t2 = t1.replaceAll(ipRe, "<IP>")
+      val exp = (emailRe.r.findAllIn(t).size, ipRe.r.findAllIn(t1).size,
+        phoneRe.r.findAllIn(t2).size, t2.replaceAll(phoneRe, "<PHONE>"))
+      assert(got(id) == exp, s"id $id")
+      // No typed span survives its own redaction, and redaction is
+      // idempotent (placeholders contain no redactable spans).
+      val red = got(id)._4
+      assert(emailRe.r.findFirstIn(red).isEmpty && ipRe.r.findFirstIn(red).isEmpty
+        && phoneRe.r.findFirstIn(red).isEmpty, s"residual PII in id $id: $red")
+    }
+    // Known-answer rows (belt and braces over the oracle recompute).
+    assert(got(1L) == ((2, 0, 0, "mail <EMAIL> and <EMAIL> today")))
+    assert(got(2L) == ((0, 2, 0, "server <IP> talked to <IP> over tcp")))
+    assert(got(5L) == ((0, 0, 0, "no pii here at all")))
+  }
+
+  test("txt_pii gate on driver testdata: every row redacts its injected spans") {
+    val out = SparkEntry.queries("txt_pii")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val id = r.getLong(0)
+      assert(r.getInt(1) >= 1, s"doc $id lost its injected email")
+      assert(r.getInt(2) >= 1, s"doc $id lost its injected IP")
+      assert(r.getInt(3) == (if (id % 3 == 0) 1 else 0), s"doc $id phone count")
+      val red = r.getString(4)
+      assert(red.contains("<EMAIL>") && red.contains("<IP>"), s"doc $id: $red")
+      if (id % 3 == 0) assert(red.contains("<PHONE>"), s"doc $id: $red")
+    }
+  }
 }
