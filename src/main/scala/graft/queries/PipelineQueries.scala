@@ -487,6 +487,17 @@ object PipelineQueries {
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("kept_tokens"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
 
+    // Deterministic training-export sharding: the reproducible "global
+    // shuffle" a training run reads — shard = md5₁₆(doc_id) mod 8,
+    // pos = 1-based rank of (md5hex, doc_id) within the shard. The
+    // whole permutation is hash-gated: every (doc_id, shard, pos)
+    // triple must match the oracle recomputing the same law. At scale
+    // this is nShards independent sorts, never one global sort.
+    "q_shard_order" -> ((s, dir) =>
+      graft.sources.Sinks.assignTrainingShards(
+          docs(s, dir).select("doc_id"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // Quality-weighted sampling: keep probability = 0.5 · quality —
     // more of the good data, less of the bad, no hard threshold.
     // Same determinism laws as q_mix_sample (md5-of-key decision).
@@ -1377,6 +1388,20 @@ object PipelineQueries {
         |  min(s.doc_id) AS min_id, max(s.doc_id) AS max_id
         |FROM s JOIN r USING (lang) WHERE s.h < r.pm
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_shard_order" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |s AS (
+        |  SELECT doc_id, hk,
+        |    ((instr('0123456789abcdef', substr(hk, 1, 1)) - 1) * 4096
+        |    +(instr('0123456789abcdef', substr(hk, 2, 1)) - 1) * 256
+        |    +(instr('0123456789abcdef', substr(hk, 3, 1)) - 1) * 16
+        |    +(instr('0123456789abcdef', substr(hk, 4, 1)) - 1)) % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS INT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_mix_sample" ->
       """WITH s AS (

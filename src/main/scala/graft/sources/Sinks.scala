@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Output-side helpers — the reference has no sinks (results return to
   * the caller, SURVEY S7); these are the engine's scale-out write
@@ -68,6 +70,37 @@ object Sinks {
       .mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
+
+  /** Deterministic training-export sharding: the "global shuffle" a
+    * training run needs, computed as a pure function of the key so it
+    * is reproducible, partitioning-invariant, and join-stable. Adds
+    * `shard` = md5₁₆(key) mod nShards and `pos` = 1-based rank of
+    * (md5(key), key) within the shard — i.e. every shard is a
+    * hash-shuffled, totally-ordered slice of the corpus, and the
+    * concatenation shard 0..n-1 is a deterministic permutation of the
+    * whole dataset.
+    *
+    * Scale shape: the rank is a window PER SHARD — nShards independent
+    * sorts (pick nShards ≥ cluster parallelism; a 100 TB corpus at
+    * 4096 shards sorts ~25 GB per shard, spill-safe) — never one
+    * global sort. Writing is `writePartitioned(out, path,
+    * Seq("shard"), sortCols = Seq("pos"))`: directory-per-shard,
+    * position-ordered files, so a training reader streams shard k in
+    * order with zero further shuffling. md5-hex order is ASCII
+    * lexicographic — identical in any engine, so the permutation is
+    * cross-engine reproducible (same idiom as [[graft.operators.Sampling]]). */
+  def assignTrainingShards(df: DataFrame, keyCol: String,
+                           nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val hk = md5(col(keyCol).cast("string").cast("binary"))
+    val shard = (conv(substring(col("hk"), 1, 4), 16, 10).cast("int")
+      % nShards).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col(keyCol))
+    df.withColumn("hk", hk)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("hk")
+  }
 
   /** Incremental aggregate maintenance — the batch seam of a streaming
     * aggregation, kept in plain parquet: a stored (keys, count, sum)

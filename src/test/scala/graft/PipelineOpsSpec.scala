@@ -1499,6 +1499,38 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"doc $id")
   }
 
+  test("assignTrainingShards: deterministic permutation, contiguous per-shard positions") {
+    import graft.sources.Sinks
+    val n = 7
+    val out = Sinks.assignTrainingShards(docsDF, "doc_id", n)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == corpus.length)
+    // Every row lands in exactly one shard in [0, n).
+    assert(out.forall { case (_, s, _) => s >= 0 && s < n })
+    // Positions are contiguous 1..size within each shard (a permutation).
+    for ((_, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    // Serial oracle: same md5 law, same (md5hex, key) order.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = corpus.map { case (id, _) =>
+      val hk = md5hex(id.toString)
+      (id, Integer.parseInt(hk.take(4), 16) % n, hk)
+    }.groupBy(_._2).flatMap { case (s, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((id, sh, _), i) => (id, sh, i + 1) }
+    }.toSet
+    assert(out.toSet == expect)
+    // Partitioning-invariant: a repartitioned input yields the identical
+    // assignment (the law depends only on the key).
+    val re = Sinks.assignTrainingShards(docsDF.repartition(13), "doc_id", n)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(re == out.toSet)
+  }
+
   test("piiStats: staged counts and redaction match a serial regex oracle") {
     val samples = Seq(
       (1L, "mail a.b+c@ex-ample.org and x_9%d@sub.domain.co today"),
