@@ -273,6 +273,29 @@ object PipelineQueries {
           col("seq"), col("seq_offset"))
     }),
 
+    // End-to-end CURATION pipeline — the round-6 tier composed as one
+    // lazy plan: Gopher per-domain cap (top-15 per source by quality)
+    // → CCNet perplexity buckets ON THE CAPPED corpus (the LM and its
+    // thresholds are recomputed over survivors, not the full corpus)
+    // → drop the tail bucket → token-budget mix (rates derived from
+    // the kept set) → deterministic training shards. Gate output is
+    // per-shard corpus stats; the oracle replays the whole chain as
+    // one CTE stack, so every stage seam is hash-checked.
+    "pipe_curation" -> ((s, dir) => {
+      val capped = graft.operators.Curation.capPerGroup(docs(s, dir), "source",
+        TextFunctions.qualityScore(col("text")), "doc_id", cap = 15).drop("rk")
+      val kept = graft.operators.Curation.surprisalBuckets(
+          capped, "doc_id", "text", "lang")
+        .where(col("bucket") =!= "tail")
+      val mixed = graft.operators.Sampling.mixToTokenBudget(kept, "doc_id",
+        "lang", col("n_tok"), Map("en" -> 6000L, "zh" -> 2000L))
+      graft.sources.Sinks.assignTrainingShards(mixed, "doc_id", nShards = 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    }),
+
     // Incremental-ingest dedup: "new" docs (doc_id < 250) vs the
     // standing corpus (doc_id >= 250) — cross pairs only, fingerprint
     // blocked, combined block cap, exact-Jaccard verified at j >= 0.5.
@@ -1345,6 +1368,63 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tok, tok_before // 2048 AS seq,
         |  tok_before % 2048 AS seq_offset
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_curation" ->
+      """WITH capped AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text, row_number() OVER (PARTITION BY source ORDER BY
+        |      round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |            (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |            t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |            / len(regexp_split_to_array(trim(text), '\s+'))), 6) DESC, doc_id) AS rk
+        |    FROM documents) WHERE rk <= 15),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM capped),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |n AS (SELECT sum(c) AS total FROM cnt),
+        |lp AS (SELECT token, CAST(round(log2(c / total) * 1e9) AS BIGINT) AS li
+        |       FROM cnt CROSS JOIN n),
+        |dt AS (SELECT doc_id, token, count(*) AS nt FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, sum(nt) AS n_tok, sum(nt * li) AS s
+        |      FROM dt JOIN lp USING (token) GROUP BY doc_id),
+        |q AS (SELECT d.doc_id, doc.lang, CAST(d.n_tok AS BIGINT) AS n_tok,
+        |        round(-d.s / 1e9 / d.n_tok, 6) AS bits_per_token,
+        |        CAST(round(round(-d.s / 1e9 / d.n_tok, 6) * 1e6) AS BIGINT) AS bq
+        |      FROM d JOIN capped doc ON d.doc_id = doc.doc_id),
+        |st AS (SELECT lang, count(*) AS ln, sum(bq) AS s1, sum(bq * bq) AS s2
+        |       FROM q GROUP BY lang),
+        |thr AS (SELECT lang,
+        |  round(CAST(s1 AS DOUBLE) / ln / 1e6
+        |    + 0.4307 * sqrt(CAST(s2 AS DOUBLE) / ln
+        |        - (CAST(s1 AS DOUBLE) / ln) * (CAST(s1 AS DOUBLE) / ln)) / 1e6, 6) AS t_hi
+        |  FROM st),
+        |keep AS (
+        |  SELECT q.doc_id, q.lang, q.n_tok FROM q JOIN thr t USING (lang)
+        |  WHERE q.bits_per_token < t.t_hi),
+        |tot AS (SELECT lang, sum(n_tok) AS toks FROM keep GROUP BY 1),
+        |r AS (SELECT lang,
+        |  CASE WHEN lang = 'en' THEN (CASE WHEN toks <= 6000 THEN 1000 ELSE (6000 * 1000) // toks END)
+        |       WHEN lang = 'zh' THEN (CASE WHEN toks <= 2000 THEN 1000 ELSE (2000 * 1000) // toks END)
+        |       ELSE 1000 END AS pm
+        |  FROM tot),
+        |mixed AS (
+        |  SELECT k.doc_id, k.lang, k.n_tok FROM keep k JOIN r USING (lang)
+        |  WHERE ((instr('0123456789abcdef', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |       + (instr('0123456789abcdef', substr(md5(CAST(k.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |       + (instr('0123456789abcdef', substr(md5(CAST(k.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substr(md5(CAST(k.doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 < r.pm),
+        |sh AS (
+        |  SELECT doc_id, n_tok,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 4 AS shard
+        |  FROM mixed)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH q AS (
