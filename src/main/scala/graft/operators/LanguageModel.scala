@@ -48,4 +48,47 @@ object LanguageModel {
       .select(col(idCol), col("n_tok"),
         round(-col("s") / 1e9 / col("n_tok"), 6).as("bits_per_token"))
   }
+
+  /** (idCol, n_bigrams, bits_per_bigram): average CONDITIONAL bigram
+    * surprisal −1/(n−1) Σ log₂ p(wᵢ | wᵢ₋₁) under the corpus's own
+    * exact bigram MLE, p(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w) — the
+    * next-order CCNet-style LM signal above [[unigramSurprisal]]
+    * (repetitive templates score near 0 bits; token soup scores high).
+    * The normalizer is the bigram-PREFIX count, so per-prefix
+    * probabilities sum to exactly 1 and in-corpus scoring meets no
+    * zero probability — no smoothing knob to pick or reproduce.
+    * Documents with fewer than two tokens have no bigrams and drop out.
+    *
+    * Same determinism law as [[unigramSurprisal]]: each conditional
+    * log-prob is quantized once to an integer (round(log₂ p · 1e9)) so
+    * every distributed sum is order-independent and the 6-dp score is
+    * cross-engine exact.
+    *
+    * Scale shape: the bigram explode is one pass (zip the token array
+    * against itself shifted by one — no self-join, no window over
+    * positions); bigram counts, prefix counts (derived from the bigram
+    * counts, NOT a second pass over occurrences), and per-(doc,bigram)
+    * counts all partial-aggregate map-side, so hot bigrams ship one
+    * row per partition. Joins are keyed on distinct (w₁,w₂); AQE may
+    * broadcast the model side when it fits. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+    val big = toks.select(col(idCol),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = cb.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val lp = cb.join(c1, "w1").select(col("w1"), col("w2"),
+      round(log2(col("c2") / col("c1")) * 1e9, 0).cast("long").as("li"))
+    val docBg = big.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("nt"))
+    docBg.join(lp, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nt")).as("n_bigrams"), sum(col("nt") * col("li")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-col("s") / 1e9 / col("n_bigrams"), 6).as("bits_per_bigram"))
+  }
 }

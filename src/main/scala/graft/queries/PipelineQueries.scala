@@ -206,6 +206,15 @@ object PipelineQueries {
       graft.operators.LanguageModel.unigramSurprisal(
         docs(s, dir), "doc_id", "text")),
 
+    // Conditional bigram surprisal — the next-order LM quality signal:
+    // -1/(n-1) Σ log2 p(w_i|w_{i-1}) under the corpus's own bigram
+    // MLE, prefix-count normalized (no zeros, no smoothing knob).
+    // Quantized-integer log-probs keep every distributed sum
+    // order-independent, so the 6-dp score is hash-gated.
+    "txt_bigram_lm" -> ((s, dir) =>
+      graft.operators.LanguageModel.bigramSurprisal(
+        docs(s, dir), "doc_id", "text")),
+
     // CCNet-style perplexity bucketing: head/middle/tail per language
     // by unigram surprisal vs aggregate-only mean ± 0.4307σ thresholds
     // (the exact-tercile cut under normality; exact terciles would
@@ -896,6 +905,23 @@ object PipelineQueries {
         |      FROM dt JOIN lp USING (token) GROUP BY doc_id)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  round(-s / 1e9 / n_tok, 6) AS bits_per_token
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "txt_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM cb GROUP BY 1),
+        |lp AS (SELECT w1, w2, CAST(round(log2(c2 / c1) * 1e9) AS BIGINT) AS li
+        |       FROM cb JOIN c1 USING (w1)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS nt FROM bg GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, sum(nt) AS nb, sum(nt * li) AS s
+        |      FROM db JOIN lp USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        |  round(-s / 1e9 / nb, 6) AS bits_per_bigram
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // Same LM chain as txt_unigram_lm, then quantized per-lang moments

@@ -1499,6 +1499,37 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"doc $id")
   }
 
+  test("bigramSurprisal: matches a serial conditional-MLE oracle, quantization law exact") {
+    import graft.operators.LanguageModel
+    val edge = Seq((300L, "solo"), (301L, "pair pair"), (302L, "  padded   text  "))
+    val data = corpus ++ edge
+    val got = LanguageModel.bigramSurprisal(data.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ws = t.trim.split("\\s+").toSeq
+      ws.zip(ws.drop(1))
+    }
+    val all = data.flatMap { case (_, t) => bigrams(t) }
+    val c2 = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val li = c2.map { case (bg, c) =>
+      bg -> BigDecimal(math.log(c.toDouble / c1(bg._1)) / math.log(2.0) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // Docs with < 2 tokens have no bigrams and must be absent.
+    assert(!got.contains(300L))
+    for ((id, t) <- data if bigrams(t).nonEmpty) {
+      val bgs = bigrams(t)
+      val s = bgs.map(li).sum
+      val exp = BigDecimal(-s / 1e9 / bgs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((bgs.length.toLong, exp)), s"doc $id")
+    }
+    // A two-token doc of a self-repeating bigram: if "pair pair" is the
+    // only "pair"-prefixed bigram, p = 1 and the score is exactly 0.
+    if (c1("pair") == c2(("pair", "pair"))) assert(got(301L)._2 == 0.0)
+  }
+
   test("assignTrainingShards: deterministic permutation, contiguous per-shard positions") {
     import graft.sources.Sinks
     val n = 7
