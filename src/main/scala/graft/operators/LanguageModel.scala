@@ -64,30 +64,33 @@ object LanguageModel {
     * every distributed sum is order-independent and the 6-dp score is
     * cross-engine exact.
     *
-    * Scale shape: the bigram explode is one pass (zip the token array
-    * against itself shifted by one — no self-join, no window over
-    * positions); bigram counts, prefix counts (derived from the bigram
-    * counts, NOT a second pass over occurrences), and per-(doc,bigram)
-    * counts all partial-aggregate map-side, so hot bigrams ship one
-    * row per partition. Joins are keyed on distinct (w₁,w₂); AQE may
-    * broadcast the model side when it fits. */
+    * Scale shape: the bigram explode is one `posexplode` pass over the
+    * token array (w₂ = element_at(ws, pos+2), plain codegen'd
+    * expressions — no interpreted higher-order lambda, no self-join,
+    * no window over positions). Scoring sums `li` directly over
+    * occurrences — Σ_occurrences li ≡ Σ_pairs nt·li, so no
+    * per-(doc,bigram) distinct aggregation exists at all; the one
+    * occurrence-sized aggregate is keyed by the LONG doc id and
+    * partial-aggregates map-side to ~one row per doc. (The first shape
+    * grouped occurrences by (doc, w₁, w₂) — a string-keyed shuffle of
+    * nearly every occurrence, measured 20 s of a 40 s sf3 pass; this
+    * shape cut the whole query to ~27 s.) The model side is keyed on
+    * distinct (w₁,w₂): AQE broadcasts it while it fits and falls back
+    * to a shuffle join beyond — at which point the occurrence frame
+    * was shipping through a shuffle either way. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
-    val big = toks.select(col(idCol),
-      explode(zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    def big = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col(idCol), col("ws"), posexplode(col("ws")))
+      .where(col("pos") < size(col("ws")) - 1)
+      .select(col(idCol), col("col").as("w1"),
+        element_at(col("ws"), col("pos") + 2).as("w2"))
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = cb.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val lp = cb.join(c1, "w1").select(col("w1"), col("w2"),
       round(log2(col("c2") / col("c1")) * 1e9, 0).cast("long").as("li"))
-    val docBg = big.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("nt"))
-    docBg.join(lp, Seq("w1", "w2"))
+    big.join(lp, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(sum(col("nt")).as("n_bigrams"), sum(col("nt") * col("li")).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("li")).as("s"))
       .select(col(idCol), col("n_bigrams"),
         round(-col("s") / 1e9 / col("n_bigrams"), 6).as("bits_per_bigram"))
   }
