@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Streaming face of the curation tier — continuous-ingest curation
+  * for a document stream with schema (doc_id, ts, text, ...).
+  *
+  * The scoring/scrubbing operators ([[TextFunctions]]) are stateless
+  * Column expressions, so the SAME functions that curate a batch
+  * corpus curate an unbounded stream with no code change, no state,
+  * and bit-identical results (the spec pins streamed == batch on the
+  * same rows). Content dedup is the one stateful stage: keyed by a
+  * 64-bit content digest, first-occurrence-wins, state bounded by the
+  * watermark horizon via [[EventStreams.dedupStream]].
+  *
+  * At continuous-crawl scale this is the shape: score + scrub run
+  * map-side inside the stream's tasks (codegen'd regexp/array
+  * builtins, embarrassingly parallel), only the digest — not the
+  * document — is dedup state, and the curated stream feeds
+  * `Sinks.assignTrainingShards`-style export downstream of the sink.
+  */
+object DocStreams {
+
+  /** Stateless score-and-scrub: quality-filter at `minQuality`, then
+    * project language-ID, token count, and PII-redacted text. Works
+    * identically on a batch frame and a `readStream` frame. */
+  def curateStream(docs: DataFrame, minQuality: Double): DataFrame =
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .where(col("quality") >= minQuality)
+      .select(col("doc_id"), col("ts"), round(col("quality"), 6).as("quality"),
+        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("pred_lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.redactPii(col("text")).as("text"))
+
+  /** Curation + content dedup: [[curateStream]] then
+    * first-occurrence-wins on the xxhash64 digest of the REDACTED
+    * text within the watermark horizon (dedup after scrubbing, so two
+    * docs differing only in their PII spans collapse — the same
+    * normalize-then-digest order a batch pipeline uses). */
+  def curateDedupStream(docs: DataFrame, minQuality: Double,
+                        watermark: String = "30 minutes"): DataFrame =
+    EventStreams.dedupStream(
+      curateStream(docs, minQuality).withColumn("digest", xxhash64(col("text"))),
+      Seq("digest"), watermark).drop("digest")
+}

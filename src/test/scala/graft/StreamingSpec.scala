@@ -13,6 +13,8 @@ import graft.streaming.EventStreams.Event
   * ([[EventStreams.sessionizeBatch]]) on closed sessions, and the
   * windowed aggregation must produce the batch answer once the
   * watermark passes. */
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -149,6 +151,55 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
       assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming curation: score+scrub stream equals batch, content dedup keeps first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+
+    val texts = Seq(
+      "the quick brown fox of the data lake and the warehouse in the morning",
+      "mail me at a.b@corp.example.org about the big table scan of the week",
+      "x",                                               // low quality -> filtered
+      "der und das ist ein der die das und ist ein der die",
+      "the quick brown fox of the data lake and the warehouse in the morning", // exact dup of 0
+      "call +1 415 555 0100 or mail a.b@corp.example.org about the big table scan of the week")
+    // doc 5 redacts to a different string than doc 1 (extra phone span),
+    // so it must SURVIVE dedup; doc 4 is an exact dup and must drop.
+    val docs = texts.zipWithIndex.map { case (t, i) => StreamDoc(i.toLong, ts(i.toLong), t) }
+
+    val input = MemoryStream[StreamDoc]
+    val q = DocStreams.curateDedupStream(input.toDF(), minQuality = 0.02, "30 minutes")
+      .writeStream.format("memory").queryName("cur_out").outputMode("append").start()
+    try {
+      // Two micro-batches so first-occurrence-wins is deterministic: the
+      // original (doc 0) is committed dedup state before its exact dup
+      // (doc 4) arrives.
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("cur_out")
+        .select("doc_id", "quality", "pred_lang", "n_tok", "text").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3), r.getString(4)))
+        .toSet
+
+      // Batch oracle: same stateless transform on the same rows, then
+      // first-occurrence-wins by digest of the redacted text.
+      val batch = DocStreams.curateStream(docs.toDF(), minQuality = 0.02)
+        .withColumn("digest", xxhash64(col("text")))
+      val want = batch.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getString(3), r.getInt(4), r.getString(5)))
+        .zip(batch.orderBy("doc_id").select("digest").collect().map(_.getLong(0)))
+        .foldLeft((Set.empty[Long], List.empty[(Long, Double, String, Int, String)])) {
+          case ((seen, acc), (row, dg)) =>
+            if (seen(dg)) (seen, acc) else (seen + dg, row :: acc)
+        }._2.toSet
+      assert(got == want)
+      assert(got.map(_._1) == Set(0L, 1L, 3L, 5L)) // 2 filtered, 4 deduped
+      assert(got.forall { case (_, _, _, _, t) => !t.contains("@") })
     } finally q.stop()
   }
 
