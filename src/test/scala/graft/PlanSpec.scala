@@ -118,11 +118,12 @@ class PlanSpec extends AnyFunSuite {
     // centroid-assignment cross join) and q_profile_cat (per-column
     // 1-row stats × 1-row mode) and txt_unigram_lm (broadcast of the
     // 1-row corpus-token-total aggregate onto the vocab; inherited by
-    // txt_ppl_buckets, which runs the same LM chain underneath).
+    // txt_ppl_buckets and pipe_curation, which run the same LM chain
+    // underneath).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
-        "txt_ppl_buckets")
+        "txt_ppl_buckets", "pipe_curation")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
