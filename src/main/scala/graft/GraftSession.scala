@@ -25,21 +25,38 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
 
+  /** The events table with `ts` normalized to TimestampType (µs, UTC
+    * session) regardless of how the generator wrote it. Generations of
+    * the test corpus have shipped `ts` as TIMESTAMP(NANOS) parquet
+    * (readable only as long nanos via `nanosAsLong`) and as plain
+    * TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ) — the
+    * loader dispatches on the landed type so both decode to identical
+    * wall-clock values. Integral `div`, not `/`, for the ns case:
+    * double division corrupts ns-scale longs (~1.7e18 exceeds the
+    * 53-bit mantissa; caught by the q_session_stats gate). The
+    * NTZ→LTZ cast is wall-clock-identity under the UTC session tz
+    * pinned in [[build]]. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
+
   /** Register every test table of `dir` as a temp view (events with the
-    * nanos-normalized ts), enabling the pure-SQL surface:
+    * normalized ts), enabling the pure-SQL surface:
     * `spark.sql("SELECT ... FROM lineitem JOIN ...")`. */
   def registerTables(spark: SparkSession, dir: String): Unit = {
-    import org.apache.spark.sql.functions._
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     names.foreach { n =>
       spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
-    // integral `div`, not `/`: double division corrupts ns-scale longs
-    // (see RelationalQueries.t).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .createOrReplaceTempView("events")
+    loadEvents(spark, dir).createOrReplaceTempView("events")
   }
 }

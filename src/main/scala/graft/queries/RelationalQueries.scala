@@ -23,19 +23,12 @@ import graft.operators.AsofJoin
   */
 object RelationalQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
-    // default; read it as long nanos and convert (values are µs-aligned,
-    // so the truncation is lossless and matches DuckDB's TIMESTAMP_NS).
-    // `ts div 1000`, NOT `/`: Column `/` is double division, and ns
-    // values (~1.7e18) exceed double's 53-bit mantissa — the round-trip
-    // is off by up to 1 µs (caught by the q_session_stats gate).
-    if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    // events.ts has shipped as both TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) parquet across testdata generations —
+    // GraftSession.loadEvents dispatches on the landed type.
+    if (name == "events") graft.GraftSession.loadEvents(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
 
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
   private val one = lit(1).cast("decimal(18,2)")

@@ -57,9 +57,8 @@ class AsofNativeSpec extends AnyFunSuite {
   }
 
   test("native == composition on the events table at sf0.001") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", col("ts").cast("long"))
+    val ev = graft.GraftSession.loadEvents(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", unix_micros(col("ts")))
     val purchases = ev.where(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
     val signups = ev.where(col("event_type") === "signup")
