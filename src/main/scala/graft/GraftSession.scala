@@ -21,6 +21,14 @@ object GraftSession {
       // tables) at the full shuffle-partition count
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Landed once at build time, not per-read: generations of the
+      // test corpus ship events.ts as TIMESTAMP(NANOS) parquet, which
+      // Spark can only read with this flag (as raw long nanos that
+      // loadEvents then normalizes). Setting it here keeps the
+      // behavior deterministic for the whole session instead of
+      // silently flipping as a side effect of the first loadEvents
+      // call mid-session.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
@@ -34,16 +42,29 @@ object GraftSession {
     * wall-clock values. Integral `div`, not `/`, for the ns case:
     * double division corrupts ns-scale longs (~1.7e18 exceeds the
     * 53-bit mantissa; caught by the q_session_stats gate). The
-    * NTZ→LTZ cast is wall-clock-identity under the UTC session tz
-    * pinned in [[build]]. */
+    * NTZ→LTZ cast is wall-clock-identity only under a UTC session
+    * tz ([[build]] pins it); a non-UTC caller would get shifted
+    * instants, so the tz is asserted rather than assumed. The cast
+    * target is the explicit [[TimestampType]] object — the
+    * `cast("timestamp")` keyword resolves through
+    * spark.sql.timestampType and becomes an NTZ no-op if a caller
+    * has repointed that config. nanosAsLong is session-wide from
+    * [[build]]; for sessions built elsewhere it is set here (before
+    * the read, so the NANOS footer decodes at all). */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    require(
+      spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "loadEvents normalizes TIMESTAMP_NTZ via an NTZ->LTZ cast, which is " +
+        "only wall-clock-correct under spark.sql.session.timeZone=UTC " +
+        "(GraftSession.build pins it); set the session tz to UTC first")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
