@@ -1,15 +1,40 @@
 package graft
+import java.nio.file.{Files, Paths}
 
-/** Dev tool: dump ONE gate query's result to parquet (Verify does all
-  * of them) — for fast oracle-parity iteration on a single query:
-  * `sbt "runMain graft.VerifyOne <sfDir> <outDir> <query>"`. */
+/** Dev tool: the [[Verify]] dump restricted to named queries, so one
+  * new gate can be oracle-checked without a full 120-query sweep.
+  * Usage: runMain graft.VerifyOne <sfDir> <outDir> <query> [query ...]
+  * Writes parquet under <outDir>/<name>/ plus an oracle_sql.json holding
+  * just the selected queries — tools/selfcheck.py then compares the
+  * subset exactly as the driver does the full set. */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, name) = args
-    val spark = GraftSession.build("local[8]", 8, "graft-verify-one")
-    spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries(name)(spark, sfDir).coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/$name")
+    require(args.length >= 3, "usage: VerifyOne <sfDir> <outDir> <query> [query ...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-verify-one")
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -519,4 +519,50 @@ object Dedup {
             p => array_join(slice(words, p * segWords + 1, lit(segWords)), " ")), " "),
           lit("")).as(textCol))
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023 — public): k-means the embedding space, then within each
+    * cluster treat cosine >= `threshold` pairs as semantic duplicates
+    * and keep ONE representative (the min id) per duplicate group — a
+    * group being a connected component of the within-cluster pair
+    * graph, so chains collapse to one survivor exactly, not greedily.
+    *
+    * Returns the SURVIVING (idCol, cid) rows. Rows in clusters larger
+    * than `maxClusterSize` pass through un-deduped (the cap is the
+    * scale guard, same idiom as the LSH bucket caps).
+    *
+    * Scale shape: clustering is [[Clustering.kmeansAssign]] (Lloyd on
+    * a <=trainCap hash sample, centroids broadcast as literals — the
+    * corpus is never shuffled for it); the pair stage is an equijoin
+    * on cid, quadratic ONLY within a cluster, so the operator's cost
+    * is governed by k: size k ~ n/targetClusterSize (the paper runs
+    * ~100k clusters at web scale) and per-cluster pair work stays
+    * constant as the corpus grows, with `maxClusterSize` bounding the
+    * worst cluster regardless. Components solve driver-side for the
+    * sparse graphs the cap guarantees ([[ConnectedComponents.run]]'s
+    * size-adaptive path). Cosine is rounded to the 1e-6 grid before
+    * the threshold compare — same determinism seam as
+    * [[embeddingNearDupPairs]] — so an external engine reproduces the
+    * exact survivor set. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double,
+                    trainCap: Long = Clustering.DefaultTrainCap,
+                    maxClusterSize: Long = 10000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
+    require(maxClusterSize >= 2, s"maxClusterSize=$maxClusterSize")
+    val assigned = graft.operators.Clustering
+      .kmeansAssign(df, idCol, vecCol, k, iters, trainCap)
+      .withColumnRenamed("id", idCol)
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val smallClusters = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") <= maxClusterSize)
+      .select("cid")
+    val inScope = assigned.join(smallClusters, Seq("cid"))
+    val pairs = embeddingNearDupPairs(inScope, idCol, vecCol, "cid", threshold)
+      .select("id_a", "id_b")
+    graft.operators.ConnectedComponents
+      .dropNearDuplicates(assigned.select(col(idCol), col("cid")), idCol, pairs)
+  }
 }

@@ -345,6 +345,19 @@ object PipelineQueries {
         threshold = 0.4, tables = 4, seed = 42L,
         extraBlockCols = Seq("label"), maxBucketSize = 1000)),
 
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space
+    // (k=8, iters=2 — the emb_kmeans trajectory, centroids on the
+    // 1e-6 grid), then within each cluster collapse every cosine >=
+    // 0.38 duplicate GROUP (connected component of the pair graph)
+    // to its min-id survivor. The oracle replays the identical Lloyd
+    // trajectory and closes the pair graph with a recursive CTE, so
+    // the exact survivor set is hash-gated. At scale k grows with the
+    // corpus (~n/targetClusterSize) and maxClusterSize bounds the
+    // worst cluster's quadratic pair work.
+    "dd_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.38)),
+
     // Full dedup: fingerprint-blocked exact-Jaccard pairs (j >= 0.5) ->
     // distributed connected components -> one survivor (min id) per
     // cluster. The pair set is DuckDB-expressible, so the oracle
@@ -1137,6 +1150,84 @@ object PipelineQueries {
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |        i -> a.embedding[CAST(i AS INT)]::DOUBLE * b.embedding[CAST(i AS INT)]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
+
+    // Same Lloyd trajectory as the emb_kmeans oracle (a3 = assignment
+    // under the iteration-2 centroids), then within-cluster cosine
+    // pairs closed into components by the recursive CTE, min-id
+    // survivor per component — the SemDeDup contract, row-exact.
+    "dd_semantic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cid, v AS c FROM e WHERE id < 8),
+        |s1 AS (
+        |  SELECT e.id, e.v, c0.cid,
+        |    list_sum(list_transform(c0.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c0.c[i])) AS s
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (SELECT id, v, cid FROM (
+        |    SELECT id, v, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cid, d),
+        |c1 AS (
+        |  SELECT c0.cid, coalesce(mm.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY d) AS c FROM m1 GROUP BY cid) mm
+        |    ON c0.cid = mm.cid),
+        |s2 AS (
+        |  SELECT e.id, e.v, c1.cid,
+        |    list_sum(list_transform(c1.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c1.c[i])) AS s
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (SELECT id, v, cid FROM (
+        |    SELECT id, v, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cid, d),
+        |c2 AS (
+        |  SELECT c1.cid, coalesce(mm.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY d) AS c FROM m2 GROUP BY cid) mm
+        |    ON c1.cid = mm.cid),
+        |s3 AS (
+        |  SELECT e.id, c2.cid,
+        |    list_sum(list_transform(c2.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c2.c[i])) AS s
+        |  FROM e CROSS JOIN c2),
+        |a3 AS (SELECT id, cid FROM (
+        |    SELECT id, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s3) WHERE rn = 1),
+        |av AS (
+        |  SELECT a3.id, a3.cid, e.v,
+        |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        |  FROM a3 JOIN e USING (id)),
+        |cs AS (SELECT cid FROM av GROUP BY cid HAVING count(*) <= 10000),
+        |vc AS (SELECT av.* FROM av JOIN cs USING (cid)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM vc a JOIN vc b ON a.cid = b.cid AND a.id < b.id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.38),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u WHERE e2.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT av.id AS vec_id, CAST(av.cid AS INT) AS cid
+        |FROM av WHERE av.id NOT IN (SELECT node FROM comp WHERE node != comp)
+        |ORDER BY 1""".stripMargin,
 
     "dd_embed_lsh" ->
       """WITH bits AS (

@@ -1611,4 +1611,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       if (id % 3 == 0) assert(red.contains("<PHONE>"), s"doc $id: $red")
     }
   }
+
+  test("semanticDedup: component-exact survivors, chains collapse, cap passthrough") {
+    // Two tight direction-bundles (would land in distinct k-means
+    // clusters) plus isolated vectors. Bundle A is a sim-chain
+    // a0~a1~a2 where a0·a2 is BELOW the threshold — the component
+    // contract must still collapse the chain to ONE survivor (min
+    // id), where a greedy exists-a-lower-id rule would keep a2.
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def rot(base: Array[Double], deg: Double, d1: Int): Array[Double] = {
+      // rotate `base` by deg degrees in the (base, e_d1) plane
+      val r = math.toRadians(deg)
+      val e = Array.fill(8)(0.0); e(d1) = 1.0
+      unit(base.zip(e).map { case (b, x) => math.cos(r) * b + math.sin(r) * x })
+    }
+    val a0 = unit(Array(1, 0, 0, 0, 0, 0, 0, 0.0))
+    val a1 = rot(a0, 20, 1)  // cos(a0,a1)=0.94
+    val a2 = rot(a1, 20, 2)  // cos(a1,a2)=0.94, cos(a0,a2)=0.883 < 0.9
+    val b0 = unit(Array(0, 0, 0, 0, 1, 0, 0, 0.0))
+    val b1 = rot(b0, 10, 5)  // cos=0.985
+    val lone = unit(Array(0, 0, 0, 0, 0, 0, 0, 1.0))
+    val rows = Seq(
+      0L -> a0, 1L -> a1, 2L -> a2, 3L -> b0, 4L -> b1, 5L -> lone)
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // chain {0,1,2} -> survivor 0; pair {3,4} -> survivor 3; 5 alone.
+    assert(kept == Set(0L, 3L, 5L), s"kept=$kept")
+    // cap: with maxClusterSize below any cluster size, nothing pairs,
+    // everything survives with its assignment intact.
+    val uncapped = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.9, maxClusterSize = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(uncapped == Set(0L, 1L, 2L, 3L, 4L, 5L), s"uncapped=$uncapped")
+  }
 }
