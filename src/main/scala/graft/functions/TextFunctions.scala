@@ -334,4 +334,36 @@ object TextFunctions {
     * [[NativeExprs.BpeEncodeExpr]]. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     NativeExprs.bpeEncodeNative(text, merges)
+
+  /** FastText-style hashed linear classifier score (Joulin et al.,
+    * "Bag of Tricks for Efficient Text Classification", 2017 —
+    * public): tokens hash into `dim` buckets (the hashing trick), the
+    * per-bucket weights are summed and length-normalized. Score in
+    * [-1, 1], rounded to the 1e-6 grid; empty text scores 0.
+    *
+    * `weight` maps a bucket id to an INTEGER milli-weight in
+    * [-1000, 1000] — integers so the distributed sum is
+    * order-independent (the unigram-LM quantization trick; a double
+    * sum would be partition-order-dependent and unverifiable). The
+    * default derives a pseudo-weight from the bucket id itself
+    * (`b % 2001 - 1000`) — a deterministic, external-engine-
+    * reproducible stand-in for trained weights; a production caller
+    * passes its trained vector as
+    * `b => element_at(lit(w), (b + 1).cast("int"))` (a broadcast
+    * array lookup — identical plan shape, no shuffle either way).
+    *
+    * Scale shape: pure per-row array expressions (split → md5 → conv
+    * → sum), fully codegen'd, no UDF, no shuffle, no state — the
+    * classifier tier adds ZERO exchanges to a curation pipeline. */
+  def hashedLinearScore(text: Column, dim: Int,
+                        weight: Column => Column = b => b % 2001 - 1000): Column = {
+    require(dim > 0, s"dim=$dim")
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val buckets = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim)
+    val milliSum = aggregate(transform(buckets, weight), lit(0L), (acc, x) => acc + x)
+    when(size(toks) > 0,
+      round(milliSum.cast("double") / (size(toks) * 1000.0), 6))
+      .otherwise(lit(0.0))
+  }
 }

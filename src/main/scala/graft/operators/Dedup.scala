@@ -546,13 +546,30 @@ object Dedup {
     * [[embeddingNearDupPairs]] — so an external engine reproduces the
     * exact survivor set. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int, threshold: Double,
+                    k: Int = 0, iters: Int = 2, threshold: Double = 0.9,
                     trainCap: Long = Clustering.DefaultTrainCap,
-                    maxClusterSize: Long = 10000L): DataFrame = {
+                    maxClusterSize: Long = 10000L,
+                    targetClusterSize: Long = 250L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
     require(maxClusterSize >= 2, s"maxClusterSize=$maxClusterSize")
+    require(targetClusterSize >= 1, s"targetClusterSize=$targetClusterSize")
+    // k = 0 -> derived from the corpus count by law (the lshBitsFor
+    // discipline: a pinned k is the scale killer here — constant k at
+    // 10x data means 10x clusters sizes and 100x per-cluster pair
+    // work). k = min(n, max(8, ceil(n / targetClusterSize))): expected
+    // cluster size stays ~targetClusterSize at any corpus, the floor
+    // keeps tiny corpora from degenerate 1-2 cluster runs, and an
+    // external engine recomputes the same k from count(*) integer-
+    // exact (no float log/div).
+    val kEff =
+      if (k > 0) k
+      else {
+        val n = df.count()
+        require(n > 0, "semanticDedup on an empty corpus")
+        math.min(n, math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+      }
     val assigned = graft.operators.Clustering
-      .kmeansAssign(df, idCol, vecCol, k, iters, trainCap)
+      .kmeansAssign(df, idCol, vecCol, kEff, iters, trainCap)
       .withColumnRenamed("id", idCol)
       .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
     val smallClusters = assigned.groupBy("cid")

@@ -33,6 +33,18 @@ object PipelineQueries {
         TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))).as("stop_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // FastText-style hashed linear classifier scoring: hashing-trick
+    // buckets -> integer milli-weight sum -> length-normalized score
+    // in [-1,1]. Weights are the deterministic hash-derived stand-in
+    // (a trained model swaps in a broadcast array lookup — identical
+    // plan shape); the gate hash-checks the full tokenize -> md5 ->
+    // bucket -> sum -> normalize law. Pure per-row codegen, the
+    // classifier tier adds zero exchanges.
+    "txt_classifier" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.hashedLinearScore(col("text"), 262144).as("clf_score"))
+        .withColumn("clf_keep", (col("clf_score") >= 0.0).cast("int"))),
+
     // Repetition quality signals: duplicate-bigram fraction, top-bigram
     // occurrence share, duplicate-trigram fraction. One native
     // tokenize+count pass per row (`RepStatsExpr`, spec-matched to the
@@ -346,17 +358,19 @@ object PipelineQueries {
         extraBlockCols = Seq("label"), maxBucketSize = 1000)),
 
     // SemDeDup (Abbas et al. 2023): k-means the embedding space
-    // (k=8, iters=2 — the emb_kmeans trajectory, centroids on the
-    // 1e-6 grid), then within each cluster collapse every cosine >=
+    // (k DERIVED from count(*) by law — min(n, max(8, ceil(n/250))),
+    // so expected cluster size stays ~250 at any corpus and the
+    // within-cluster quadratic pair work never grows with scale;
+    // iters=2, centroids on the 1e-6 grid, the emb_kmeans
+    // trajectory), then within each cluster collapse every cosine >=
     // 0.38 duplicate GROUP (connected component of the pair graph)
-    // to its min-id survivor. The oracle replays the identical Lloyd
-    // trajectory and closes the pair graph with a recursive CTE, so
-    // the exact survivor set is hash-gated. At scale k grows with the
-    // corpus (~n/targetClusterSize) and maxClusterSize bounds the
-    // worst cluster's quadratic pair work.
+    // to its min-id survivor. The oracle recomputes the same k law
+    // from count(*), replays the identical Lloyd trajectory, and
+    // closes the pair graph with a recursive CTE, so the exact
+    // survivor set is hash-gated at every sf.
     "dd_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
-        k = 8, iters = 2, threshold = 0.38)),
+        iters = 2, threshold = 0.38)),
 
     // Full dedup: fingerprint-blocked exact-Jaccard pairs (j >= 0.5) ->
     // distributed connected components -> one survivor (min id) per
@@ -728,6 +742,25 @@ object PipelineQueries {
         |        t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
         |        / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_sum(list_transform(toks,
+        |      t -> (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 262144) % 2001 - 1000)) AS ms
+        |  FROM tok)
+        |SELECT doc_id, clf_score,
+        |  CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END AS clf_keep
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN n > 0 THEN round(CAST(ms AS DOUBLE) / (n * 1000.0), 6)
+        |         ELSE 0.0 END AS clf_score
+        |  FROM s)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quality_filter" ->
       """WITH q AS (
@@ -1152,14 +1185,18 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     // Same Lloyd trajectory as the emb_kmeans oracle (a3 = assignment
-    // under the iteration-2 centroids), then within-cluster cosine
-    // pairs closed into components by the recursive CTE, min-id
-    // survivor per component — the SemDeDup contract, row-exact.
+    // under the iteration-2 centroids) with k DERIVED from count(*)
+    // by the Spark-side law, then within-cluster cosine pairs closed
+    // into components by the recursive CTE, min-id survivor per
+    // component — the SemDeDup contract, row-exact at every sf.
     "dd_semantic" ->
-      """WITH RECURSIVE e AS (
+      """WITH RECURSIVE kk AS (
+        |  SELECT LEAST(count(*), GREATEST(8, (count(*) + 249) // 250)) AS k
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),
-        |c0 AS (SELECT id AS cid, v AS c FROM e WHERE id < 8),
+        |c0 AS (SELECT id AS cid, v AS c FROM e, kk WHERE id < kk.k),
         |s1 AS (
         |  SELECT e.id, e.v, c0.cid,
         |    list_sum(list_transform(c0.c, x -> x * x)) -

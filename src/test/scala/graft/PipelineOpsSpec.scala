@@ -1612,6 +1612,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashedLinearScore: serial oracle, empty text, trained-weights path") {
+    import java.security.MessageDigest
+    val dim = 262144
+    def bucket(t: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % dim
+    }
+    def serialScore(text: String): Double = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) 0.0
+      else {
+        val ms = toks.map(t => bucket(t) % 2001 - 1000).sum
+        BigDecimal(ms.toDouble / (toks.length * 1000.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val texts = Seq(
+      0L -> "spark scan join filter group sort",
+      1L -> "the the the the",
+      2L -> "",
+      3L -> "   ",
+      4L -> "one-token")
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.hashedLinearScore(col("text"), dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == serialScore(t), s"doc $id: got ${got(id)} want ${serialScore(t)}")
+    }
+    // trained-weights path: a broadcast array lookup must reproduce a
+    // hand-computed score (weights all = +500 millis -> score 0.5).
+    val w = Array.fill(dim)(500)
+    val flat = texts.toDF("doc_id", "text")
+      .select(TextFunctions.hashedLinearScore(col("text"), dim,
+        b => element_at(lit(w), (b + 1).cast("int"))).as("s"))
+      .where(col("s") =!= 0.0).select("s").as[Double].collect()
+    assert(flat.forall(_ == 0.5), s"flat-weight scores: ${flat.toSeq}")
+  }
+
   test("semanticDedup: component-exact survivors, chains collapse, cap passthrough") {
     // Two tight direction-bundles (would land in distinct k-means
     // clusters) plus isolated vectors. Bundle A is a sim-chain
@@ -1647,5 +1687,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         k = 2, iters = 2, threshold = 0.9, maxClusterSize = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(uncapped == Set(0L, 1L, 2L, 3L, 4L, 5L), s"uncapped=$uncapped")
+    // derived-k law: k = min(n, max(8, ceil(n/250))) -> 6 here, i.e.
+    // every vector seeds its own cluster, no within-cluster pairs,
+    // everything survives with 6 distinct cluster ids.
+    val derived = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9)
+    assert(derived.select("vec_id").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(derived.select("cid").distinct().count() == 6L)
   }
 }
