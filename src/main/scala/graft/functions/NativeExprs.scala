@@ -239,6 +239,56 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Nearest-centroid id under the k-means argmin law: score(j) =
+    * dot(c_j, c_j) - 2·dot(v, c_j) (the squared-L2 argmin, dot(v,v)
+    * constant per row), both dots accumulated in ascending-dim order,
+    * ties to the LOWER cluster id — bit-identical to the
+    * struct-array/array_min formulation Clustering.assign previously
+    * built from k separate literal expressions. One compact loop
+    * regardless of k: the per-centroid-literal expansion was fine at
+    * k=8 but a codegen/analysis explosion at the derived
+    * k ~ n/targetClusterSize of semantic dedup (k=240 at the sf3
+    * rehearsal; thousands web-scale). The centroid matrix rides the
+    * expression as one reference object, not k typedLits. */
+  case class ArgminCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    override def dataType: DataType = IntegerType
+    private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    // dot(c,c) folded once, same sequential order as the executors'
+    // per-row dots (and as the previous driver-side foldLeft).
+    private lazy val dcc: Array[Double] = cs.map { c =>
+      var a = 0.0; var i = 0
+      while (i < c.length) { a += c(i) * c(i); i += 1 }
+      a
+    }
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(v: ArrayData): Int = {
+      var best = 0
+      var bestS = Double.PositiveInfinity
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        val n = math.min(v.numElements(), c.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+        val s = dcc(j) - 2.0 * acc
+        if (s < bestS) { bestS = s; best = j }
+        j += 1
+      }
+      best
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("argminCentroidExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ArgminCentroidExpr =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane LSH bucket of an array<double> vector: bit j of
     * the result is the sign of <v, h_j>, hyperplane components derived
     * deterministically from (seed, j, dim index) via splitmix — no RNG
@@ -855,6 +905,9 @@ object NativeExprs {
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def argminCentroidNative(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(ArgminCentroidExpr(ColumnBridge.expression(vec), centroids))
 
   def jaccardNative(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardExpr(

@@ -99,16 +99,15 @@ object Clustering {
     centroids
   }
 
-  /** Argmin-by-(score, cid) as one codegen-friendly expression: an
-    * array of (score, cid) structs reduced by array_min's struct
-    * ordering. `dot(c,c)` is folded on the driver with the same
-    * sequential order as the executors' `dotNative`. */
-  private[operators] def assign(e: DataFrame, centroids: IndexedSeq[Array[Double]]): DataFrame = {
-    val scored: Seq[Column] = centroids.zipWithIndex.map { case (c, cid) =>
-      val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
-      val s = lit(dcc) - lit(2.0) * NativeExprs.dotNative(col("v"), typedLit(c.toSeq))
-      struct(s.as("s"), lit(cid).as("cid"))
-    }
-    e.withColumn("cid", array_min(array(scored: _*)).getField("cid"))
-  }
+  /** Argmin over the centroid matrix as ONE native expression
+    * ([[NativeExprs.ArgminCentroidExpr]]): score = dot(c,c) -
+    * 2·dot(v,c) with sequential-order dots and ties to the lower cid
+    * — the same law the previous struct-array/array_min formulation
+    * computed from k separate literal dot expressions, which was a
+    * codegen/analysis explosion once k derives from the corpus
+    * (k ~ n/250 in semanticDedup). The matrix rides the expression
+    * as one reference object; per-row cost is O(k·d) either way. */
+  private[operators] def assign(e: DataFrame, centroids: IndexedSeq[Array[Double]]): DataFrame =
+    e.withColumn("cid",
+      NativeExprs.argminCentroidNative(col("v"), centroids.map(_.toSeq)))
 }
