@@ -24,8 +24,10 @@ import graft.functions.TextFunctions
 object DocStreams {
 
   /** Stateless score-and-scrub: quality-filter at `minQuality`, then
-    * project language-ID, token count, and PII-redacted text. Works
-    * identically on a batch frame and a `readStream` frame. */
+    * project language-ID, token count, hashed-linear classifier score
+    * (on the ORIGINAL text, before scrubbing — the model saw unredacted
+    * training data), and PII-redacted text. Works identically on a
+    * batch frame and a `readStream` frame. */
   def curateStream(docs: DataFrame, minQuality: Double): DataFrame =
     docs
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
@@ -33,6 +35,7 @@ object DocStreams {
       .select(col("doc_id"), col("ts"), round(col("quality"), 6).as("quality"),
         TextFunctions.langId(TextFunctions.tokens(col("text"))).as("pred_lang"),
         TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.hashedLinearScore(col("text"), 262144).as("clf_score"),
         TextFunctions.redactPii(col("text")).as("text"))
 
   /** Curation + content dedup: [[curateStream]] then

@@ -182,8 +182,9 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(docs.drop(3): _*)
       q.processAllAvailable()
       val got = spark.table("cur_out")
-        .select("doc_id", "quality", "pred_lang", "n_tok", "text").collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3), r.getString(4)))
+        .select("doc_id", "quality", "pred_lang", "n_tok", "clf_score", "text").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3),
+          r.getDouble(4), r.getString(5)))
         .toSet
 
       // Batch oracle: same stateless transform on the same rows, then
@@ -191,15 +192,16 @@ class StreamingSpec extends AnyFunSuite {
       val batch = DocStreams.curateStream(docs.toDF(), minQuality = 0.02)
         .withColumn("digest", xxhash64(col("text")))
       val want = batch.orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getDouble(2), r.getString(3), r.getInt(4), r.getString(5)))
+        .map(r => (r.getLong(0), r.getDouble(2), r.getString(3), r.getInt(4),
+          r.getDouble(5), r.getString(6)))
         .zip(batch.orderBy("doc_id").select("digest").collect().map(_.getLong(0)))
-        .foldLeft((Set.empty[Long], List.empty[(Long, Double, String, Int, String)])) {
+        .foldLeft((Set.empty[Long], List.empty[(Long, Double, String, Int, Double, String)])) {
           case ((seen, acc), (row, dg)) =>
             if (seen(dg)) (seen, acc) else (seen + dg, row :: acc)
         }._2.toSet
       assert(got == want)
       assert(got.map(_._1) == Set(0L, 1L, 3L, 5L)) // 2 filtered, 4 deduped
-      assert(got.forall { case (_, _, _, _, t) => !t.contains("@") })
+      assert(got.forall { case (_, _, _, _, _, t) => !t.contains("@") })
     } finally q.stop()
   }
 
