@@ -239,6 +239,64 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused hashed-linear classifier scoring — the
+    * TextFunctions.hashedLinearScore DEFAULT path in one native pass:
+    * tokenize on \s+ runs, md5 each token, bucket = first-60-bits %
+    * dim, milli-weight = bucket % 2001 - 1000, integer sum, score =
+    * round(sum / (1000·n), 6); empty text scores 0. Bit-identical to
+    * the Column formulation (filter(split(trim(text))) →
+    * transform(md5 → substr → conv → %) → aggregate): the whitespace
+    * predicate is regex \s exactly (space + \t\n\x0B\f\r), the 60-bit
+    * value is the first 15 hex chars parsed straight from the digest
+    * bytes (no hex string, no conv string-parse), one per-thread
+    * digest reused across tokens, the divide-then-round matches
+    * Spark's Round(HALF_UP on BigDecimal.valueOf). The Column chain
+    * paid per-token hex-string + conv + per-element expression
+    * overhead — ~100 µs/doc at the sf10 rehearsal, md5-string-bound,
+    * the same reason the round-5 minhash rewrite fused its text path. */
+  case class HashedLinearScoreExpr(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0, s"dim=$dim")
+    override def dataType: DataType = DoubleType
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r') // regex \s: [ \t\n\x0B\f\r]
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val s = text.toString
+      val md = md5Digest()
+      val len = s.length
+      var n = 0
+      var ms = 0L
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val dig = md.digest(s.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          v >>>= 4 // first 15 hex chars = high 60 bits of bytes 0-7
+          ms += (v % dim) % 2001 - 1000
+          n += 1
+        }
+      }
+      if (n == 0) 0.0
+      else java.math.BigDecimal.valueOf(ms.toDouble / (n * 1000.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashedLinearScoreExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HashedLinearScoreExpr =
+      copy(child = newChild)
+  }
+
   /** Nearest-centroid id under the k-means argmin law: score(j) =
     * dot(c_j, c_j) - 2·dot(v, c_j) (the squared-L2 argmin, dot(v,v)
     * constant per row), both dots accumulated in ascending-dim order,
@@ -908,6 +966,9 @@ object NativeExprs {
 
   def argminCentroidNative(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(ArgminCentroidExpr(ColumnBridge.expression(vec), centroids))
+
+  def hashedLinearScoreNative(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashedLinearScoreExpr(ColumnBridge.expression(text), dim))
 
   def jaccardNative(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardExpr(

@@ -355,8 +355,17 @@ object TextFunctions {
     * Scale shape: pure per-row array expressions (split → md5 → conv
     * → sum), fully codegen'd, no UDF, no shuffle, no state — the
     * classifier tier adds ZERO exchanges to a curation pipeline. */
+  def hashedLinearScore(text: Column, dim: Int): Column =
+    NativeExprs.hashedLinearScoreNative(text, dim)
+
+  /** The general-weights variant (the trained-model path; see above).
+    * The default hash-derived law takes the fused native pass instead
+    * ([[NativeExprs.HashedLinearScoreExpr]] — bit-identical, ~3×
+    * faster: no per-token hex string / conv parse / per-element
+    * expression overhead); this Column form exists for callers
+    * supplying a real weight mapping. */
   def hashedLinearScore(text: Column, dim: Int,
-                        weight: Column => Column = b => b % 2001 - 1000): Column = {
+                        weight: Column => Column): Column = {
     require(dim > 0, s"dim=$dim")
     val toks = filter(tokens(text), t => length(t) > 0)
     val buckets = transform(toks,

@@ -1642,6 +1642,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     texts.foreach { case (id, t) =>
       assert(got(id) == serialScore(t), s"doc $id: got ${got(id)} want ${serialScore(t)}")
     }
+    // the fused native pass must be bit-identical to the explicit
+    // Column formulation (the same default-weight law built from
+    // split/md5/conv/aggregate builtins), incl. odd whitespace.
+    val wsTexts = (texts ++ Seq(6L -> "a\tb\nc d\r", 7L -> " \t ")).toDF("doc_id", "text")
+    val columnForm = wsTexts.select(col("doc_id"),
+      TextFunctions.hashedLinearScore(col("text"), dim,
+        (b: org.apache.spark.sql.Column) => b % 2001 - 1000).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nativeForm = wsTexts.select(col("doc_id"),
+      TextFunctions.hashedLinearScore(col("text"), dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nativeForm == columnForm, s"native=$nativeForm column=$columnForm")
     // trained-weights path: a broadcast array lookup must reproduce a
     // hand-computed score (weights all = +500 millis -> score 0.5).
     val w = Array.fill(dim)(500)
