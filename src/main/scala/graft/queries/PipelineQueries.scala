@@ -372,6 +372,27 @@ object PipelineQueries {
       Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
         iters = 2, threshold = 0.38)),
 
+    // End-to-end SEMANTIC curation chain: hashed-classifier gate on
+    // the documents (clf_score >= 0) -> SemDeDup over the SURVIVORS'
+    // embeddings (k derived from the filtered count, min-id component
+    // survivors) -> (doc_id, cid, clf_score). One lazy plan; the
+    // oracle chains the same classifier CTE into the Lloyd/component
+    // CTE stack, with c0 seeded by rank over the filtered ids (the
+    // filtered id set is non-contiguous, so seeding is rank-based,
+    // matching kmeansAssign's orderBy(id).limit(k)).
+    "pipe_semantic" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextFunctions.hashedLinearScore(col("text"), 262144).as("clf_score"))
+        .where(col("clf_score") >= 0.0)
+      val eligible = embs(s, dir)
+        .join(scored, col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding")
+      Dedup.semanticDedup(eligible, "vec_id", "embedding",
+          iters = 2, threshold = 0.34)
+        .join(scored, col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("cid"), col("clf_score"))
+    }),
+
     // Full dedup: fingerprint-blocked exact-Jaccard pairs (j >= 0.5) ->
     // distributed connected components -> one survivor (min id) per
     // cluster. The pair set is DuckDB-expressible, so the oracle
@@ -1264,6 +1285,100 @@ object PipelineQueries {
         |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
         |SELECT av.id AS vec_id, CAST(av.cid AS INT) AS cid
         |FROM av WHERE av.id NOT IN (SELECT node FROM comp WHERE node != comp)
+        |ORDER BY 1""".stripMargin,
+
+    // The dd_semantic CTE stack seeded over the classifier-filtered
+    // id set (rank-based c0 because the filtered ids are not
+    // contiguous), chained from the txt_classifier CTE — every stage
+    // seam of the semantic-curation pipeline hash-checked at once.
+    "pipe_semantic" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |clf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks,
+        |      t -> (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 262144) % 2001 - 1000)) AS DOUBLE)
+        |      / (len(toks) * 1000.0), 6) ELSE 0.0 END AS clf_score
+        |  FROM tok),
+        |scored AS (SELECT doc_id, clf_score FROM clf WHERE clf_score >= 0),
+        |e AS (
+        |  SELECT em.vec_id AS id, list_transform(em.embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings em JOIN scored sc ON em.vec_id = sc.doc_id),
+        |kk AS (SELECT LEAST(count(*), GREATEST(8, (count(*) + 249) // 250)) AS k FROM e),
+        |c0 AS (
+        |  SELECT rn - 1 AS cid, v AS c FROM (
+        |    SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM e), kk
+        |  WHERE rn <= kk.k),
+        |s1 AS (
+        |  SELECT e.id, e.v, c0.cid,
+        |    list_sum(list_transform(c0.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c0.c[i])) AS s
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (SELECT id, v, cid FROM (
+        |    SELECT id, v, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cid, d),
+        |c1 AS (
+        |  SELECT c0.cid, coalesce(mm.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY d) AS c FROM m1 GROUP BY cid) mm
+        |    ON c0.cid = mm.cid),
+        |s2 AS (
+        |  SELECT e.id, e.v, c1.cid,
+        |    list_sum(list_transform(c1.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c1.c[i])) AS s
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (SELECT id, v, cid FROM (
+        |    SELECT id, v, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, d, floor(avg(v[d]) * 1000000 + 0.5) / 1000000 AS m
+        |  FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cid, d),
+        |c2 AS (
+        |  SELECT c1.cid, coalesce(mm.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY d) AS c FROM m2 GROUP BY cid) mm
+        |    ON c1.cid = mm.cid),
+        |s3 AS (
+        |  SELECT e.id, c2.cid,
+        |    list_sum(list_transform(c2.c, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(e.v) + 1),
+        |          i -> e.v[i] * c2.c[i])) AS s
+        |  FROM e CROSS JOIN c2),
+        |a3 AS (SELECT id, cid FROM (
+        |    SELECT id, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY s, cid) AS rn
+        |    FROM s3) WHERE rn = 1),
+        |av AS (
+        |  SELECT a3.id, a3.cid, e.v,
+        |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        |  FROM a3 JOIN e USING (id)),
+        |cs AS (SELECT cid FROM av GROUP BY cid HAVING count(*) <= 10000),
+        |vc AS (SELECT av.* FROM av JOIN cs USING (cid)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM vc a JOIN vc b ON a.cid = b.cid AND a.id < b.id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.34),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u WHERE e2.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT av.id AS doc_id, CAST(av.cid AS INT) AS cid, sc.clf_score
+        |FROM av JOIN scored sc ON av.id = sc.doc_id
+        |WHERE av.id NOT IN (SELECT node FROM comp WHERE node != comp)
         |ORDER BY 1""".stripMargin,
 
     "dd_embed_lsh" ->
