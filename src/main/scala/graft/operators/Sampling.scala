@@ -123,4 +123,40 @@ object Sampling {
       .where(hashBucket(col(keyCol)) < col("pm"))
       .drop("pm")
   }
+
+  /** Temperature-flattened mixture sampling — the multilingual-LM
+    * `share ∝ tokens^α` law (XLM-R / mC4 sampling, public),
+    * downsample-only and anchored at the SMALLEST stratum (which
+    * keeps everything): rate_s = (min_t toks_t / toks_s)^(1-α), so
+    * kept token mass per stratum is ~ min^(1-α)·toks^α. α = 1 is the
+    * natural mixture (keep all); α → 0 flattens toward uniform.
+    * A stratum more than ~1000^(1/(1-α))× the smallest floors to
+    * pm = 0 and drops entirely — per-mille granularity, documented
+    * edge.
+    *
+    * Determinism: rates quantize to per-mille and the kept set is the
+    * md5 [[hashBucket]] filter (reproducible, partitioning-invariant,
+    * monotone in α). α = 0.5 — the common choice — computes via IEEE
+    * `sqrt`, which is CORRECTLY ROUNDED in every engine, so the
+    * per-mille boundary is bit-reproducible cross-engine and the kept
+    * set is oracle-exact; other α go through `pow` (deterministic
+    * within an engine, last-ulp portability not guaranteed).
+    *
+    * Scale shape: mixToTokenBudget's temperature sibling — one
+    * map-side-combined aggregate for per-stratum totals, a 1-row min
+    * broadcast-joined onto the (tiny) strata frame, rates broadcast
+    * back, shuffle-free filter. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     tokensCol: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    val toks = df.groupBy(stratumCol).agg(sum(tokensCol.cast("long")).as("toks"))
+    val mn = toks.agg(min("toks").as("mn"))
+    val ratio = col("mn").cast("double") / col("toks").cast("double")
+    val p = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = toks.join(broadcast(mn))
+      .select(col(stratumCol), floor(lit(1000.0) * p).cast("int").as("pm"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(hashBucket(col(keyCol)) < col("pm"))
+      .drop("pm")
+  }
 }

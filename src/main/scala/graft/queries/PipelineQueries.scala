@@ -567,6 +567,19 @@ object PipelineQueries {
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("kept_tokens"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
 
+    // Temperature-flattened mixing (share ~ tokens^alpha, alpha=0.5,
+    // anchored at the smallest stratum): q_token_budget's temperature
+    // sibling. alpha=0.5 rides IEEE sqrt — correctly rounded in every
+    // engine — so the derived per-mille rates and the exact kept set
+    // are oracle-reproducible.
+    "q_temp_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(docs(s, dir), "doc_id", "lang",
+          size(split(trim(col("text")), "\\s+")), alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("kept_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
     // Deterministic training-export sharding: the reproducible "global
     // shuffle" a training run reads — shard = md5₁₆(doc_id) mod 8,
     // pos = 1-based rank of (md5hex, doc_id) within the shard. The
@@ -1726,6 +1739,28 @@ object PipelineQueries {
         |       WHEN lang = 'zh' THEN (CASE WHEN toks <= 5000 THEN 1000 ELSE (5000 * 1000) // toks END)
         |       ELSE 1000 END AS pm
         |  FROM tot),
+        |s AS (
+        |  SELECT t.doc_id, t.lang, t.toks,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    +(instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    +(instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    +(instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS h
+        |  FROM t)
+        |SELECT s.lang, count(*) AS n, CAST(sum(s.toks) AS BIGINT) AS kept_tokens,
+        |  min(s.doc_id) AS min_id, max(s.doc_id) AS max_id
+        |FROM s JOIN r USING (lang) WHERE s.h < r.pm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_temp_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |tot AS (SELECT lang, sum(toks) AS toks FROM t GROUP BY 1),
+        |mn AS (SELECT min(toks) AS m FROM tot),
+        |r AS (SELECT lang,
+        |  CAST(floor(1000.0 * sqrt(CAST(m AS DOUBLE) / CAST(toks AS DOUBLE))) AS INT) AS pm
+        |  FROM tot, mn),
         |s AS (
         |  SELECT t.doc_id, t.lang, t.toks,
         |    ((instr('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096

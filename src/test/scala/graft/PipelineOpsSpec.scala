@@ -1664,6 +1664,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flat.forall(_ == 0.5), s"flat-weight scores: ${flat.toSeq}")
   }
 
+  test("temperatureMix: sqrt-law rates, smallest stratum keeps all, alpha=1 identity") {
+    import java.security.MessageDigest
+    // token masses: a=100, b=400, c=10000 -> pm(a)=1000, pm(b)=
+    // floor(1000*sqrt(100/400))=500, pm(c)=floor(1000*sqrt(0.01))=100
+    val rows = (0 until 2).map(i => (i.toLong, "a")) ++
+      (2 until 10).map(i => (i.toLong, "b")) ++
+      (10 until 210).map(i => (i.toLong, "c"))
+    val df = rows.toDF("doc_id", "stratum")
+      .withColumn("text", lit(Seq.fill(50)("w").mkString(" ")))
+    def bucket(id: Long): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 1000
+    }
+    val pm = Map("a" -> 1000, "b" -> 500, "c" -> 100)
+    val want = rows.filter { case (id, s) => bucket(id) < pm(s) }.map(_._1).toSet
+    val got = graft.operators.Sampling.temperatureMix(df, "doc_id", "stratum",
+        size(split(trim(col("text")), "\\s+")), alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(rows.filter(_._2 == "a").map(_._1).toSet.subsetOf(got)) // anchor keeps all
+    val all = graft.operators.Sampling.temperatureMix(df, "doc_id", "stratum",
+        size(split(trim(col("text")), "\\s+")), alpha = 1.0)
+      .count()
+    assert(all == rows.size.toLong)
+  }
+
   test("semanticDedup: component-exact survivors, chains collapse, cap passthrough") {
     // Two tight direction-bundles (would land in distinct k-means
     // clusters) plus isolated vectors. Bundle A is a sim-chain

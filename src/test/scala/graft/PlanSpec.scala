@@ -119,11 +119,13 @@ class PlanSpec extends AnyFunSuite {
     // 1-row stats × 1-row mode) and txt_unigram_lm (broadcast of the
     // 1-row corpus-token-total aggregate onto the vocab; inherited by
     // txt_ppl_buckets and pipe_curation, which run the same LM chain
-    // underneath).
+    // underneath) and q_temp_mix (broadcast of the 1-row min-token
+    // aggregate onto the per-stratum totals — a ≤#strata-row frame —
+    // before the rates broadcast back to the corpus filter).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
-        "txt_ppl_buckets", "pipe_curation")
+        "txt_ppl_buckets", "pipe_curation", "q_temp_mix")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
