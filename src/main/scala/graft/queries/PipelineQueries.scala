@@ -381,9 +381,18 @@ object PipelineQueries {
     // filtered id set is non-contiguous, so seeding is rank-based,
     // matching kmeansAssign's orderBy(id).limit(k)).
     "pipe_semantic" -> ((s, dir) => {
+      // The scored frame is CACHED: semanticDedup scans its input ~5
+      // times (sizing count, train sample, assign, both pair-join
+      // branches), and without the cache every scan re-runs the
+      // classifier over the FULL document corpus (measured 36 s at
+      // the sf10 rehearsal, ~5x the classifier's own cost). Caching
+      // the narrow (doc_id, clf_score) projection — 16 B/row, the
+      // right thing to pin at any corpus size — makes the re-scans
+      // cheap columnar embedding reads + a hash join.
       val scored = docs(s, dir).select(col("doc_id"),
         TextFunctions.hashedLinearScore(col("text"), 262144).as("clf_score"))
         .where(col("clf_score") >= 0.0)
+        .cache()
       val eligible = embs(s, dir)
         .join(scored, col("vec_id") === col("doc_id"))
         .select("vec_id", "embedding")
