@@ -532,6 +532,13 @@ object Dedup {
     * than `maxClusterSize` pass through un-deduped (the cap is the
     * scale guard, same idiom as the LSH bucket caps).
     *
+    * NOTE for callers with expensive upstream lineage: the input is
+    * scanned ~5 times (sizing count, train sample, final assign, both
+    * pair-join branches). A raw columnar source re-scans cheaply, but
+    * if `df` embeds heavy per-row compute (a classifier, decode,
+    * join), cache the narrow derived frame feeding it first — the
+    * pipe_semantic gate's measured 5.1x at the sf10 rehearsal.
+    *
     * Scale shape: clustering is [[Clustering.kmeansAssign]] (Lloyd on
     * a <=trainCap hash sample, centroids broadcast as literals — the
     * corpus is never shuffled for it); the pair stage is an equijoin

@@ -100,6 +100,28 @@ object NativeExprsProps extends Properties("NativeExprs") {
       h >= -1e-12 && h <= hi + 1e-9 && ((d <= 1) == (math.abs(h) < 1e-12))
     }
 
+  property("argminCentroid equals the naive argmin under the same score law") =
+    forAll(Gen.chooseNum(1, 12), Gen.listOfN(6, vecGen)) { (k, vs) =>
+      val dim = 8
+      val cents: Seq[Seq[Double]] = (0 until k).map(j =>
+        (0 until dim).map(d => ((j * 31 + d * 7) % 11 - 5).toDouble / 3.0))
+      def naive(v: Seq[Double]): Int = {
+        val scores = cents.map { c =>
+          val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
+          val dot = v.zip(c).map { case (a, b) => a * b }.sum
+          dcc - 2.0 * dot
+        }
+        scores.zipWithIndex.minBy { case (s, cid) => (s, cid) }._2
+      }
+      val padded = vs.map(v => (v ++ Seq.fill(dim)(0.0)).take(dim))
+      val got = spark.range(1).select(
+        padded.zipWithIndex.map { case (v, i) =>
+          NativeExprs.argminCentroidNative(
+            array(v.map(lit): _*), cents).as(s"c$i")
+        }: _*).collect().head
+      padded.zipWithIndex.forall { case (v, i) => got.getInt(i) == naive(v) }
+    }
+
   property("weighted sampling: monotone in rate for any weight assignment") =
     forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (r1, r2) =>
       import spark.implicits._
