@@ -297,6 +297,47 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Fused HLL (reg, rho) for the md5-based 32-bit hash — the
+    * Sketches per-row path in ONE native pass. Bit-identical to the
+    * Column chain `md5Hash32(key)` (= conv of the first 8 md5 hex
+    * chars: the first 4 digest bytes, big-endian unsigned) followed
+    * by `instr(lpad(bin(low), w, '0'), '1')` rho: the hex parse
+    * comes straight off the digest bytes and the first-one index is
+    * w - floor(log2(low)) via numberOfLeadingZeros (low = 0 → w+1) —
+    * integer ops replacing 6 string allocations per row (md5 hex,
+    * substring, conv parse, bin, lpad, instr). Output
+    * struct(reg: long, rho: int); the register aggregation above it
+    * is unchanged, so the sketch (and its DuckDB oracle, which keeps
+    * the lpad/bin/instr form) is unaffected. */
+  case class HllRegRhoExpr(child: Expression, p: Int)
+      extends UnaryExpression {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    private val w = 32 - p
+    override def dataType: DataType = StructType(Seq(
+      StructField("reg", LongType, nullable = false),
+      StructField("rho", IntegerType, nullable = false)))
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(key: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val dig = md5Digest().digest(key.getBytes)
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      val reg = h >>> w
+      val low = h & ((1L << w) - 1)
+      val rho =
+        if (low == 0L) w + 1
+        else w - (63 - java.lang.Long.numberOfLeadingZeros(low))
+      org.apache.spark.sql.catalyst.InternalRow(reg, rho)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hllRegRhoExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HllRegRhoExpr =
+      copy(child = newChild)
+  }
+
   /** Nearest-centroid id under the k-means argmin law: score(j) =
     * dot(c_j, c_j) - 2·dot(v, c_j) (the squared-L2 argmin, dot(v,v)
     * constant per row), both dots accumulated in ascending-dim order,
@@ -969,6 +1010,9 @@ object NativeExprs {
 
   def hashedLinearScoreNative(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedLinearScoreExpr(ColumnBridge.expression(text), dim))
+
+  def hllRegRhoNative(key: Column, p: Int): Column =
+    ColumnBridge.column(HllRegRhoExpr(ColumnBridge.expression(key), p))
 
   def jaccardNative(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardExpr(

@@ -63,6 +63,31 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("reg").agg(max("r").as("r"))
 
+  /** [[hllRegisters]] with the md5-32 hash FUSED into one native
+    * per-row pass ([[graft.functions.NativeExprs.HllRegRhoExpr]]):
+    * same registers bit-for-bit as
+    * `hllRegisters(df, md5Hash32(key), p)` — the hex parse comes off
+    * the digest bytes and rho is integer bit math instead of the
+    * bin/lpad/instr string chain (which stays in the API above as
+    * the oracle-shaped reference form). */
+  def hllRegistersMd5(df: DataFrame, keyCol: Column, p: Int): DataFrame =
+    df.where(keyCol.isNotNull)
+      .select(graft.functions.NativeExprs
+        .hllRegRhoNative(keyCol.cast("string"), p).as("rr"))
+      .select(col("rr.reg").as("reg"), col("rr.rho").as("rho"))
+      .groupBy("reg").agg(max("rho").as("r"))
+
+  /** Grouped sibling of [[hllRegistersMd5]] — fused per-row pass,
+    * identical output to `hllRegistersGrouped(df, groupCols,
+    * md5Hash32(key), p)`. */
+  def hllRegistersGroupedMd5(df: DataFrame, groupCols: Seq[String],
+                             keyCol: Column, p: Int): DataFrame =
+    df.where(keyCol.isNotNull)
+      .select(groupCols.map(col) :+ graft.functions.NativeExprs
+        .hllRegRhoNative(keyCol.cast("string"), p).as("rr"): _*)
+      .select(groupCols.map(col) :+ col("rr.reg").as("reg") :+ col("rr.rho").as("rho"): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*).agg(max("rho").as("r"))
+
   /** Per-GROUP register tables: (group, reg, r) — approximate distinct
     * per group, the workhorse OLAP sketch shape. Still bounded: the
     * shuffle is ≤|groups|·2^p rows per partition at ANY input size,

@@ -472,8 +472,9 @@ object RelationalQueries {
     // count alongside for the accuracy story.
     "sk_hll" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_partkey"))
-      graft.operators.Sketches.hllCardinality(
-        li, graft.operators.Sketches.md5Hash32(col("l_partkey")), p = 10)
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegistersMd5(li, col("l_partkey"), p = 10),
+        p = 10)
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
@@ -513,9 +514,8 @@ object RelationalQueries {
     // any input size; exact counts alongside for the accuracy story.
     "sk_hll_group" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
-      val regs = graft.operators.Sketches.hllRegistersGrouped(
-        li, Seq("l_returnflag"),
-        graft.operators.Sketches.md5Hash32(col("l_partkey")), p = 10)
+      val regs = graft.operators.Sketches.hllRegistersGroupedMd5(
+        li, Seq("l_returnflag"), col("l_partkey"), p = 10)
       graft.operators.Sketches.hllEstimateGrouped(regs, Seq("l_returnflag"), p = 10)
         .join(li.groupBy("l_returnflag")
           .agg(countDistinct("l_partkey").as("n_exact")), "l_returnflag")

@@ -180,6 +180,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val est64 = Sketches.hllCardinality(df, xxhash64(col("k")), p = 10, hashBits = 64)
       .collect()(0).getAs[Double]("est")
     assert(math.abs(est64 - n) < 5 * 0.0325 * n, s"est64=$est64")
+    // Fused native path: registers bit-identical to the Column chain.
+    val fused = Sketches.hllRegistersMd5(df, col("k"), p = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = whole.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused == ref)
+    val fusedGrouped = Sketches.hllRegistersGroupedMd5(
+      df.withColumn("g", col("k") % 2), Seq("g"), col("k"), p = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val refGrouped = Sketches.hllRegistersGrouped(
+      df.withColumn("g", col("k") % 2), Seq("g"),
+      Sketches.md5Hash32(col("k")), p = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(fusedGrouped == refGrouped)
   }
 
   test("grouped HLL: rollup-of-sketches == sketch-of-rollup; per-group == filtered global") {
