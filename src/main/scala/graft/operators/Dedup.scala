@@ -589,4 +589,56 @@ object Dedup {
     graft.operators.ConnectedComponents
       .dropNearDuplicates(assigned.select(col(idCol), col("cid")), idCol, pairs)
   }
+
+  /** Exact duplicated-SUBSTRING statistics — the character-window sweep
+    * behind suffix-array training-data dedup ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022 — public
+    * algorithm): every `width`-char window at `stride` offsets is a
+    * probe; a window instance is DUPLICATED when its exact text occurs
+    * in >= `minDocFreq` DISTINCT documents (within-doc repetition alone
+    * does not count). One row per input doc: total window count,
+    * duplicated-instance count, and the duplicated ratio — the
+    * per-document "how much of me is copied" signal that drives span
+    * removal or doc-level filtering downstream.
+    *
+    * Scale shape: the explosion is bounded at ~len/stride windows per
+    * doc, and window TEXT never rides a shuffle — the frequency
+    * aggregate and the membership semi-join are both keyed on the
+    * 96-bit [[segKey]] (~12 bytes/row; see segKey's collision budget).
+    * The distinct-doc count partial-aggregates map-side, so a hot
+    * boilerplate window ships one row per partition; the per-doc total
+    * is a pure narrow projection (no shuffle at all — it's arithmetic
+    * on length()). */
+  def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+                            width: Int = 40, stride: Int = 10,
+                            minDocFreq: Int = 2): DataFrame = {
+    require(width >= 1, s"width=$width")
+    require(stride >= 1, s"stride=$stride")
+    require(minDocFreq >= 2, s"minDocFreq=$minDocFreq (needs >= 2 docs)")
+    val len = length(col(textCol))
+    // windows at 1-based positions 1, 1+stride, ... while pos+width-1 <= len
+    val nWin = when(len >= width,
+      floor((len - width).cast("double") / stride).cast("long") + 1L)
+      .otherwise(lit(0L))
+    val wins = when(nWin > 0,
+      transform(sequence(lit(0L), nWin - 1),
+        j => col(textCol).substr((j * stride + 1).cast("int"), lit(width))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = graft.operators.Repartition.forCompute(df)
+      .select(col(idCol), explode(wins).as("w"))
+      .select(col(idCol), segKey(col("w")).as("wk"))
+    val dup = exploded.groupBy("wk")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .where(col("ndocs") >= minDocFreq)
+      .select("wk")
+    val dupCounts = exploded.join(dup, Seq("wk"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_n"))
+    df.select(col(idCol), nWin.as("n_windows"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("dup_n"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("dup_n"), lit(0L)) / col("n_windows"), 6))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
 }

@@ -210,6 +210,15 @@ object PipelineQueries {
       Dedup.dropFrequentSegments(docs(s, dir), "doc_id", "text",
         segWords = 10, maxDocFreq = 2)),
 
+    // Exact duplicated-substring sweep (Lee et al. 2022 window form):
+    // 40-char windows at stride 10; an instance is duplicated when its
+    // exact text occurs in >= 2 distinct docs. Per-doc stats row; the
+    // frequency agg and membership semi-join shuffle 96-bit window
+    // hashes, never window text.
+    "dd_substring" -> ((s, dir) =>
+      Dedup.duplicatedWindowStats(docs(s, dir), "doc_id", "text",
+        width = 40, stride = 10, minDocFreq = 2)),
+
     // CCNet-style LM quality signal: average unigram surprisal (bits
     // per token) under the corpus's own exact unigram MLE. Per-token
     // log-probs are integer-quantized once, so all distributed sums are
@@ -499,6 +508,28 @@ object PipelineQueries {
       val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.annTopK(q, c, k = 3, dim = 64, lcgBuckets = true)
         .select(col("qid"), col("id"), col("rk"))
+    }),
+
+    // ANN quality harness: recall@5 of the LSH path against exact
+    // brute-force, per query — the measurement a production ANN tier
+    // ships with (is the approximation good enough BEFORE trusting it
+    // at scale). Both sides are the gated operators above; the overlap
+    // is a (qid, id) semi-join, so the oracle recomputes the whole
+    // comparison end to end.
+    "knn_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = Similarity.cosineTopK(q, c, k = 5).select("qid", "id")
+      val ann = Similarity.annTopK(q, c, k = 5, dim = 64, lcgBuckets = true)
+        .select("qid", "id")
+      val hits = exact.join(ann, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hit_n"))
+      q.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("hit_n"), lit(0L)).as("n_hit"),
+          round(coalesce(col("hit_n"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
     // JL random projection 64 -> 16 dims (Lehmer-LCG directions, no
@@ -980,6 +1011,26 @@ object PipelineQueries {
         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS text
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dd_substring" ->
+      """WITH win AS (
+        |  SELECT doc_id, substr(text, CAST(i AS BIGINT), 40) AS w
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2, 10)) AS i)
+        |  WHERE length(text) >= 40),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS dup_n
+        |        FROM win SEMI JOIN dup USING (w) GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |    CASE WHEN length(text) >= 40
+        |         THEN (length(text) - 40) // 10 + 1 ELSE 0 END AS n_windows
+        |  FROM documents)
+        |SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+        |  CAST(coalesce(c.dup_n, 0) AS BIGINT) AS n_dup_windows,
+        |  CASE WHEN b.n_windows > 0
+        |       THEN round(coalesce(c.dup_n, 0) / b.n_windows, 6)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM base b LEFT JOIN cnt c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "txt_unigram_lm" ->
       """WITH tok AS (
@@ -1512,6 +1563,51 @@ object PipelineQueries {
         |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
         |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "knn_recall" ->
+      """WITH bits AS (
+        |  SELECT LEAST(48, GREATEST(3, length(bin(GREATEST(1, (count(*) + 99) // 100) - 1)))) AS b
+        |  FROM embeddings),
+        |hp AS (
+        |  SELECT j, d,
+        |    (((48271 * ((48271 * ((42 * 1000003 + j * 8191 + d * 127 + 1) % 2147483647)) % 2147483647)) % 2147483647) % 1000) / 1000.0 - 0.5 AS comp
+        |  FROM range(48) rj(j), range(64) rd(d), bits WHERE j < bits.b),
+        |hpl AS (SELECT j, list(comp ORDER BY d) AS cl FROM hp GROUP BY 1),
+        |bkt AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          d -> e.embedding[CAST(d AS INT)]::DOUBLE * h.cl[CAST(d AS INT)])) > 0
+        |        THEN (1::BIGINT << CAST(h.j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hpl h GROUP BY 1),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |annp AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
+        |  FROM v q JOIN bkt bq ON q.vec_id = bq.vec_id
+        |       JOIN bkt bc ON bq.bucket = bc.bucket
+        |       JOIN v c ON c.vec_id = bc.vec_id
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |ann AS (SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+        |  FROM annp) WHERE rk <= 5),
+        |exp_ AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |exact AS (SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+        |  FROM exp_) WHERE rk <= 5),
+        |hit AS (SELECT qid, count(*) AS hit_n
+        |        FROM exact SEMI JOIN ann USING (qid, id) GROUP BY qid)
+        |SELECT q.qid, CAST(coalesce(h.hit_n, 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(h.hit_n, 0) / 5.0, 6) AS recall
+        |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
+        |LEFT JOIN hit h USING (qid) ORDER BY q.qid""".stripMargin,
 
     "knn_ivf" ->
       """WITH v AS (

@@ -1748,4 +1748,71 @@ class PipelineOpsSpec extends AnyFunSuite {
       Set(0L, 1L, 2L, 3L, 4L, 5L))
     assert(derived.select("cid").distinct().count() == 6L)
   }
+
+  test("duplicatedWindowStats matches the serial window oracle") {
+    val width = 12
+    val stride = 5
+    // serial oracle: every width-char window at stride offsets; an
+    // instance is duplicated iff its text occurs in >= 2 distinct docs
+    def windows(t: String): Seq[String] =
+      if (t.length < width) Seq.empty
+      else (0 to (t.length - width) by stride).map(i => t.substring(i, i + width))
+    val docFreq: Map[String, Int] = corpus
+      .flatMap { case (id, t) => windows(t).distinct.map(w => (w, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = corpus.map { case (id, t) =>
+      val ws = windows(t)
+      val dup = ws.count(w => docFreq(w) >= 2)
+      (id, ws.size.toLong, dup.toLong,
+        if (ws.nonEmpty) BigDecimal(dup.toDouble / ws.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0)
+    }.toSet
+    val got = Dedup.duplicatedWindowStats(docsDF, "doc_id", "text",
+        width = width, stride = stride, minDocFreq = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // the exact-dup pair (3, 200) must be fully duplicated
+    val full = got.filter(r => r._1 == 3L || r._1 == 200L)
+    assert(full.forall(r => r._2 > 0 && r._2 == r._3 && r._4 == 1.0), s"full=$full")
+  }
+
+  test("duplicatedWindowStats edge cases: short docs, within-doc repeats") {
+    val df = Seq(
+      1L -> "tiny",                        // shorter than width: 0 windows
+      2L -> "aaaaaaaaaaaaaaaaaaaa",        // within-doc repeats only: not duplicated
+      3L -> "the same exact sentence here",// cross-doc dup with 4
+      4L -> "the same exact sentence here")
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(df, "doc_id", "text",
+        width = 10, stride = 5, minDocFreq = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0.0)))
+    assert(got(2L)._2 == 3L && got(2L)._3 == 0L) // "aaaaaaaaaa" x3, one doc only
+    assert(got(3L)._3 == got(3L)._2 && got(3L)._4 == 1.0)
+    assert(got(4L)._3 == got(4L)._2 && got(4L)._4 == 1.0)
+  }
+
+  test("ann recall@k composition: ANN hits are a subset of bucket-mate exact ranks") {
+    // deterministic vectors; recall computed serially from the same
+    // operator outputs the knn_recall gate composes
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map { i =>
+      i -> Array.fill(16)(rnd.nextDouble() - 0.5)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val c = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.cosineTopK(q, c, k = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(q, c, k = 4, dim = 16, lcgBuckets = true)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val hits = exact.intersect(ann).groupBy(_._1).view.mapValues(_.size).toMap
+    // the gate's shape: per-qid n_hit in [0, k], recall = n_hit/k
+    assert(hits.values.forall(h => h >= 0 && h <= 4))
+    // ANN self-consistency: every ANN neighbor shares a bucket, so on
+    // this small corpus ANN returns <= k rows per query
+    assert(ann.groupBy(_._1).forall(_._2.size <= 4))
+  }
 }
