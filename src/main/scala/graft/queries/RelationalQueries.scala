@@ -609,6 +609,17 @@ object RelationalQueries {
       graft.streaming.EventStreams.windowedCounts(t(s, dir, "events"), "1 hour", "30 minutes")
         .withColumn("w_start", unix_timestamp(col("w_start")))),
 
+    // The SAME aggregation as an actual Structured Streaming run:
+    // file source -> watermark -> append-mode agg -> memory sink,
+    // driven to completion by Trigger.AvailableNow. Append mode only
+    // emits windows the final watermark has closed (end <= max event
+    // time - 1h); the oracle reproduces that cutoff, so true
+    // streaming emission semantics are hash-gated, not just the
+    // batch face.
+    "q_stream_windows" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCountsStream(s, dir, "1 hour", "1 hour")
+        .withColumn("w_start", unix_timestamp(col("w_start")))),
+
     // The streaming sessionizer's batch face (same session definition
     // the flatMapGroupsWithState path emits): per-session start/end/count.
     // Float value sums are excluded — their order isn't cross-engine
@@ -1091,6 +1102,19 @@ object RelationalQueries {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_windows" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+        |    count(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(epoch(wstart) AS BIGINT) AS w_start, event_type, n_events, sum_value
+        |FROM agg, wm
+        |WHERE (epoch(wstart) + 3600) * 1000 <= wm.wm_ms
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_session_stats" ->
       """WITH marked AS (

@@ -27,6 +27,48 @@ object EventStreams {
     * code must be able to reach the constructor). */
   case class SessionState(startMs: Long, lastMs: Long, cnt: Long, total: Double)
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[windowedCounts]] run as a REAL streaming query — file source →
+    * watermark → append-mode aggregation → memory sink — driven to
+    * completion with `Trigger.AvailableNow`. On bounded input the
+    * result is deterministic: append mode emits exactly the windows
+    * whose end has passed the FINAL watermark (max event-time,
+    * truncated to ms as Spark's EventTimeStatsAccum does, minus the
+    * delay); later windows are still "open" and stay in state — the
+    * semantics a live pipeline sees, which the batch face can't
+    * exercise. The whole file arrives in one micro-batch (one input
+    * file), so no row is ever dropped as late and the emitted set
+    * depends only on the data.
+    *
+    * Scale: state is one row per (window, event_type) group partition;
+    * the watermark reaps closed windows, so a year-long stream holds
+    * ~delay/windowLen windows of state per key, not the full history. */
+  def windowedCountsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           windowLen: String = "1 hour",
+                           watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // glob form: the file stream source requires a directory (or glob)
+    // basePath, and the test corpus ships events as a single file
+    val raw = spark.readStream.schema(batchSchema).parquet(s"$dir/events.parquet*")
+    // same ts normalization as GraftSession.loadEvents (NANOS-as-long
+    // and NTZ generations both decode to µs TimestampType)
+    val ev = batchSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+    val agg = windowedCounts(ev, windowLen, watermark)
+    val name = s"graft_stream_windows_${streamSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Tumbling-window event counts with a watermark for state cleanup.
     * Works for batch and streaming frames alike. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",

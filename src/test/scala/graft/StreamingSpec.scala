@@ -154,6 +154,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedCountsStream (AvailableNow file source) emits exactly the watermark-closed windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+      .toFile.getAbsolutePath
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(30), 2, "click", 2.0),
+      Event(3, ts(90), 1, "view", 3.0),
+      Event(4, ts(150), 2, "view", 4.0),
+      Event(5, ts(260), 1, "click", 5.0))
+    events.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventStreams.windowedCountsStream(spark, dir, "1 hour", "1 hour")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // final watermark = max event time (ms) - 1h; append mode emits
+    // windows with end <= watermark, holds the rest in state
+    val wmMs = (base + 260 * 60000L) - 3600000L
+    val batch = EventStreams.windowedCounts(events.toDF(), "1 hour", "1 hour")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = batch.filter { case (ws, _, _, _) => ws + 3600000L <= wmMs }.toSet
+    assert(got == expected)
+    // the cutoff is actually exercised: the last event's window is open
+    assert(expected.nonEmpty && expected.size < batch.length)
+  }
+
   test("streaming curation: score+scrub stream equals batch, content dedup keeps first") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
