@@ -43,6 +43,35 @@ object Profile {
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Equal-width histogram of a numeric column: `buckets` buckets
+    * spanning [min, max] (top bucket closed), plus the bucket bounds.
+    * Two scans — an O(1) min/max all-reduce broadcast into a counting
+    * pass that partial-aggregates map-side — never a global sort,
+    * never a per-row driver round trip. The bucket arithmetic is kept
+    * in one IEEE evaluation order (`(x - mn) / ((mx - mn) / buckets)`)
+    * so an independent engine reproduces identical bucket boundaries.
+    * Empty buckets are emitted (dense output, stable shape); a
+    * constant column collapses into bucket 0. */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets")
+    val x = col(valueCol).cast("double")
+    val mm = df.where(x.isNotNull).agg(min(x).as("mn"), max(x).as("mx"))
+    val counts = df.where(x.isNotNull).select(x.as("x"))
+      .crossJoin(broadcast(mm))
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(
+          floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / buckets)).cast("long"),
+          lit(buckets - 1L))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    df.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(mm))
+      .select(col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(col("mn") + col("bucket") * ((col("mx") - col("mn")) / buckets), 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / buckets), 6).as("hi"))
+  }
+
   /** Categorical companion to [[profile]]: per string column the row
     * count, null count, exact distinct count, and the mode (most
     * frequent value, ties to the smallest value — deterministic, so

@@ -30,6 +30,29 @@ object TfIdf {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topN)
 
+  /** Per-document out-of-vocabulary rate under the corpus's own
+    * top-`vocabSize` [[vocabulary]] — the coverage signal that sizes a
+    * tokenizer vocabulary (what share of running tokens would fall to
+    * byte/unk fallback). The vocab is a ≤`vocabSize`-row broadcast;
+    * the OOV count is a broadcast anti-join on the token stream, so
+    * the only shuffle is the per-doc count aggregation (map-side
+    * partials). Docs with zero non-empty tokens produce no row (they
+    * have no coverage to measure). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val vocab = vocabulary(docs, textCol, vocabSize).select("token")
+    val perDoc = toks.groupBy(idCol).agg(count(lit(1)).as("n_tok"))
+    val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("oov_n"))
+    perDoc.join(oov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("oov_n"), lit(0L)).as("n_oov"),
+        round(coalesce(col("oov_n"), lit(0L)) / col("n_tok"), 6).as("oov_rate"))
+  }
+
   /** Top-`k` terms per document by tf-idf.
     *
     * The default idf is the RATIONAL form `(N + 1) / (df + 1)`: every

@@ -178,6 +178,16 @@ object PipelineQueries {
       graft.operators.TfIdf.vocabulary(
         graft.operators.Repartition.forCompute(docs(s, dir)), "text", 200)),
 
+    // Tokenizer-vocab coverage: per-doc OOV rate under the corpus's
+    // own top-200 vocabulary — the signal that sizes a tokenizer
+    // vocab (what share of running tokens falls to byte/unk
+    // fallback). Broadcast anti-join on the token stream; the only
+    // shuffle is the per-doc count.
+    "txt_oov" -> ((s, dir) =>
+      graft.operators.TfIdf.vocabCoverage(
+        graft.operators.Repartition.forCompute(docs(s, dir)),
+        "doc_id", "text", 200)),
+
     // Per-document keyword extraction: top-5 terms by tf-idf with the
     // rational idf (N+1)/(df+1) — IEEE-exact cross-engine, so the
     // ranking itself is hash-gated (ln-idf variant is spec-checked).
@@ -929,6 +939,23 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE token <> '' GROUP BY 1
         |ORDER BY n DESC, token LIMIT 200""".stripMargin,
+
+    "txt_oov" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, count(*) AS n FROM tk GROUP BY 1
+        |  ORDER BY n DESC, token LIMIT 200)),
+        |per AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+        |oov AS (SELECT doc_id, count(*) AS oov_n
+        |        FROM tk ANTI JOIN vocab USING (token) GROUP BY 1)
+        |SELECT p.doc_id, p.n_tok,
+        |  CAST(coalesce(o.oov_n, 0) AS BIGINT) AS n_oov,
+        |  round(coalesce(o.oov_n, 0) / p.n_tok, 6) AS oov_rate
+        |FROM per p LEFT JOIN oov o USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     "txt_tfidf" ->
       """WITH toks AS (

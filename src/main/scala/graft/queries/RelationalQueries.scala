@@ -487,6 +487,26 @@ object RelationalQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice"))
         .orderBy("col_name")),
 
+    // Equal-width 20-bucket histogram of l_extendedprice: min/max
+    // all-reduce broadcast into a map-side-partial counting pass,
+    // dense bucket output with bounds.
+    "q_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(
+        t(s, dir, "lineitem"), "l_extendedprice", 20)),
+
+    // Z-order (Morton) locality layout: the 42-bit interleave of
+    // (l_partkey, l_suppkey), rolled up to coarse code ranges. The
+    // same code drives Sinks.writeZOrdered's range-partitioned
+    // clustered write (spec-checked: per-file code ranges disjoint);
+    // here the code arithmetic itself is hash-gated.
+    "q_zorder" -> ((s, dir) => {
+      val z = graft.sources.Sinks.zorder2(col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem")
+        .select(z.as("z"))
+        .groupBy(shiftright(col("z"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+    }),
+
     // Expectation check over a profile: assert uniqueness and value
     // bounds the data does NOT satisfy — the violations (o_custkey is
     // not unique; o_totalprice exceeds the claimed cap) come back as
@@ -914,6 +934,28 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem),
+        |b AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bucket
+        |      FROM lineitem, mm),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+        |SELECT r.bucket, coalesce(c.n, 0) AS n,
+        |  round(mn + r.bucket * ((mx - mn) / 20), 6) AS lo,
+        |  round(mn + (r.bucket + 1) * ((mx - mn) / 20), 6) AS hi
+        |FROM (SELECT unnest(range(20)) AS bucket) r
+        |CROSS JOIN mm LEFT JOIN c USING (bucket)
+        |ORDER BY r.bucket""".stripMargin,
+
+    "q_zorder" ->
+      """WITH z AS (
+        |  SELECT CAST(list_sum(list_transform(range(21),
+        |      i -> ((l_partkey >> i) & 1) * (1::BIGINT << CAST(2 * i AS INT))
+        |         + ((l_suppkey >> i) & 1) * (1::BIGINT << CAST(2 * i + 1 AS INT)))) AS BIGINT) AS z
+        |  FROM lineitem)
+        |SELECT z // 16384 AS bucket, count(*) AS n, min(z) AS z_min, max(z) AS z_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_profile" ->
       """WITH n AS (SELECT count(*) AS n FROM orders)

@@ -89,6 +89,38 @@ object Sinks {
     * order with zero further shuffling. md5-hex order is ASCII
     * lexicographic — identical in any engine, so the permutation is
     * cross-engine reproducible (same idiom as [[graft.operators.Sampling]]). */
+  /** 2-D Morton (Z-order) code: interleaves the low `bitsPer` bits of
+    * two non-negative integer columns — x on even bit positions, y on
+    * odd. Pure builtin shift/mask/sum arithmetic (bit positions are
+    * disjoint, so + is |), whole-stage-codegen'd, reproducible by any
+    * engine with 64-bit integer ops. 21 bits per key covers 2M
+    * distinct values each and fits the 42-bit code in a long. */
+  def zorder2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+              bitsPer: Int = 21): org.apache.spark.sql.Column = {
+    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer=$bitsPer")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bitsPer).map { i =>
+      (shiftright(xl, i).bitwiseAND(1L) * (1L << (2 * i))) +
+        (shiftright(yl, i).bitwiseAND(1L) * (1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered write: range-partition on the Morton code of
+    * (xCol, yCol), sort within partitions, write parquet. Each output
+    * file then covers a compact rectangle-ish region of the 2-D key
+    * space, so a reader filtering on EITHER key prunes most files via
+    * parquet min/max stats — the standard lakehouse layout for
+    * multi-dimensional locality at 100 TB (one total-order sort by a
+    * single derived column; no all-pairs clustering). */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numFiles: Int, bitsPer: Int = 21): Unit =
+    df.withColumn("_z", zorder2(col(xCol), col(yCol), bitsPer))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   def assignTrainingShards(df: DataFrame, keyCol: String,
                            nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards")

@@ -817,6 +817,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       bounds = Map("v" -> (0.0, 100.0))).count() == 0)
   }
 
+  test("histogram: dense equal-width buckets match the serial oracle; constant column collapses") {
+    import graft.operators.Profile
+    val vals = Seq(0.0, 1.0, 2.5, 3.3, 5.0, 5.0, 9.9, 10.0)
+    val df = vals.map(Tuple1(_)).toDF("x")
+    val got = Profile.histogram(df, "x", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val (mn, mx) = (vals.min, vals.max)
+    val w = (mx - mn) / 4
+    val expected = (0 until 4).map { b =>
+      val n = vals.count(v => math.min(math.floor((v - mn) / w), 3).toLong == b)
+      (b.toLong, n.toLong,
+        BigDecimal(mn + b * w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(mn + (b + 1) * w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == expected)
+    assert(got.map(_._2).sum == vals.size)
+    // constant column: everything in bucket 0, no divide-by-zero
+    val const = Seq(7.0, 7.0, 7.0).map(Tuple1(_)).toDF("x")
+    val cg = Profile.histogram(const, "x", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(cg.toSeq == Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("vocabCoverage: OOV occurrences counted against the top-N vocab") {
+    import graft.operators.TfIdf
+    val df = Seq(
+      (1L, "a a a b b rare1"),
+      (2L, "a b b c rare2 rare2"),
+      (3L, "c c a")).toDF("doc_id", "text")
+    // top-3 vocab by (count desc, token): a(5), b(4), c(3)
+    val got = TfIdf.vocabCoverage(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (6L, 1L, BigDecimal(1.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(2L) == (6L, 2L, BigDecimal(2.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(3L) == (3L, 0L, 0.0))
+  }
+
   test("global index: exact 0..n-1 in order across partitions, no global window") {
     import graft.operators.Repartition
     val rnd = new scala.util.Random(61)

@@ -67,4 +67,36 @@ class SortedScanSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("zorder2 interleaves bits; writeZOrdered yields files with disjoint code ranges") {
+    import spark.implicits._
+    // serial Morton oracle on a grid
+    def morton(x: Long, y: Long): Long =
+      (0 until 21).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val df = grid.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        Sinks.zorder2(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y), s"($x,$y)") }
+    // locality: the clustered write produces multiple files whose
+    // z-code ranges are pairwise disjoint, so a point/range predicate
+    // on either key prunes most files by stats
+    val zdir = sys.props("java.io.tmpdir") + "/graft_zorder_spec"
+    Sinks.writeZOrdered(df, zdir, "x", "y", numFiles = 8)
+    val files = new java.io.File(zdir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"expected multiple files, got ${files.length}")
+    val zr = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .select(Sinks.zorder2(col("x"), col("y")).as("z"))
+        .agg(min("z"), max("z")).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    zr.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"z ranges overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
 }
