@@ -121,11 +121,15 @@ class PlanSpec extends AnyFunSuite {
     // txt_ppl_buckets and pipe_curation, which run the same LM chain
     // underneath) and q_temp_mix (broadcast of the 1-row min-token
     // aggregate onto the per-stratum totals — a ≤#strata-row frame —
-    // before the rates broadcast back to the corpus filter).
+    // before the rates broadcast back to the corpus filter) and
+    // knn_recall (composes knn_cosine's ≤10-row broadcast query set)
+    // and q_histogram (broadcast of the 1-row min/max aggregate onto
+    // the counting scan and the bucket spine).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
-        "txt_ppl_buckets", "pipe_curation", "q_temp_mix")
+        "txt_ppl_buckets", "pipe_curation", "q_temp_mix",
+        "knn_recall", "q_histogram")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
