@@ -289,6 +289,12 @@ object PipelineQueries {
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
     // scale path (sort is shard-local, never global).
+    // Passage chunking: fixed 64-token windows, stride 48 (16-token
+    // overlap) — pure-map posexplode + slice, md5 chunk fingerprints
+    // so downstream chunk-level ops shuffle 32 B hashes, not text.
+    "txt_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunkTokens(docs(s, dir), "doc_id", "text", 64, 48)),
+
     "q_pack_sequences" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -1167,6 +1173,20 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "txt_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    ws[(CAST(i AS INT) * 48 + 1) : CAST(least(i * 48 + 64, len(ws)) AS INT)] AS chunk
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |    greatest((len(ws) - 64 + 48 - 1) // 48, 0) + 1)) AS i))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH d AS (

@@ -1856,4 +1856,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     // this small corpus ANN returns <= k rows per query
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
+
+  test("chunkTokens: chunk law (count, coverage, overlap, tail) vs serial oracle") {
+    import graft.operators.Chunking
+    val window = 8
+    val stride = 5
+    // token counts crossing every edge: n < w, n == w, n == w+1,
+    // exact multiple of stride, and a long doc
+    val docs = Seq(1, 5, 8, 9, 10, 13, 14, 40, 101).zipWithIndex.map {
+      case (n, i) => (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }
+    val out = Chunking.chunkTokens(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .select("doc_id", "chunk_id", "tok_start", "n_tok", "chunk_hash")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.split("\\s+")
+      val expChunks = 1 + math.max(0,
+        (ws.length - window + stride - 1) / stride)
+      val got = out(id)
+      assert(got.length == expChunks, s"doc $id (${ws.length} tokens)")
+      got.foreach { case (_, cid, start, nTok, hash) =>
+        val exp = ws.slice(cid.toInt * stride, cid.toInt * stride + window)
+        assert(start == cid * stride)
+        assert(nTok == exp.length)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(exp.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(hash == md)
+      }
+      // coverage: chunk starts tile [0, n) with stride <= window
+      val last = got.last
+      assert(last._3 + last._4 == ws.length, s"tail not covered for doc $id")
+    }
+  }
 }
