@@ -289,6 +289,26 @@ object PipelineQueries {
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
     // scale path (sort is shard-local, never global).
+    // BM25 top-5 retrieval: 5 deterministic 3-term queries drawn from
+    // the corpus's own top-15 vocabulary (rank order, so the query set
+    // is oracle-reproducible). Corpus is never shuffled for scoring —
+    // broadcast query terms + quantized-long term sums; the only
+    // row-count shuffle is the WindowGroupLimit top-k.
+    "srch_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val vocab = graft.operators.TfIdf.vocabulary(d, "text", 15)
+      val ranked = vocab.withColumn("rn",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+      val qs = ranked
+        .select(expr("cast((rn - 1) div 3 as bigint)").as("query_id"),
+          col("rn"), col("token"))
+        .groupBy("query_id")
+        .agg(expr("transform(array_sort(collect_list(struct(rn, token))), x -> x.token)")
+          .as("terms"))
+      graft.operators.Search.bm25TopK(d, "doc_id", "text", qs, 5)
+    }),
+
     // Passage chunking: fixed 64-token windows, stride 48 (16-token
     // overlap) — pure-map posexplode + slice, md5 chunk fingerprints
     // so downstream chunk-level ops shuffle 32 B hashes, not text.
@@ -1173,6 +1193,41 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "srch_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
+        |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
+        |          FROM cnt ORDER BY c DESC, token LIMIT 15),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
+        |          FROM documents),
+        |dfc AS (SELECT token, count(DISTINCT doc_id) AS df
+        |        FROM tok JOIN vocab USING (token) GROUP BY token),
+        |ti AS (SELECT vocab.token, (rn - 1) // 3 AS query_id,
+        |              ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+        |       FROM vocab JOIN dfc USING (token) CROSS JOIN stats),
+        |d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        |      FROM documents),
+        |tf AS (SELECT t.doc_id, t.token, count(*) AS tf
+        |       FROM tok t JOIN vocab USING (token) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ti.query_id, d.doc_id,
+        |    CAST(round(ti.idf * coalesce(tf.tf, 0) * 2.2 /
+        |         (coalesce(tf.tf, 0) + 1.2 * (1.0 - 0.75 + (0.75 * d.dl) /
+        |          (stats.sum_dl / stats.n_docs))) * 1e6) AS BIGINT) AS li
+        |  FROM ti CROSS JOIN d
+        |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.token = ti.token
+        |  CROSS JOIN stats),
+        |sc AS (SELECT query_id, doc_id, sum(li) AS s FROM pairs GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk,
+        |        s FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "txt_chunks" ->
       """WITH w AS (

@@ -1857,6 +1857,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("bm25TopK matches a serial BM25 oracle (scores, ranks, tie-break)") {
+    import graft.operators.Search
+    val docsSeq = corpus // planted near-dups give overlapping vocab
+    val df = docsSeq.toDF("doc_id", "text")
+    val queries = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("window", "hash", "sort")),
+      (2L, Seq("nosuchterm"))).toDF("query_id", "terms")
+    val got = Search.bm25TopK(df, "doc_id", "text", queries, k = 4)
+      .select("query_id", "doc_id", "rnk", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+
+    // Serial oracle: identical arithmetic (quantized-long term sums).
+    val toks = docsSeq.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = docsSeq.size.toDouble
+    val sumDl = toks.values.map(_.size.toLong).sum
+    val avgdl = sumDl.toDouble / n
+    def df0(term: String): Long = toks.values.count(_.contains(term)).toLong
+    val (k1, b) = (1.2, 0.75)
+    val exp = Seq(0L -> Seq("spark", "join"), 1L -> Seq("window", "hash", "sort"),
+      2L -> Seq("nosuchterm")).flatMap { case (qid, terms) =>
+      val scored = docsSeq.map { case (id, _) =>
+        val ws = toks(id)
+        val dlN = k1 * (1.0 - b + b * ws.size.toDouble / avgdl)
+        val s = terms.map { t =>
+          val dfT = df0(t)
+          val idf = if (dfT == 0) 0.0 else math.log(1 + (n - dfT + 0.5) / (dfT + 0.5))
+          val tf = ws.count(_ == t).toDouble
+          math.round(idf * tf * (k1 + 1.0) / (tf + dlN) * 1e6)
+        }.sum
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(4)
+      scored.zipWithIndex.map { case ((id, s), i) =>
+        (qid, id, (i + 1).toLong, math.rint(s / 1e6 * 1e6) / 1e6)
+      }
+    }
+    assert(got.size == exp.size)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"$g vs $e")
+    }
+    // the unknown-term query scores everything 0: ranks are just the
+    // lowest doc ids
+    assert(got.filter(_._1 == 2L).map(_._2) ==
+      docsSeq.map(_._1).sorted.take(4))
+  }
+
   test("chunkTokens: chunk law (count, coverage, overlap, tail) vs serial oracle") {
     import graft.operators.Chunking
     val window = 8
