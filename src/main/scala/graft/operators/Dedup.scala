@@ -641,4 +641,37 @@ object Dedup {
           round(coalesce(col("dup_n"), lit(0L)) / col("n_windows"), 6))
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
+
+  // ---- Incremental (delta-vs-corpus) dedup --------------------------------
+
+  /** Persist the exact-dedup digest index of a corpus: one DISTINCT
+    * 16-byte digest per unique text, written as a `buckets`-bucketed,
+    * digest-sorted table. This is the stateful half of INCREMENTAL
+    * dedup: a daily crawl batch probes this index instead of
+    * re-shuffling the historical corpus. At 100 TB the index is
+    * ~32 B x distinct-docs (three orders smaller than the corpus) and
+    * its bucket layout means every future probe join reads it
+    * EXCHANGE-FREE — only the (small) delta ever shuffles again. */
+  def writeDigestIndex(df: DataFrame, idCol: String, textCol: String,
+                       table: String, buckets: Int): Unit =
+    graft.sources.Sinks.writeBucketed(
+      df.select(md5(col(textCol).cast("binary")).as("digest")).distinct(),
+      table, buckets, Seq("digest"))
+
+  /** New unique documents of a delta batch vs a persisted
+    * [[writeDigestIndex]] table: anti-join the delta's digests against
+    * the index (index side exchange-free under its bucket layout; the
+    * delta shuffles once on digest), then fold exact duplicates WITHIN
+    * the delta to the min-id representative. Output:
+    * `(digest, keep_id, n)` — the rows a downstream appender would add
+    * to the corpus and (re-written) to the index. The near-dup
+    * incremental path composes the same way: probe the delta through
+    * [[crossCorpusNearDups]] with the historical side replaced by a
+    * persisted banded-signature table. */
+  def incrementalNewUniques(delta: DataFrame, idCol: String, textCol: String,
+                            index: DataFrame): DataFrame =
+    delta.select(col(idCol), md5(col(textCol).cast("binary")).as("digest"))
+      .join(index, Seq("digest"), "left_anti")
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 }

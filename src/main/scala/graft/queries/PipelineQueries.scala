@@ -289,6 +289,20 @@ object PipelineQueries {
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
     // scale path (sort is shard-local, never global).
+    // Incremental dedup: the deterministic 80/20 hash split plays
+    // "historical corpus" vs "daily delta"; the base digest index is
+    // PERSISTED bucketed-by-digest (probe joins read it
+    // exchange-free — only the delta shuffles), then the delta's new
+    // uniques are the anti-join survivors folded to min-id reps.
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+      Dedup.writeDigestIndex(d.where(bkt < 800), "doc_id", "text", "g_dd_idx", 8)
+      Dedup.incrementalNewUniques(d.where(bkt >= 800), "doc_id", "text",
+          s.table("g_dd_idx"))
+        .select(col("keep_id").as("doc_id"), col("digest"), col("n"))
+    }),
+
     // BM25 top-5 retrieval: 5 deterministic 3-term queries drawn from
     // the corpus's own top-15 vocabulary (rank order, so the query set
     // is oracle-reproducible). Corpus is never shuffled for scoring —
@@ -1193,6 +1207,20 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "dd_incremental" ->
+      """WITH bkt AS (
+        |  SELECT doc_id, text,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
+        |  FROM documents),
+        |base AS (SELECT DISTINCT md5(text) AS digest FROM bkt WHERE bkt < 800),
+        |delta AS (SELECT doc_id, md5(text) AS digest FROM bkt WHERE bkt >= 800)
+        |SELECT min(doc_id) AS doc_id, digest, count(*) AS n
+        |FROM delta WHERE digest NOT IN (SELECT digest FROM base)
+        |GROUP BY digest ORDER BY doc_id""".stripMargin,
 
     "srch_bm25" ->
       """WITH tok AS (

@@ -1857,6 +1857,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("incremental dedup: new uniques vs index, within-delta fold, idempotence") {
+    val base = Seq((0L, "a b c"), (1L, "d e f"), (2L, "a b c")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a b c"),                // already in base -> dropped
+                    (11L, "x y z"), (12L, "x y z"), // new, dup within delta -> min id
+                    (13L, "q r s")).toDF("doc_id", "text")
+    Dedup.writeDigestIndex(base, "doc_id", "text", "t_dd_idx", 4)
+    val out = Dedup.incrementalNewUniques(delta, "doc_id", "text",
+        spark.table("t_dd_idx"))
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 2L), (13L, 1L)))
+    // idempotence: append the new digests to the index; re-probing the
+    // same delta yields nothing
+    val appended = spark.table("t_dd_idx")
+      .union(Dedup.incrementalNewUniques(delta, "doc_id", "text",
+        spark.table("t_dd_idx")).select("digest"))
+    assert(Dedup.incrementalNewUniques(delta, "doc_id", "text", appended).isEmpty)
+  }
+
   test("bm25TopK matches a serial BM25 oracle (scores, ranks, tie-break)") {
     import graft.operators.Search
     val docsSeq = corpus // planted near-dups give overlapping vocab
