@@ -182,4 +182,31 @@ object ConnectedComponents {
       .select(col("node").as(idCol))
     df.join(victims, Seq(idCol), "left_anti")
   }
+
+  /** Keep the BEST representative per near-dup cluster instead of the
+    * minimal id: within each component the survivor is the member
+    * maximizing `scoreCol` (ties to the lower id) — the curation-aware
+    * variant (keep the highest-quality copy, drop the rest). Nodes not
+    * in any edge survive untouched.
+    *
+    * Scale shape: the component frame is node-sized (edges' endpoints
+    * only — orders below the corpus under capped pair detection), the
+    * score join touches only those nodes, and the per-component argmax
+    * is a WindowGroupLimit-executable row_number over the component
+    * key. The corpus itself sees one anti-join against the victim ids. */
+  def dropNearDuplicatesByScore(df: DataFrame, idCol: String, pairs: DataFrame,
+                                scoreCol: org.apache.spark.sql.Column,
+                                srcCol: String = "id_a",
+                                dstCol: String = "id_b"): DataFrame = {
+    val comps = run(pairs.cache(), srcCol, dstCol)
+    val scored = comps.join(
+      df.select(col(idCol).as("node"), scoreCol.as("_score")), Seq("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("_score").desc, col("node").asc)
+    val victims = scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("node").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
 }

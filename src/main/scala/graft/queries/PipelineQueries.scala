@@ -289,6 +289,22 @@ object PipelineQueries {
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
     // scale path (sort is shard-local, never global).
+    // Quality-aware survivor selection: same fingerprint-blocked
+    // Jaccard pair graph as dd_survivors, but each near-dup cluster
+    // keeps its HIGHEST-QUALITY member (ties to the lower id) instead
+    // of the minimal id — the curation policy a real pipeline wants.
+    "dd_best_survivor" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.fingerprintJaccardPairs(d, "doc_id", "text", 8,
+        maxBlockSize = 1000)
+        .where(col("jaccard") >= 0.5)
+      graft.operators.ConnectedComponents
+        .dropNearDuplicatesByScore(d, "doc_id", pairs,
+          TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
     // Incremental dedup: the deterministic 80/20 hash split plays
     // "historical corpus" vs "daily delta"; the base digest index is
     // PERSISTED bucketed-by-digest (probe joins read it
@@ -1207,6 +1223,45 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "dd_best_survivor" ->
+      """WITH RECURSIVE f0 AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                   i -> substr(text, i, 8))),
+        |      s -> md5(s))) AS fp,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |fc AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 1000),
+        |f AS (SELECT f0.* FROM f0 JOIN fc USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |      (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT comp.node, row_number() OVER (PARTITION BY comp.comp
+        |    ORDER BY q.quality DESC, comp.node) AS rn
+        |  FROM comp JOIN q ON comp.node = q.doc_id)
+        |SELECT d.doc_id, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT node FROM r WHERE rn > 1)
+        |ORDER BY 1""".stripMargin,
 
     "dd_incremental" ->
       """WITH bkt AS (

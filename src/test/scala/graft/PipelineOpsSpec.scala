@@ -1857,6 +1857,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("dropNearDuplicatesByScore keeps the argmax-score member, ties to lower id") {
+    import graft.operators.ConnectedComponents
+    val df = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),  // cluster {1,2,3}: best = 2 (tie 2/3 -> 2)
+      (10L, 0.1), (11L, 0.05),           // cluster {10,11}: best = 10
+      (20L, 0.0)                          // singleton, untouched
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = ConnectedComponents
+      .dropNearDuplicatesByScore(df, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+    // min-id variant on the same graph keeps 1 — the policies differ
+    val keptMin = ConnectedComponents.dropNearDuplicates(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 10L, 20L))
+  }
+
   test("incremental dedup: new uniques vs index, within-delta fold, idempotence") {
     val base = Seq((0L, "a b c"), (1L, "d e f"), (2L, "a b c")).toDF("doc_id", "text")
     val delta = Seq((10L, "a b c"),                // already in base -> dropped
