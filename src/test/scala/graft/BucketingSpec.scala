@@ -144,4 +144,36 @@ class BucketingSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_bak")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_tmp")))
   }
+
+  test("incremental-dedup probe reads the digest index exchange-free") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.writeDigestIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", "spec_dd_idx", 4)
+    val probe = Dedup.incrementalNewUniques(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+      spark.table("spec_dd_idx"))
+    // broadcast is disabled in this session, so the anti-join must be
+    // sort-merge with the INDEX side exchange-free under its bucket
+    // layout — only the probe (delta) side shuffles. That asymmetry is
+    // the whole point of persisting the index bucketed.
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+    // exactly ONE digest exchange: the probe side's. A second one
+    // would mean the index's bucket layout was ignored.
+    val digestExchanges = "Exchange hashpartitioning\\(digest#".r
+      .findAllIn(plan).size
+    assert(digestExchanges == 1, s"expected 1 digest exchange, got $digestExchanges:\n$plan")
+    // and the probe is correct: odd doc ids with text not present in
+    // the even half
+    val evenTexts = docs.where(col("doc_id") % 2 === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    val got = probe.select("keep_id").collect().map(_.getLong(0)).toSet
+    val want = docs.where(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .filter { case (_, t) => !evenTexts.contains(t) }
+      .groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(got == want)
+  }
 }

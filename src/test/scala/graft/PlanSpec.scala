@@ -124,12 +124,14 @@ class PlanSpec extends AnyFunSuite {
     // before the rates broadcast back to the corpus filter) and
     // knn_recall (composes knn_cosine's ≤10-row broadcast query set)
     // and q_histogram (broadcast of the 1-row min/max aggregate onto
-    // the counting scan and the bucket spine).
+    // the counting scan and the bucket spine) and srch_bm25 (broadcast
+    // of the 1-row corpus stats and the ≤5-row packed query set onto
+    // the document scan — the corpus side streams, never shuffles).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
         "txt_ppl_buckets", "pipe_curation", "q_temp_mix",
-        "knn_recall", "q_histogram")
+        "knn_recall", "q_histogram", "srch_bm25")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
@@ -206,6 +208,24 @@ class PlanSpec extends AnyFunSuite {
     // token df join must be an equijoin
     assert(countOccurrences(p, "BroadcastNestedLoopJoin") == 1, p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 never shuffles the corpus for scoring: broadcast-only joins + WindowGroupLimit") {
+    val p = physical(SparkEntry.queries("srch_bm25")(spark, dir))
+    // per-query top-k is a partial-limit window
+    assert(p.contains("WindowGroupLimit"), p)
+    // scoring joins are all broadcasts (1-row stats, <=5-row query
+    // pack, <=15-key df table); no sort-merge join anywhere, so the
+    // document scan reaches the scorer without an exchange
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("chunking is pure map: no exchange, no join, scan to explode to project") {
+    val p = physical(SparkEntry.queries("txt_chunks")(spark, dir))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate explode"), p)
   }
 
   test("q_topk_orders is TakeOrdered, not a global sort or window") {
