@@ -24,23 +24,30 @@ import graft.functions.TextFunctions
   *
   * Scale shape (small query set — the hard-negative / eval-retrieval
   * case): the corpus is NEVER shuffled for scoring. Global stats (N,
-  * Σdl) are one partial-aggregated 1-row frame; per-term df aggregates
-  * only tokens that survive a broadcast semi-join against the query
-  * vocabulary (≤|Q| keys, map-side partials); scoring is a per-row
-  * loop over the broadcast term array (O(|q terms| · dl) per doc, all
-  * codegen'd builtins); the only row-count shuffle is the per-query
-  * top-k window over |Q|·N (query_id, doc, score) rows, which Spark 4
-  * executes as WindowGroupLimit — a per-partition k-heap BEFORE the
-  * exchange, so ~|Q|·k·P rows move, not |Q|·N. For |Q| in the
-  * millions one would flip to the postings-join (explode + shuffle on
-  * token) plan instead; that regime is [[TfIdf]]'s shape. */
+  * Σdl) and per-term df are two partial-aggregated tiny collects (df
+  * restricted to the query vocabulary by a codegen'd IN before the
+  * aggregate); the query set itself is collected to the driver — it
+  * is SMALL by contract (hundreds, not millions; the same bounded
+  * driver-build pattern as [[ProductQuant]]'s ADC lookup tables) —
+  * and fused into ONE native scoring pass per document
+  * ([[graft.functions.NativeExprs.Bm25ScoresExpr]]: a single tokenize
+  * + hash-map tf count scores every query; both the interpreted-HOF
+  * form and an unrolled-builtins form re-walked the token array per
+  * term and cost ~13 s at sf1 where the fused pass costs ~1 s — the
+  * same lesson as the fused MinHash and classifier expressions). The
+  * only row-count shuffle is
+  * the per-query top-k window, which Spark 4 executes as
+  * WindowGroupLimit — a per-partition k-heap BEFORE the exchange, so
+  * ~|Q|·k·P rows move, not |Q|·N. For |Q| in the millions one would
+  * flip to the postings-join (explode + shuffle on token) plan
+  * instead; that regime is [[TfIdf]]'s shape. */
 object Search {
 
   /** Top-`k` docs per query by BM25. `queries` is a SMALL frame
-    * `(query_id: long, terms: array<string>)` (it is broadcast and its
-    * distinct terms drive a broadcast semi-join; hundreds of queries,
-    * not millions). Ties break to the lower doc id. Output:
-    * `(query_id, doc_id, rank, score)`. */
+    * `(query_id: long, terms: array<string>)` (collected and unrolled
+    * into the scoring expression; hundreds of queries, not millions).
+    * Ties break to the lower doc id. Output:
+    * `(query_id, doc_id, rnk, score)`. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -49,46 +56,42 @@ object Search {
       size(ws).cast("long").as("dl"))
 
     // Global stats: exact long sum of doc lengths -> one double divide.
-    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val statsRow = base.agg(count(lit(1)), sum(col("dl"))).first()
+    val nDocs = statsRow.getLong(0)
+    val qrows: Seq[(Long, Seq[String])] = queries
+      .select(col("query_id").cast("long"), col("terms"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    if (nDocs == 0L || qrows.isEmpty)
+      return base.select(lit(0L).as("query_id"), col(idCol),
+        lit(0L).as("rnk"), lit(0.0).as("score")).limit(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
 
     // Per-term document frequency, restricted to the query vocabulary
-    // by a broadcast semi-join before the aggregate.
-    val qterms = queries.select(explode(col("terms")).as("token")).distinct()
-    val dfc = base.select(explode(array_distinct(col("ws"))).as("token"))
-      .join(broadcast(qterms), Seq("token"))
+    // by a codegen'd IN before the (map-side combined) aggregate.
+    val allTerms = qrows.flatMap(_._2).distinct
+    val dfMap: Map[String, Long] = base
+      .select(explode(array_distinct(col("ws"))).as("token"))
+      .where(col("token").isInCollection(allTerms))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val termIdf = dfc.crossJoin(broadcast(stats))
-      .select(col("token"),
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          .as("idf"))
-
-    // Re-assemble each query as a rank-ordered array of (term, idf)
-    // structs; a term absent from the corpus contributes idf 0 (its tf
-    // is 0 everywhere anyway).
-    val qExploded = queries.select(col("query_id"),
-        posexplode(col("terms")).as(Seq("pos", "token")))
-      .join(broadcast(termIdf), Seq("token"), "left")
-      .select(col("query_id"), col("pos"), col("token"),
-        coalesce(col("idf"), lit(0.0)).as("idf"))
-    val qPacked = qExploded.groupBy("query_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("token"), col("idf"))))
-        .as("qts"))
-
-    // Score every (doc, query) pair row-locally against the broadcast
-    // query array; quantized-long term sum for order independence.
-    val dlNorm = lit(k1) * (lit(1.0) - lit(b) +
-      lit(b) * col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs")))
-    def contrib(t: Column): Column = {
-      val tf = size(filter(col("ws"), w => w === t.getField("token"))).cast("double")
-      round(t.getField("idf") * tf * lit(k1 + 1.0) / (tf + col("_dl_norm")) * 1e6, 0)
-        .cast("long")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(t: String): Double = dfMap.get(t) match {
+      case Some(df) => math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      case None => 0.0 // absent term: tf is 0 everywhere anyway
     }
-    val scored = base.crossJoin(broadcast(stats))
-      .withColumn("_dl_norm", dlNorm)
-      .crossJoin(broadcast(qPacked))
-      .select(col("query_id"), col(idCol),
-        (aggregate(col("qts"), lit(0L), (acc, t) => acc + contrib(t)) / 1e6)
-          .as("score"))
+
+    // Fused scoring: ONE native token pass per document scores every
+    // query ([[graft.functions.NativeExprs.Bm25ScoresExpr]] — the
+    // unrolled Column form re-walked the token array once per term).
+    val termTriples: Seq[(Long, String, Double)] = qrows.flatMap {
+      case (qid, terms) => terms.map(t => (qid, t, idf(t)))
+    }
+    val scored = docs
+      .select(col(idCol),
+        explode(graft.functions.NativeExprs.bm25ScoresNative(
+          col(textCol), termTriples, k1, b, avgdl)).as("q"))
+      .select(col("q.query_id").as("query_id"), col(idCol),
+        (col("q.s") / 1e6).as("score"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)

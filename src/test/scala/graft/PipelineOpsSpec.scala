@@ -1895,7 +1895,9 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("bm25TopK matches a serial BM25 oracle (scores, ranks, tie-break)") {
     import graft.operators.Search
-    val docsSeq = corpus // planted near-dups give overlapping vocab
+    // planted near-dups give overlapping vocab; tokenization edges:
+    // empty text, whitespace-only, tab-led (space-only trim law)
+    val docsSeq = corpus ++ Seq((300L, ""), (301L, "   "), (302L, "\tspark join"))
     val df = docsSeq.toDF("doc_id", "text")
     val queries = Seq(
       (0L, Seq("spark", "join")),
@@ -1906,8 +1908,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
       .sortBy(r => (r._1, r._3))
 
-    // Serial oracle: identical arithmetic (quantized-long term sums).
-    val toks = docsSeq.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    // Serial oracle: identical arithmetic (quantized-long term sums)
+    // and the exact Column tokenize law — SPACE-only trim (SQL trim),
+    // then regex split (so "\tspark" keeps a leading empty token).
+    def sqlTokens(t: String): Seq[String] =
+      t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .split("\\s+", -1).toSeq
+    val toks = docsSeq.map { case (id, t) => id -> sqlTokens(t) }.toMap
     val n = docsSeq.size.toDouble
     val sumDl = toks.values.map(_.size.toLong).sum
     val avgdl = sumDl.toDouble / n
