@@ -155,6 +155,62 @@ object Similarity {
       .select("qid", "id", "rk", "sim")
   }
 
+  /** Persist the IVF index: the `nCells`-row centroid table plus the
+    * cell-assigned corpus written BUCKETED BY CELL. This is the
+    * similarity tier's analogue of [[Dedup.writeDigestIndex]] — index
+    * once, probe forever: [[ivfTopKFromIndex]] reads both tables with
+    * the corpus side exchange-free (a large probe set shuffle-joins on
+    * `cell` against the bucket layout; a small one broadcasts), so the
+    * embedding corpus is assigned, shuffled, and laid out exactly once
+    * at build time no matter how many query batches follow. Cell
+    * assignment is the same 9-dp-cosine / min-cent-id law as
+    * [[ivfTopK]], so serving from the index is result-identical to
+    * the inline path. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, centTable: String, asgTable: String,
+                    buckets: Int): Unit = {
+    require(nCells > 0, "nCells must be positive")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    val cent = c.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cent_id"), col("cv").as("centv"))
+    val spark = corpus.sparkSession
+    graft.sources.Sinks.saveTableReplacing(cent, centTable)
+    val wAsg = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(spark.table(centTable)))
+      .withColumn("csim", round(cosine(col("cv"), col("centv")), 9))
+      .withColumn("crk", row_number().over(wAsg)).where(col("crk") === 1)
+      .select(col("id"), col("cv"), col("cent_id").as("cell"))
+    graft.sources.Sinks.writeBucketed(assigned, asgTable, buckets, Seq("cell"))
+  }
+
+  /** IVF top-k served from a persisted [[writeIvfIndex]]: probe the
+    * (tiny, broadcast) centroid table for each query's `nprobe`
+    * nearest cells, then rerank exactly inside those cells of the
+    * bucketed assignment table. Result-identical to [[ivfTopK]] on
+    * the same corpus. */
+  def ivfTopKFromIndex(queries: DataFrame, centTable: DataFrame,
+                       asgTable: DataFrame, k: Int, nprobe: Int = 2,
+                       qidCol: String = "qid", vecCol: String = "vec"): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val wPr = Window.partitionBy("qid").orderBy(col("psim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(centTable))
+      .withColumn("psim", round(cosine(col("qv"), col("centv")), 9))
+      .withColumn("prk", row_number().over(wPr)).where(col("prk") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    // No broadcast hint on the probe side: unlike the inline path's
+    // per-run frame, the probe set here is unbounded by contract (the
+    // index exists precisely to serve BIG query batches). A small
+    // batch auto-broadcasts; a large one shuffle-joins on cell with
+    // the assignment table exchange-free under its bucket layout.
+    asgTable.join(probes, "cell")
+      .where(col("id") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 9))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
+      .select("qid", "id", "rk", "sim")
+  }
+
   /** ANN top-k via hyperplane buckets: candidates share the query's
     * bucket; exact cosine rerank inside the bucket. Lower recall than
     * [[cosineTopK]]; bounded cost. `lcgBuckets` switches to the

@@ -514,6 +514,23 @@ object PipelineQueries {
         .select(col("qid"), col("id"), col("rk"))
     }),
 
+    // IVF served from a PERSISTED index (the similarity tier's
+    // incremental-state path): centroids + cell-assigned corpus
+    // written bucketed-by-cell once, probed without re-assigning or
+    // re-shuffling the corpus. Same assignment/probe/rerank law as
+    // knn_ivf — the oracle is knn_ivf's verbatim, pinning
+    // index-serving == inline.
+    "knn_ivf_idx" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", nCells = 8,
+        "g_ivf_cent", "g_ivf_asg", buckets = 8)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      Similarity.ivfTopKFromIndex(q, s.table("g_ivf_cent"),
+          s.table("g_ivf_asg"), k = 3, nprobe = 2)
+        .select(col("qid"), col("id"), col("rk"))
+    }),
+
     // Product-quantized ANN (PQ/ADC): per-subspace Lloyd codebooks
     // (engine-exact trajectory), one-scan encode to m=4 3-bit codes,
     // ADC scoring via driver-built lookup tables — the whole
@@ -852,6 +869,41 @@ object PipelineQueries {
        |  SELECT qid, id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score, id) AS rk FROM sc) t
        |WHERE rk <= 5""".stripMargin
+
+  /** Shared by knn_ivf (inline) and knn_ivf_idx (served from the
+    * persisted index): the two paths are result-identical by design,
+    * so both gates pin against the same SQL. */
+  private val knnIvfOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, embedding AS centv, nrm AS cnrm
+      |         FROM v ORDER BY vec_id LIMIT 8),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT a.vec_id, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> a.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (a.nrm * c.cnrm), 9) DESC, c.cent_id) AS crk
+      |    FROM v a, cent c) WHERE crk = 1),
+      |probe AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT q.vec_id AS qid, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.cnrm), 9) DESC, c.cent_id) AS prk
+      |    FROM v q, cent c WHERE q.vec_id < 10) WHERE prk <= 2),
+      |pairs AS (
+      |  SELECT p.qid, a.vec_id AS id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
+      |  FROM probe p JOIN asg a USING (cell)
+      |       JOIN v q ON q.vec_id = p.qid JOIN v c ON c.vec_id = a.vec_id
+      |  WHERE a.vec_id != p.qid)
+      |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+      |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "knn_pq" -> pqOracleSql,
@@ -1794,37 +1846,11 @@ object PipelineQueries {
         |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
         |LEFT JOIN hit h USING (qid) ORDER BY q.qid""".stripMargin,
 
-    "knn_ivf" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, embedding AS centv, nrm AS cnrm
-        |         FROM v ORDER BY vec_id LIMIT 8),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT a.vec_id, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |          i -> a.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (a.nrm * c.cnrm), 9) DESC, c.cent_id) AS crk
-        |    FROM v a, cent c) WHERE crk = 1),
-        |probe AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT q.vec_id AS qid, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-        |          i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.centv[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.cnrm), 9) DESC, c.cent_id) AS prk
-        |    FROM v q, cent c WHERE q.vec_id < 10) WHERE prk <= 2),
-        |pairs AS (
-        |  SELECT p.qid, a.vec_id AS id,
-        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-        |      i -> q.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
-        |  FROM probe p JOIN asg a USING (cell)
-        |       JOIN v q ON q.vec_id = p.qid JOIN v c ON c.vec_id = a.vec_id
-        |  WHERE a.vec_id != p.qid)
-        |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
-        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
-        |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "knn_ivf" -> knnIvfOracle,
+
+    // served from the persisted index; result-identical by design, so
+    // the gate pins index-serving == inline against the same oracle
+    "knn_ivf_idx" -> knnIvfOracle,
 
     "dd_minhash_lsh" ->
       """WITH sh AS (

@@ -39,14 +39,28 @@ object Sinks {
     * location. Drop any catalog entry AND remove the orphaned
     * directory before writing, so the query can re-run in any session
     * without manual cleanup. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    bucketCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
+  /** Drop `table` AND its warehouse location — the in-memory metastore
+    * is fresh each JVM, so DROP alone cannot clean a previous run's
+    * files and a re-create would fail with LOCATION_ALREADY_EXISTS. */
+  def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val whDir = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase(java.util.Locale.ROOT))
     val fs = whDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(whDir)) fs.delete(whDir, true)
+  }
+
+  /** Idempotent unbucketed saveAsTable (location-cleaning replace). */
+  def saveTableReplacing(df: DataFrame, table: String): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    dropTableAndLocation(spark, table)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

@@ -145,6 +145,28 @@ class BucketingSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_tmp")))
   }
 
+  test("persisted IVF index: served result == inline, corpus side exchange-free") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", nCells = 8,
+      "spec_ivf_cent", "spec_ivf_asg", buckets = 4)
+    val q = e.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val served = Similarity.ivfTopKFromIndex(q, spark.table("spec_ivf_cent"),
+      spark.table("spec_ivf_asg"), k = 3, nprobe = 2)
+    val inline = Similarity.ivfTopK(q,
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 3, nCells = 8, nprobe = 2)
+    assert(served.select("qid", "id", "rk").collect().map(_.toSeq).toSet ==
+      inline.select("qid", "id", "rk").collect().map(_.toSeq).toSet)
+    // broadcast is disabled in this session: the probe join sorts both
+    // sides, but only the PROBE side may exchange on cell — the
+    // assignment table's bucket layout covers the corpus side.
+    val plan = served.queryExecution.executedPlan.toString
+    val cellExchanges = "Exchange hashpartitioning\\(cell#".r.findAllIn(plan).size
+    assert(cellExchanges == 1, s"expected 1 cell exchange, got $cellExchanges:\n$plan")
+  }
+
   test("incremental-dedup probe reads the digest index exchange-free") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
