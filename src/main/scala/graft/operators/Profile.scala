@@ -115,4 +115,46 @@ object Profile {
       .select(col("col_name"), explode(array(nn, uq, bd)).as("violation"))
       .where(col("violation").isNotNull)
   }
+
+  /** Per-source dataset card — the one-pass corpus summary a data
+    * release ships: docs, exact token totals, 6-dp mean quality,
+    * language spread, and the exact-duplicate footprint (docs whose
+    * text occurs elsewhere in the WHOLE corpus, attributed to their
+    * source). Determinism: quality is pre-rounded to 6 dp and
+    * quantized to integer micro-units before the distributed sum
+    * (order-independent — the unigram-LM trick), so the mean is
+    * hash-exact cross-engine.
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus
+    * keyed by source (a handful of groups), plus the dup side: a
+    * digest-keyed count (16-byte keys, map-side partials), a
+    * ≥2-filter, and a digest semi-join back — the exact-dedup plan
+    * re-used for accounting. No window, no text shuffle. */
+  def sourceReport(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, langCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val perDoc = docs.select(col(sourceCol).as("source"), col(idCol),
+      col(langCol).as("lang"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      round(TextFunctions.qualityScore(col(textCol)) * 1e6, 0).cast("long")
+        .as("q_micro"),
+      md5(col(textCol).cast("binary")).as("digest"))
+    val stats = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("q_micro")).as("q_sum"),
+      countDistinct(col("lang")).as("n_langs"))
+    val dupDigests = perDoc.groupBy("digest")
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("digest")
+    val dupPerSource = perDoc.join(dupDigests, Seq("digest"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    stats.join(dupPerSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("q_sum").cast("double") / col("n_docs") / 1e6, 6)
+          .as("avg_quality"),
+        col("n_langs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
 }

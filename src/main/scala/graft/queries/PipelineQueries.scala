@@ -289,6 +289,13 @@ object PipelineQueries {
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
     // scale path (sort is shard-local, never global).
+    // Per-source dataset card: docs / exact token totals / quantized
+    // mean quality / language spread / exact-dup footprint — one
+    // map-side-combined aggregate + the digest-keyed dup accounting.
+    "q_source_report" -> ((s, dir) =>
+      graft.operators.Profile.sourceReport(docs(s, dir),
+        "doc_id", "text", "source", "lang")),
+
     // Quality-aware survivor selection: same fingerprint-blocked
     // Jaccard pair graph as dd_survivors, but each near-dup cluster
     // keeps its HIGHEST-QUALITY member (ties to the lower id) instead
@@ -1275,6 +1282,31 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_source_report" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(round(round(least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0 *
+        |      (1.0 - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+'))), 6) * 1e6) AS BIGINT) AS q_micro,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+        |    sum(q_micro) AS q_sum, count(DISTINCT lang) AS n_langs
+        |  FROM p GROUP BY source),
+        |dupd AS (SELECT digest FROM p GROUP BY digest HAVING count(*) >= 2),
+        |dup AS (SELECT source, count(*) AS n_dup FROM p JOIN dupd USING (digest)
+        |        GROUP BY source)
+        |SELECT s.source, s.n_docs, s.n_tokens,
+        |  round(CAST(q_sum AS DOUBLE) / n_docs / 1e6, 6) AS avg_quality,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  coalesce(dup.n_dup, 0) AS n_dup,
+        |  round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM s LEFT JOIN dup ON s.source = dup.source
+        |ORDER BY s.source""".stripMargin,
 
     "dd_best_survivor" ->
       """WITH RECURSIVE f0 AS (

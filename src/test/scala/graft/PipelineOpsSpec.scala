@@ -1857,6 +1857,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("sourceReport: counts, exact token totals, quantized mean, dup attribution") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, "a b c", "s1", "en"),   // dup pair with 2 (cross-source)
+      (2L, "a b c", "s2", "en"),
+      (3L, "d e", "s1", "fr"),
+      (4L, "f g h i", "s2", "en"),
+      (5L, "f g h i", "s2", "de")  // dup pair with 4 (same source)
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = Profile.sourceReport(df, "doc_id", "text", "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("s1") == ((2L, 5L, 2L, 1L)))  // 2 docs, 3+2 tokens, 2 langs, 1 dup doc
+    assert(got("s2") == ((3L, 11L, 2L, 3L))) // 3 docs, 3+4+4 tokens, 2 langs, all 3 dup
+  }
+
   test("dropNearDuplicatesByScore keeps the argmax-score member, ties to lower id") {
     import graft.operators.ConnectedComponents
     val df = Seq(
