@@ -100,4 +100,52 @@ object Search {
       .select(col("query_id"), col(idCol), col("rnk"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Top-`k` docs per query by query-term coverage (|terms ∩ token
+    * set|) — the boolean/sparse second ranker of a hybrid-retrieval
+    * pair. Pure builtins (array_intersect against the broadcast query
+    * set), ties to the lower doc id. Output
+    * `(query_id, doc_id, rnk)`. */
+  def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, k: Int): DataFrame = {
+    val scored = docs
+      .select(col(idCol),
+        array_distinct(TextFunctions.tokens(col(textCol))).as("ts"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("terms"))))
+      .select(col("query_id"), col(idCol),
+        size(array_intersect(col("ts"), col("terms"))).cast("long").as("ovl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ovl").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col(idCol), col("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    * `score(q,d) = Σ_lists 1/(c + rank)`, missing entries contribute
+    * nothing. Per-list contributions are quantized to nano-units
+    * (`round(1e9/(c+rank))` as long) before the distributed sum, so
+    * fusion is order- and partitioning-independent; ties break to the
+    * lower doc id. Inputs are `(query_id, <id>, rnk)` frames (any
+    * retriever: BM25, ANN, overlap). Scale shape: a union of the
+    * (already top-k-bounded) lists + one map-side-combined aggregate
+    * + a WindowGroupLimit top-k — the fusion never touches the
+    * corpus, only the candidate lists. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val u = rankings.map(_.select(col("query_id"), col(idCol), col("rnk")))
+      .reduce(_ union _)
+    val scored = u
+      .select(col("query_id"), col(idCol),
+        round(lit(1e9) / (lit(c.toLong) + col("rnk")), 0).cast("long").as("li"))
+      .groupBy("query_id", idCol)
+      .agg(sum(col("li")).as("s"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col(idCol), col("rnk"),
+        round(col("s") / 1e9, 6).as("rrf_score"))
+  }
 }

@@ -17,6 +17,23 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic corpus-derived query set for the retrieval gates:
+    * 5 queries of 3 terms each, drawn from the top-15 vocabulary in
+    * rank order (count DESC, token ASC) — oracle-reproducible. The
+    * global row_number window is over exactly 15 rows. */
+  private def vocabQueries(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = graft.operators.TfIdf.vocabulary(docs(s, dir), "text", 15)
+    vocab
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+      .select(expr("cast((rn - 1) div 3 as bigint)").as("query_id"),
+        col("rn"), col("token"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(rn, token))), x -> x.token)")
+        .as("terms"))
+  }
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -331,19 +348,21 @@ object PipelineQueries {
     // is oracle-reproducible). Corpus is never shuffled for scoring —
     // broadcast query terms + quantized-long term sums; the only
     // row-count shuffle is the WindowGroupLimit top-k.
-    "srch_bm25" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    "srch_bm25" -> ((s, dir) =>
+      graft.operators.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        vocabQueries(s, dir), 5)),
+
+    // Hybrid retrieval: RRF-fuse the BM25 top-20 with the token-
+    // coverage top-20 (quantized reciprocal ranks, ties to lower id).
+    // The fusion never touches the corpus — only the two bounded
+    // candidate lists union, aggregate, and window.
+    "srch_rrf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val vocab = graft.operators.TfIdf.vocabulary(d, "text", 15)
-      val ranked = vocab.withColumn("rn",
-        row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
-      val qs = ranked
-        .select(expr("cast((rn - 1) div 3 as bigint)").as("query_id"),
-          col("rn"), col("token"))
-        .groupBy("query_id")
-        .agg(expr("transform(array_sort(collect_list(struct(rn, token))), x -> x.token)")
-          .as("terms"))
-      graft.operators.Search.bm25TopK(d, "doc_id", "text", qs, 5)
+      val qs = vocabQueries(s, dir)
+      val a = graft.operators.Search.bm25TopK(d, "doc_id", "text", qs, 20)
+      val b = graft.operators.Search.overlapTopK(d, "doc_id", "text", qs, 20)
+      graft.operators.Search.rrfFuse(
+        Seq(a.select("query_id", "doc_id", "rnk"), b), "doc_id", 5)
     }),
 
     // Passage chunking: fixed 64-token windows, stride 48 (16-token
@@ -1395,6 +1414,60 @@ object PipelineQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "srch_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
+        |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
+        |          FROM cnt ORDER BY c DESC, token LIMIT 15),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
+        |          FROM documents),
+        |dfc AS (SELECT token, count(DISTINCT doc_id) AS df
+        |        FROM tok JOIN vocab USING (token) GROUP BY token),
+        |ti AS (SELECT vocab.token, (rn - 1) // 3 AS query_id,
+        |              ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+        |       FROM vocab JOIN dfc USING (token) CROSS JOIN stats),
+        |d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        |      FROM documents),
+        |tf AS (SELECT t.doc_id, t.token, count(*) AS tf
+        |       FROM tok t JOIN vocab USING (token) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ti.query_id, d.doc_id,
+        |    CAST(round(ti.idf * coalesce(tf.tf, 0) * 2.2 /
+        |         (coalesce(tf.tf, 0) + 1.2 * (1.0 - 0.75 + (0.75 * d.dl) /
+        |          (stats.sum_dl / stats.n_docs))) * 1e6) AS BIGINT) AS li
+        |  FROM ti CROSS JOIN d
+        |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.token = ti.token
+        |  CROSS JOIN stats),
+        |sc AS (SELECT query_id, doc_id, sum(li) AS s FROM pairs GROUP BY 1, 2),
+        |a AS (SELECT query_id, doc_id, rnk FROM (
+        |        SELECT query_id, doc_id,
+        |          row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+        |        FROM sc) WHERE rnk <= 20),
+        |qt AS (SELECT (rn - 1) // 3 AS query_id, list(token ORDER BY rn) AS terms
+        |       FROM vocab GROUP BY 1),
+        |tsd AS (SELECT doc_id,
+        |          list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+        |        FROM documents),
+        |ov AS (SELECT q.query_id, t.doc_id, len(list_intersect(t.ts, q.terms)) AS ovl
+        |       FROM qt q CROSS JOIN tsd t),
+        |b AS (SELECT query_id, doc_id, rnk FROM (
+        |        SELECT query_id, doc_id,
+        |          row_number() OVER (PARTITION BY query_id ORDER BY ovl DESC, doc_id) AS rnk
+        |        FROM ov) WHERE rnk <= 20),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |f AS (SELECT query_id, doc_id,
+        |        sum(CAST(round(1e9 / (60 + rnk)) AS BIGINT)) AS s2
+        |      FROM u GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(rnk AS BIGINT) AS rnk, round(s2 / 1e9, 6) AS rrf_score
+        |FROM (SELECT query_id, doc_id, s2,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY s2 DESC, doc_id) AS rnk
+        |      FROM f)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "txt_chunks" ->
       """WITH w AS (

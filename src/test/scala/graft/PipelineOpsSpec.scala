@@ -1857,6 +1857,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("rrfFuse: hand-computed fusion, missing-entry law, tie-break") {
+    import graft.operators.Search
+    // list A ranks docs 1,2,3; list B ranks 3,1 (doc 2 missing from B)
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((0L, 3L, 1L), (0L, 1L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val got = Search.rrfFuse(Seq(a, b), "doc_id", k = 3)
+      .select("doc_id", "rnk", "rrf_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    def q(r: Long): Long = math.round(1e9 / (60 + r))
+    val exp = Seq(
+      1L -> (q(1) + q(2)), // 1/(61) + 1/(62)  — the winner
+      3L -> (q(3) + q(1)), // 1/(63) + 1/(61)
+      2L -> q(2)           // only in A
+    ).map { case (id, s) => (id, math.rint(s / 1e9 * 1e6) / 1e6) }
+    assert(got.map(_._1).toSeq == exp.map(_._1))
+    got.zip(exp).foreach { case ((_, _, s), (_, e)) =>
+      assert(math.abs(s - e) < 1e-9)
+    }
+  }
+
   test("sourceReport: counts, exact token totals, quantized mean, dup attribution") {
     import graft.operators.Profile
     val df = Seq(

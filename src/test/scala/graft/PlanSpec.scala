@@ -126,12 +126,16 @@ class PlanSpec extends AnyFunSuite {
     // and q_histogram (broadcast of the 1-row min/max aggregate onto
     // the counting scan and the bucket spine) and srch_bm25 (broadcast
     // of the 1-row corpus stats and the ≤5-row packed query set onto
-    // the document scan — the corpus side streams, never shuffles).
+    // the document scan — the corpus side streams, never shuffles)
+    // and srch_rrf (srch_bm25's stats broadcast plus overlapTopK's
+    // ≤5-row query-set broadcast) and knn_ivf_idx (knn_ivf's bounded
+    // centroid-table broadcast, served from the persisted index).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
         "txt_ppl_buckets", "pipe_curation", "q_temp_mix",
-        "knn_recall", "q_histogram", "srch_bm25")
+        "knn_recall", "q_histogram", "srch_bm25", "srch_rrf",
+        "knn_ivf_idx")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
