@@ -48,4 +48,22 @@ object DocStreams {
     EventStreams.dedupStream(
       curateStream(docs, minQuality).withColumn("digest", xxhash64(col("text"))),
       Seq("digest"), watermark).drop("digest")
+
+  /** Streaming INCREMENTAL dedup: drop stream rows whose md5 text
+    * digest already exists in a persisted [[graft.operators.Dedup
+    * .writeDigestIndex]] corpus index (stream-static anti-join — the
+    * static side is re-readable per micro-batch, so appending to the
+    * index between batches tightens the filter without restarting the
+    * query), then first-occurrence-wins WITHIN the stream under the
+    * watermark horizon. The streaming face of
+    * [[graft.operators.Dedup.incrementalNewUniques]]: a continuous
+    * crawl dedups against the historical corpus the moment documents
+    * arrive, state bounded by (watermark-horizon distinct digests),
+    * never by corpus size. */
+  def incrementalDedupStream(docs: DataFrame, index: DataFrame,
+                             watermark: String = "30 minutes"): DataFrame =
+    EventStreams.dedupStream(
+      docs.withColumn("digest", md5(col("text").cast("binary")))
+        .join(index, Seq("digest"), "left_anti"),
+      Seq("digest"), watermark).drop("digest")
 }

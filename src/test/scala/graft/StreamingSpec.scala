@@ -232,6 +232,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup probes the persisted index and dedups in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+
+    // historical corpus -> persisted digest index
+    val hist = Seq((100L, "seen before text"), (101L, "ancient doc"))
+      .toDF("doc_id", "text")
+    Dedup.writeDigestIndex(hist, "doc_id", "text", "t_stream_idx", 4)
+
+    val docs = Seq(
+      StreamDoc(0L, ts(0L), "seen before text"),  // in index -> dropped
+      StreamDoc(1L, ts(1L), "fresh doc one"),
+      StreamDoc(2L, ts(2L), "fresh doc two"),
+      StreamDoc(3L, ts(3L), "fresh doc one"),     // in-stream dup -> dropped
+      StreamDoc(4L, ts(4L), "ancient doc"))       // in index -> dropped
+    val input = MemoryStream[StreamDoc]
+    val q = DocStreams.incrementalDedupStream(input.toDF(),
+        spark.table("t_stream_idx"), "30 minutes")
+      .writeStream.format("memory").queryName("incr_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("incr_out").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("HLL sketch state streams: incremental register maxes equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
