@@ -22,6 +22,22 @@ object Sampling {
 
   /** Keep rows whose key bucket falls under `rate` (rounded to whole
     * per-mille). */
+  /** Deterministic train/val/test assignment by hash bucket: per-mille
+    * cut points (e.g. 980/10/10) over [[hashBucket]], so the split is
+    * reproducible from the key alone — any engine, any partitioning,
+    * any rerun assigns every document identically (the property that
+    * makes eval-set contamination auditable). Pure map, no shuffle. */
+  def datasetSplit(df: DataFrame, keyCol: String,
+                   trainPerMille: Int, valPerMille: Int): DataFrame = {
+    require(trainPerMille >= 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille <= 1000, "per-mille cuts must fit in 1000")
+    val b = hashBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < trainPerMille, lit("train"))
+        .when(b < trainPerMille + valPerMille, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
     df.where(hashBucket(col(keyCol)) < lit(math.round(rate * 1000).toInt))

@@ -306,6 +306,14 @@ object PipelineQueries {
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
     // scale path (sort is shard-local, never global).
+    // Deterministic train/val/test split (960/20 per-mille hash cuts):
+    // reproducible from the key alone — contamination-auditable.
+    "q_dataset_split" -> ((s, dir) =>
+      graft.operators.Sampling.datasetSplit(docs(s, dir), "doc_id", 960, 20)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+
     // Per-source dataset card: docs / exact token totals / quantized
     // mean quality / language spread / exact-dup footprint — one
     // map-side-combined aggregate + the digest-keyed dup accounting.
@@ -1301,6 +1309,20 @@ object PipelineQueries {
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 960 THEN 'train'
+        |            WHEN bkt < 980 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_source_report" ->
       """WITH p AS (

@@ -1857,6 +1857,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("datasetSplit: exhaustive, partition-invariant, matches hashBucket cuts") {
+    import graft.operators.Sampling
+    val df = (0L until 500L).toDF("doc_id")
+    val a = Sampling.datasetSplit(df, "doc_id", 900, 50)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a.size == 500)
+    val b = Sampling.datasetSplit(df.repartition(7), "doc_id", 900, 50)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // assignment is a pure function of the key
+    val buckets = df.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("b"))
+      .as[(Long, Int)].collect().toMap
+    a.foreach { case (id, s) =>
+      val exp = if (buckets(id) < 900) "train"
+        else if (buckets(id) < 950) "val" else "test"
+      assert(s == exp, s"doc $id bucket ${buckets(id)}")
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, missing-entry law, tie-break") {
     import graft.operators.Search
     // list A ranks docs 1,2,3; list B ranks 3,1 (doc 2 missing from B)
