@@ -71,4 +71,31 @@ class FacadeSpec extends AnyFunSuite {
     val ds = productDS(spark, IndexedSeq(range(1, 3), range(1, 2)), 2)
     assert(ds.collect().map(_.dims.sum).sum == 21.0)
   }
+
+  test("loadEvents guards: UTC required, explicit TimestampType, scoped nanos flag") {
+    import org.apache.spark.sql.types.TimestampType
+    val dir = "/root/testdata/sf0.001"
+    val tzKey = "spark.sql.session.timeZone"
+    val typeKey = "spark.sql.timestampType"
+    val prevTz = spark.conf.get(tzKey)
+    try {
+      // (a) a non-UTC session must be rejected, not silently shifted
+      spark.conf.set(tzKey, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        graft.GraftSession.loadEvents(spark, dir)
+      }
+      assert(e.getMessage.contains("UTC"))
+      // (b) under UTC, ts decodes to TimestampType (LTZ) even when the
+      // session's default timestamp type is repointed to NTZ — the
+      // cast targets the explicit type object, not the "timestamp"
+      // keyword that resolves through this config
+      spark.conf.set(tzKey, "UTC")
+      spark.conf.set(typeKey, "TIMESTAMP_NTZ")
+      try {
+        val ev = graft.GraftSession.loadEvents(spark, dir)
+        assert(ev.schema("ts").dataType == TimestampType)
+        assert(ev.selectExpr("count(ts)").first.getLong(0) > 0)
+      } finally spark.conf.unset(typeKey)
+    } finally spark.conf.set(tzKey, prevTz)
+  }
 }
