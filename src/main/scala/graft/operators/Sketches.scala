@@ -63,6 +63,26 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("reg").agg(max("r").as("r"))
 
+  /** HLL set algebra over two register tables: |A|, |B|, |A∪B| (union
+    * = the elementwise-max merge — estimated WITHOUT rescanning any
+    * data), and |A∩B| by inclusion–exclusion on the 6-dp estimates —
+    * the audience-overlap / corpus-intersection measurement that makes
+    * mergeable sketches worth persisting. Callers holding expensive
+    * register pipelines should cache them (each side is read twice:
+    * its own estimate + the merge). Intersection error compounds the
+    * three ±1.04/√m estimates, the standard inclusion–exclusion
+    * caveat. */
+  def hllSetOps(ra: DataFrame, rb: DataFrame, p: Int,
+                hashBits: Int = 32): DataFrame = {
+    val ea = hllEstimate(ra, p, hashBits).select(col("est").as("est_a"))
+    val eb = hllEstimate(rb, p, hashBits).select(col("est").as("est_b"))
+    val eu = hllEstimate(hllMerge(ra, rb), p, hashBits)
+      .select(col("est").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersect",
+        round(col("est_a") + col("est_b") - col("est_union"), 6))
+  }
+
   /** [[hllRegisters]] with the md5-32 hash FUSED into one native
     * per-row pass ([[graft.functions.NativeExprs.HllRegRhoExpr]]):
     * same registers bit-for-bit as

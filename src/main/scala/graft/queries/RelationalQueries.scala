@@ -478,6 +478,21 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
     }),
 
+    // HLL set algebra: two overlapping key subsets (partkeys ≡0 mod 2
+    // and mod 3), union estimated by register merge — no data rescan —
+    // and intersection by inclusion-exclusion; exact overlap alongside.
+    "sk_hll_setops" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val ra = Sketches.hllRegistersMd5(
+        li.where(col("l_partkey") % 2 === 0), col("l_partkey"), p = 10)
+      val rb = Sketches.hllRegistersMd5(
+        li.where(col("l_partkey") % 3 === 0), col("l_partkey"), p = 10)
+      Sketches.hllSetOps(ra, rb, p = 10)
+        .crossJoin(li.where(col("l_partkey") % 6 === 0)
+          .agg(countDistinct(col("l_partkey")).as("n_exact_intersect")))
+    }),
+
     // Single-pass data profile (the pipeline-validation primitive):
     // per-column n / nulls / exact distinct / min / max in one
     // aggregation job, melted to long format with no extra shuffle.
@@ -934,6 +949,43 @@ object RelationalQueries {
         |             / (s_hit + (1024 - nhit) * 17179869184), 6) AS est,
         |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
         |FROM a""".stripMargin,
+
+    "sk_hll_setops" ->
+      """WITH k AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+        |h0 AS (
+        |  SELECT k,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 4, 1)) - 1) * 65536
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 5, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 6, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 7, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 8, 1)) - 1)) AS h
+        |  FROM k),
+        |ra AS (SELECT h // 4194304 AS reg,
+        |         max(CASE WHEN instr(lpad(bin(h % 4194304), 22, '0'), '1') = 0 THEN 23
+        |                  ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END) AS r
+        |       FROM h0 WHERE k % 2 = 0 GROUP BY 1),
+        |rb AS (SELECT h // 4194304 AS reg,
+        |         max(CASE WHEN instr(lpad(bin(h % 4194304), 22, '0'), '1') = 0 THEN 23
+        |                  ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END) AS r
+        |       FROM h0 WHERE k % 3 = 0 GROUP BY 1),
+        |ru AS (SELECT reg, max(r) AS r FROM (
+        |         SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+        |ea AS (SELECT round((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 17179869184.0
+        |         / (CAST(coalesce(sum(CAST(power(2.0, 34 - r) AS BIGINT)), 0) AS BIGINT)
+        |            + (1024 - count(*)) * 17179869184), 6) AS est FROM ra),
+        |eb AS (SELECT round((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 17179869184.0
+        |         / (CAST(coalesce(sum(CAST(power(2.0, 34 - r) AS BIGINT)), 0) AS BIGINT)
+        |            + (1024 - count(*)) * 17179869184), 6) AS est FROM rb),
+        |eu AS (SELECT round((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 17179869184.0
+        |         / (CAST(coalesce(sum(CAST(power(2.0, 34 - r) AS BIGINT)), 0) AS BIGINT)
+        |            + (1024 - count(*)) * 17179869184), 6) AS est FROM ru)
+        |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+        |  round(ea.est + eb.est - eu.est, 6) AS est_intersect,
+        |  (SELECT count(*) FROM k WHERE k % 6 = 0) AS n_exact_intersect
+        |FROM ea, eb, eu""".stripMargin,
 
     "q_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx

@@ -195,6 +195,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fusedGrouped == refGrouped)
   }
 
+  test("HLL set ops: union via merge, intersection via inclusion-exclusion, 5-sigma accuracy") {
+    import graft.operators.Sketches
+    val p = 10
+    // |A| = 6000, |B| = 5000, |A∩B| = 2000
+    val a = (0L until 6000L).toDF("k")
+    val b = (4000L until 9000L).toDF("k")
+    val ra = Sketches.hllRegistersMd5(a, col("k"), p)
+    val rb = Sketches.hllRegistersMd5(b, col("k"), p)
+    val row = Sketches.hllSetOps(ra, rb, p).first()
+    val (estA, estB, estU, estI) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // inclusion-exclusion identity holds exactly on the rounded values
+    assert(math.abs(estI - math.rint((estA + estB - estU) * 1e6) / 1e6) < 1e-9)
+    // each estimate within 5 sigma (sigma = 1.04/sqrt(m)); the
+    // intersection compounds three estimates -> allow 3x the band
+    val sigma = 1.04 / math.sqrt(1 << p)
+    assert(math.abs(estA - 6000) / 6000 < 5 * sigma, s"estA=$estA")
+    assert(math.abs(estB - 5000) / 5000 < 5 * sigma, s"estB=$estB")
+    assert(math.abs(estU - 9000) / 9000 < 5 * sigma, s"estU=$estU")
+    assert(math.abs(estI - 2000) / 2000 < 15 * sigma, s"estI=$estI")
+  }
+
   test("grouped HLL: rollup-of-sketches == sketch-of-rollup; per-group == filtered global") {
     import graft.operators.Sketches
     val df = (0L until 9000L).map(i => (i % 3, i * 7919L + 13L)).toDF("g", "k")
