@@ -31,7 +31,25 @@ object Chunking {
   /** One row per (doc, chunk): id, chunk_id, start token offset, token
     * count, md5 fingerprint of the space-joined chunk. */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
-                  window: Int, stride: Int): DataFrame = {
+                  window: Int, stride: Int): DataFrame =
+    chunked(docs, idCol, textCol, window, stride) { chunk =>
+      Seq(md5(concat_ws(" ", chunk).cast("binary")).as("chunk_hash"))
+    }
+
+  /** [[chunkTokens]] carrying the chunk TEXT (space-joined tokens)
+    * instead of its fingerprint — the passage-extraction form whose
+    * output feeds retrieval/embedding directly. Output duplicates
+    * ~window/stride of the corpus text by contract; prefer
+    * [[chunkTokens]] when downstream only needs chunk identity. */
+  def chunkTokensWithText(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int, stride: Int): DataFrame =
+    chunked(docs, idCol, textCol, window, stride) { chunk =>
+      Seq(concat_ws(" ", chunk).as("chunk_text"))
+    }
+
+  private def chunked(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int, stride: Int)
+                     (payload: Column => Seq[Column]): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(stride >= 1 && stride <= window,
       "stride must be in [1, window] (stride > window would skip tokens)")
@@ -45,9 +63,8 @@ object Chunking {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
       .select(col(idCol), col("ws"),
         explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
-      .select(col(idCol), col("chunk_id"),
+      .select(Seq(col(idCol), col("chunk_id"),
         (col("chunk_id") * stride).as("tok_start"),
-        size(chunk).cast("long").as("n_tok"),
-        md5(concat_ws(" ", chunk).cast("binary")).as("chunk_hash"))
+        size(chunk).cast("long").as("n_tok")) ++ payload(chunk): _*)
   }
 }

@@ -373,6 +373,20 @@ object PipelineQueries {
         Seq(a.select("query_id", "doc_id", "rnk"), b), "doc_id", 5)
     }),
 
+    // Retrieval end-to-end: chunk the corpus into 64/48 passages, then
+    // BM25-retrieve the top-5 PASSAGES per corpus-derived query — the
+    // RAG indexing+retrieval pipeline as one lazy plan (stats, df, and
+    // scoring all over the passage table; passage_id = doc_id·10^5 +
+    // chunk_id is reversible).
+    "pipe_retrieval" -> ((s, dir) => {
+      val passages = graft.operators.Chunking
+        .chunkTokensWithText(docs(s, dir), "doc_id", "text", 64, 48)
+        .select((col("doc_id") * 100000L + col("chunk_id")).as("passage_id"),
+          col("chunk_text"))
+      graft.operators.Search.bm25TopK(passages, "passage_id", "chunk_text",
+        vocabQueries(s, dir), 5)
+    }),
+
     // Passage chunking: fixed 64-token windows, stride 48 (16-token
     // overlap) — pure-map posexplode + slice, md5 chunk fingerprints
     // so downstream chunk-level ops shuffle 32 B hashes, not text.
@@ -1436,6 +1450,53 @@ object PipelineQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "pipe_retrieval" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    ws[(CAST(i AS INT) * 48 + 1) : CAST(least(i * 48 + 64, len(ws)) AS INT)] AS chunk
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |    greatest((len(ws) - 64 + 48 - 1) // 48, 0) + 1)) AS i)),
+        |p AS (SELECT doc_id * 100000 + chunk_id AS passage_id,
+        |        array_to_string(chunk, ' ') AS ptext FROM c),
+        |tokd AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tokd WHERE token <> '' GROUP BY token),
+        |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
+        |          FROM cnt ORDER BY c DESC, token LIMIT 15),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 sum(len(regexp_split_to_array(trim(ptext), '\s+'))) AS sum_dl
+        |          FROM p),
+        |tokp AS (
+        |  SELECT passage_id, unnest(regexp_split_to_array(trim(ptext), '\s+')) AS token
+        |  FROM p),
+        |dfc AS (SELECT token, count(DISTINCT passage_id) AS df
+        |        FROM tokp JOIN vocab USING (token) GROUP BY token),
+        |ti AS (SELECT vocab.token, (rn - 1) // 3 AS query_id,
+        |              ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+        |       FROM vocab JOIN dfc USING (token) CROSS JOIN stats),
+        |d2 AS (SELECT passage_id, len(regexp_split_to_array(trim(ptext), '\s+')) AS dl
+        |       FROM p),
+        |tf AS (SELECT t.passage_id, t.token, count(*) AS tf
+        |       FROM tokp t JOIN vocab USING (token) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ti.query_id, d2.passage_id,
+        |    CAST(round(ti.idf * coalesce(tf.tf, 0) * 2.2 /
+        |         (coalesce(tf.tf, 0) + 1.2 * (1.0 - 0.75 + (0.75 * d2.dl) /
+        |          (stats.sum_dl / stats.n_docs))) * 1e6) AS BIGINT) AS li
+        |  FROM ti CROSS JOIN d2
+        |  LEFT JOIN tf ON tf.passage_id = d2.passage_id AND tf.token = ti.token
+        |  CROSS JOIN stats),
+        |sc AS (SELECT query_id, passage_id, sum(li) AS s FROM pairs GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, passage_id,
+        |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
+        |FROM (SELECT query_id, passage_id, s,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, passage_id) AS rnk
+        |      FROM sc)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "srch_rrf" ->
       """WITH tok AS (

@@ -135,7 +135,7 @@ class PlanSpec extends AnyFunSuite {
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
         "txt_ppl_buckets", "pipe_curation", "q_temp_mix",
         "knn_recall", "q_histogram", "srch_bm25", "srch_rrf",
-        "knn_ivf_idx", "sk_hll_setops")
+        "knn_ivf_idx", "sk_hll_setops", "pipe_retrieval")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
