@@ -133,4 +133,28 @@ object NativeExprsProps extends Properties("NativeExprs") {
           .select("id").collect().map(_.getLong(0)).toSet
       keep(lo).subsetOf(keep(hi))
     }
+
+  property("chunk law: count, tiling, tail coverage for any (window, stride, n)") =
+    forAll(Gen.chooseNum(1, 12), Gen.chooseNum(1, 12), Gen.chooseNum(0, 60)) {
+      (w0, s0, n) =>
+        import spark.implicits._
+        val window = math.max(w0, s0)
+        val stride = math.min(w0, s0) // stride <= window by construction
+        val text = (0 until n).map(i => s"t$i").mkString(" ")
+        val got = graft.operators.Chunking
+          .chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+            "doc_id", "text", window, stride)
+          .select("chunk_id", "tok_start", "n_tok")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        // n=0 -> split("") = [""] -> 1 token; the law sees dl >= 1
+        val dl = math.max(n, 1)
+        val expChunks = 1 + math.max(0, (dl - window + stride - 1) / stride)
+        got.length == expChunks &&
+          got.zipWithIndex.forall { case ((cid, start, ntok), i) =>
+            cid == i && start == i.toLong * stride &&
+              ntok == math.min(window, dl - i * stride)
+          } &&
+          (got.last._2 + got.last._3 == dl) // tail reached exactly
+    }
 }
