@@ -321,6 +321,19 @@ object PipelineQueries {
       graft.operators.Profile.sourceReport(docs(s, dir),
         "doc_id", "text", "source", "lang")),
 
+    // Near-dup cluster-id export: the (member, cluster) map itself —
+    // the analysis artifact behind survivor selection (cluster-size
+    // distributions, manual audit, provenance). comp = min reachable
+    // id; singletons carry no row.
+    "dd_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.fingerprintJaccardPairs(d, "doc_id", "text", 8,
+        maxBlockSize = 1000)
+        .where(col("jaccard") >= 0.5)
+      graft.operators.ConnectedComponents.run(pairs.cache())
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    }),
+
     // Quality-aware survivor selection: same fingerprint-blocked
     // Jaccard pair graph as dd_survivors, but each near-dup cluster
     // keeps its HIGHEST-QUALITY member (ties to the lower id) instead
@@ -1362,6 +1375,32 @@ object PipelineQueries {
         |  round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / n_docs, 6) AS dup_rate
         |FROM s LEFT JOIN dup ON s.source = dup.source
         |ORDER BY s.source""".stripMargin,
+
+    "dd_clusters" ->
+      """WITH RECURSIVE f0 AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(
+        |      list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                   i -> substr(text, i, 8))),
+        |      s -> md5(s))) AS fp,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |fc AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 1000),
+        |f AS (SELECT f0.* FROM f0 JOIN fc USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT node AS doc_id, comp AS cluster_id FROM comp ORDER BY 1""".stripMargin,
 
     "dd_best_survivor" ->
       """WITH RECURSIVE f0 AS (

@@ -14,6 +14,7 @@ import graft.streaming.EventStreams.Event
   * windowed aggregation must produce the batch answer once the
   * watermark passes. */
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+case class StreamQVec(qid: Long, vec: Seq[Double])
 
 class StreamingSpec extends AnyFunSuite {
 
@@ -260,6 +261,51 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("incr_out").select("doc_id").as[Long].collect().toSet
       assert(got == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming ANN serve: foreachBatch over the persisted IVF index equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", nCells = 8,
+      "t_stream_ivf_cent", "t_stream_ivf_asg", buckets = 4)
+
+    val qRows = e.where(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => StreamQVec(r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[StreamQVec]
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    // per-micro-batch serving: rank windows aren't stream-native, so
+    // the production shape is foreachBatch running the BATCH operator
+    // against the static index — per-batch top-k is exactly the
+    // semantics a query stream wants
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Similarity.ivfTopKFromIndex(batch,
+              spark.table("t_stream_ivf_cent"), spark.table("t_stream_ivf_asg"),
+              k = 3, nprobe = 2)
+            .select("qid", "id", "rk")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(qRows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(qRows.drop(3): _*)
+      q.processAllAvailable()
+      val want = Similarity.ivfTopKFromIndex(
+          qRows.toSeq.toDF("qid", "vec").select(col("qid"), col("vec")),
+          spark.table("t_stream_ivf_cent"), spark.table("t_stream_ivf_asg"),
+          k = 3, nprobe = 2)
+        .select("qid", "id", "rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.toSet == want)
     } finally q.stop()
   }
 
