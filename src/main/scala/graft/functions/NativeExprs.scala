@@ -297,6 +297,59 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** [[HashedLinearScoreExpr]] with TRAINED weights: the same
+    * tokenize → md5-bucket → integer milli-weight sum → length
+    * normalization, but the per-bucket weight comes from a model
+    * array carried as ONE reference object (broadcast with the task
+    * closure — `weights.length` buckets × 4 B; a fastText-sized 256k
+    * table is 1 MiB). Setting `weights(i) = i % 2001 - 1000`
+    * reproduces the hash-derived stand-in bit-for-bit (spec-pinned),
+    * which is the documented swap-in contract: training changes the
+    * array contents, never the plan shape. */
+  case class WeightedLinearScoreExpr(child: Expression, weights: Array[Int])
+      extends UnaryExpression {
+    require(weights.nonEmpty, "weights must be non-empty")
+    override def dataType: DataType = DoubleType
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val s = text.toString
+      val dim = weights.length
+      val md = md5Digest()
+      val len = s.length
+      var n = 0
+      var ms = 0L
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val dig = md.digest(s.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          v >>>= 4
+          ms += weights((v % dim).toInt)
+          n += 1
+        }
+      }
+      if (n == 0) 0.0
+      else java.math.BigDecimal.valueOf(ms.toDouble / (n * 1000.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("weightedLinearScoreExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WeightedLinearScoreExpr =
+      copy(child = newChild)
+  }
+
   /** Fused BM25 scoring: ONE tokenize pass per document scores EVERY
     * query — tf counting for all query terms rides a single hash-map
     * lookup per token, then per query the quantized contribution sum
@@ -1096,6 +1149,9 @@ object NativeExprs {
                        k1: Double, b: Double, avgdl: Double): Column =
     ColumnBridge.column(Bm25ScoresExpr(ColumnBridge.expression(text),
       terms, k1, b, avgdl))
+
+  def weightedLinearScoreNative(text: Column, weights: Array[Int]): Column =
+    ColumnBridge.column(WeightedLinearScoreExpr(ColumnBridge.expression(text), weights))
 
   def hllRegRhoNative(key: Column, p: Int): Column =
     ColumnBridge.column(HllRegRhoExpr(ColumnBridge.expression(key), p))

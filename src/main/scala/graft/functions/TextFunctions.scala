@@ -375,4 +375,14 @@ object TextFunctions {
       round(milliSum.cast("double") / (size(toks) * 1000.0), 6))
       .otherwise(lit(0.0))
   }
+
+  /** The TRAINED-weights fast path: the fused native classifier pass
+    * with a concrete milli-weight array (`weights.length` = dim, one
+    * reference object shipped with the task closure — a fastText-sized
+    * 256k table is 1 MiB). `weights(i) = i % 2001 - 1000` reproduces
+    * the hash-derived default bit-for-bit (spec-pinned), which is the
+    * swap-in contract made executable: training changes the array
+    * contents, never the plan. */
+  def hashedLinearScoreTrained(text: Column, weights: Array[Int]): Column =
+    NativeExprs.weightedLinearScoreNative(text, weights)
 }

@@ -1738,6 +1738,17 @@ class PipelineOpsSpec extends AnyFunSuite {
         b => element_at(lit(w), (b + 1).cast("int"))).as("s"))
       .where(col("s") =!= 0.0).select("s").as[Double].collect()
     assert(flat.forall(_ == 0.5), s"flat-weight scores: ${flat.toSeq}")
+    // the NATIVE trained-weights pass: pseudo-law array reproduces the
+    // default bit-for-bit, flat array reproduces the broadcast lookup
+    val pseudo = Array.tabulate(dim)(i => i % 2001 - 1000)
+    val nativeTrained = wsTexts.select(col("doc_id"),
+      TextFunctions.hashedLinearScoreTrained(col("text"), pseudo).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nativeTrained == nativeForm, s"trained=$nativeTrained default=$nativeForm")
+    val nativeFlat = texts.toDF("doc_id", "text")
+      .select(TextFunctions.hashedLinearScoreTrained(col("text"), w).as("s"))
+      .where(col("s") =!= 0.0).select("s").as[Double].collect()
+    assert(nativeFlat.forall(_ == 0.5), s"native flat-weight: ${nativeFlat.toSeq}")
   }
 
   test("temperatureMix: sqrt-law rates, smallest stratum keeps all, alpha=1 identity") {
