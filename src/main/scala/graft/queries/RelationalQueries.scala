@@ -668,6 +668,19 @@ object RelationalQueries {
           col("n_events"))),
 
     // Sessionization: 30-minute-gap sessions per user (lag + running sum).
+    // Next-event transition table — behavioral training-example
+    // construction from logs (the Markov/next-token stats a sequence
+    // model trains on): per-user time-ordered lead(), then one
+    // map-side-combined count over the tiny (type, next) key space.
+    "q_event_pairs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
@@ -1225,6 +1238,15 @@ object RelationalQueries {
         |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
+
+    "q_event_pairs" ->
+      """WITH nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM nxt WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (
