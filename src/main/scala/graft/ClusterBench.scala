@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: multi-JVM rehearsal of headline gates. Every bench and
+  * gate run executes on `local[32]` — one JVM, where closure
+  * serialization, reference-object shipping (the native expressions'
+  * codegen calls back into driver-built objects), and cross-executor
+  * shuffle/bucket-table reads are all short-circuited. A real cluster
+  * is not. This probe runs the headline queries on a
+  * `local-cluster[4,8,2048]` master (four separate executor JVMs,
+  * netty shuffle, real task serialization) and asserts each result's
+  * order-insensitive digest is IDENTICAL to the single-JVM session's —
+  * the "would it run on a 1000-executor cluster" claim demonstrated
+  * at the whole-query tier, complementing [[FaultProbe]]'s
+  * executor-loss rehearsal.
+  *
+  * Usage: runMain graft.ClusterBench [sfDir] [query ...]
+  */
+object ClusterBench {
+  private val DefaultQueries = Seq(
+    "q1_agg", "q5_region_revenue", "dd_exact", "dd_minhash_lsh",
+    "srch_bm25", "txt_unigram_lm", "txt_tfidf", "q_bucketed_join",
+    "pmr_sum_large", "txt_chunks")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.select(count(lit(1)),
+        expr("bit_xor(xxhash64(to_json(struct(*))))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // Pass 1: the single-JVM reference session.
+    val local = GraftSession.build("local[32]", 32, "graft-clusterbench-local")
+    local.sparkContext.setLogLevel("WARN")
+    val want = names.map { n =>
+      n -> digest(SparkEntry.queries(n)(local, sfDir))
+    }.toMap
+    local.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // Pass 2: four executor JVMs. The compiled classes must reach the
+    // executors explicitly — local-cluster workers don't inherit the
+    // driver's classpath.
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cluster = SparkSession.builder()
+      .master("local-cluster[4,8,2048]")
+      .appName("graft-clusterbench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.executor.memory", "2048m")
+      .config("spark.executor.extraClassPath", classes)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    cluster.sparkContext.setLogLevel("WARN")
+
+    var failed = 0
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val got = digest(fn(cluster, sfDir))
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(cluster, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val ok = got == want(n)
+      if (!ok) failed += 1
+      println(f"CLUSTERBENCH $n%-22s ${if (ok) "match" else s"MISMATCH got=$got want=${want(n)}"}%-10s min=$t%.2f s")
+      cluster.catalog.clearCache()
+    }
+    cluster.stop()
+    if (failed > 0) {
+      println(s"CLUSTERBENCH FAILED: $failed digests differ")
+      sys.exit(1)
+    }
+    println(s"CLUSTERBENCH OK ${names.size} queries digest-identical across 4 executor JVMs")
+  }
+}
