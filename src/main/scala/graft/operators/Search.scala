@@ -121,6 +121,131 @@ object Search {
       .select(col("query_id"), col(idCol), col("rnk"))
   }
 
+  /** Persist the BM25 index for [[bm25TopKFromIndex]] — the lexical
+    * counterpart of [[Similarity.writeIvfIndex]]'s index-once/
+    * probe-forever contract. Four tables under `prefix`:
+    *
+    *  - `<prefix>_postings` `(token, doc_id, tf, dl)` — BUCKETED (and
+    *    bucket-sorted) by `token`, so a probe restricted to a query
+    *    vocabulary reads ONLY the buckets those terms hash to
+    *    (SelectedBucketsCount in the scan; BucketingSpec pins it) and
+    *    any token-keyed join against the index is exchange-free.
+    *  - `<prefix>_df` `(token, df)` — derived FROM the persisted
+    *    postings (one bucket-local aggregate, no re-tokenize).
+    *  - `<prefix>_doclen` `(doc_id, dl)` — for zero-score padding.
+    *  - `<prefix>_stats` `(n_docs, sum_dl)` — exact long sums.
+    *
+    * Scale shape: the corpus is tokenized ONCE at build time; every
+    * later probe touches |query-vocab| buckets of postings instead of
+    * re-reading (and re-tokenizing) the text — the regime where the
+    * fused-scoring plan of [[bm25TopK]] stops winning because its
+    * cost is a full corpus scan per query batch. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     prefix: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val ws = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"),
+      size(ws).cast("long").as("dl"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    graft.sources.Sinks.writeBucketed(postings, s"${prefix}_postings",
+      buckets, Seq("token"))
+    // df = distinct docs per token = postings row count per token;
+    // reading the persisted table keeps this exchange-free under the
+    // token bucket layout (no second tokenize pass).
+    graft.sources.Sinks.saveTableReplacing(
+      spark.table(s"${prefix}_postings")
+        .groupBy("token").agg(count(lit(1)).as("df")),
+      s"${prefix}_df")
+    graft.sources.Sinks.saveTableReplacing(
+      base.select(col("doc_id"), col("dl")), s"${prefix}_doclen")
+    graft.sources.Sinks.saveTableReplacing(
+      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      s"${prefix}_stats")
+  }
+
+  /** BM25 top-`k` served from a persisted [[writeBm25Index]] —
+    * result-identical to [[bm25TopK]] on the indexed corpus (same
+    * scoring law, same per-term HALF_UP micro-unit quantization, same
+    * ties). The probe never touches the corpus text: it joins the
+    * broadcast query terms against the postings restricted to the
+    * query vocabulary (a codegen'd IN on the bucket column → bucket
+    * pruning: only |vocab| buckets are read), sums quantized
+    * contributions per (query, doc), and takes the per-query top-k
+    * via WindowGroupLimit. Documents containing NO query term all
+    * score exactly 0 and rank among themselves by ascending id; they
+    * are padded in (when a query has fewer than k positive docs) from
+    * the 2k lowest ids of the doclen table — a bounded head, never a
+    * corpus scan. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String, queries: DataFrame, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val statsRow = spark.table(s"${prefix}_stats").first()
+    val nDocs = statsRow.getLong(0)
+    val qrows: Seq[(Long, Seq[String])] = queries
+      .select(col("query_id").cast("long"), col("terms"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    if (nDocs == 0L || qrows.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("rnk"),
+        lit(0.0).as("score"))
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val allTerms = qrows.flatMap(_._2).distinct
+    val dfMap: Map[String, Long] = spark.table(s"${prefix}_df")
+      .where(col("token").isInCollection(allTerms))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(t: String): Double = dfMap.get(t) match {
+      case Some(df) => math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      case None => 0.0
+    }
+    import spark.implicits._
+    val termsDf = qrows.flatMap { case (qid, ts) => ts.map(t => (qid, t, idf(t))) }
+      .toDF("query_id", "token", "idf")
+
+    // Same arithmetic order (and the same HALF_UP rounding `round`
+    // applies to doubles) as Bm25ScoresExpr: ((idf·tf)·(k1+1)) /
+    // (tf + k1·((1−b) + (b·dl)/avgdl)) · 1e6.
+    val dln = lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))
+    val li = round(col("idf") * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + dln) * lit(1e6), 0).cast("long")
+    val scored = spark.table(s"${prefix}_postings")
+      .where(col("token").isInCollection(allTerms))
+      .join(broadcast(termsDf), "token")
+      .select(col("query_id"), col("doc_id"), li.as("li"))
+      .groupBy("query_id", "doc_id").agg(sum(col("li")).as("s"))
+      .where(col("s") > 0L)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("doc_id").asc)
+    val topPos = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+
+    // Zero-score padding: candidates are the 2k lowest doc ids — at
+    // most k of them can be occupied by this query's positive top-k,
+    // so at least k remain for the by-id zero tail. All frames here
+    // are ≤ 2k·|Q| rows.
+    val counts = topPos.groupBy("query_id").agg(count(lit(1)).as("c"))
+    val qids = qrows.map(_._1).toDF("query_id")
+    val lowIds = spark.table(s"${prefix}_doclen")
+      .select(col("doc_id")).orderBy(col("doc_id").asc).limit(2 * k)
+    val wp = Window.partitionBy("query_id").orderBy(col("doc_id").asc)
+    val pads = qids.crossJoin(broadcast(lowIds))
+      .join(topPos.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .join(counts, Seq("query_id"), "left").na.fill(0L, Seq("c"))
+      .withColumn("pr", row_number().over(wp).cast("long"))
+      .where(col("c") + col("pr") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("c") + col("pr")).as("rnk"), lit(0L).as("s"))
+    topPos.select(col("query_id"), col("doc_id"), col("rnk"), col("s"))
+      .union(pads)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("s") / 1e6, 6).as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
     * `score(q,d) = Σ_lists 1/(c + rank)`, missing entries contribute
     * nothing. Per-list contributions are quantized to nano-units

@@ -386,6 +386,19 @@ object PipelineQueries {
         Seq(a.select("query_id", "doc_id", "rnk"), b), "doc_id", 5)
     }),
 
+    // BM25 served from the persisted postings index
+    // (index-once/probe-forever): build the token-bucketed postings +
+    // df + stats tables, then probe — the probe reads only the query
+    // vocabulary's buckets (bucket pruning on the IN filter) and
+    // never touches the corpus text. Result-identical to srch_bm25,
+    // pinned against the same oracle.
+    "srch_bm25_idx" -> ((s, dir) => {
+      graft.operators.Search.writeBm25Index(docs(s, dir), "doc_id", "text",
+        "g_bm25", 8)
+      graft.operators.Search.bm25TopKFromIndex(s, "g_bm25",
+        vocabQueries(s, dir), 5)
+    }),
+
     // Retrieval end-to-end: chunk the corpus into 64/48 passages, then
     // BM25-retrieve the top-5 PASSAGES per corpus-derived query — the
     // RAG indexing+retrieval pipeline as one lazy plan (stats, df, and
@@ -966,6 +979,46 @@ object PipelineQueries {
       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
       |  FROM pairs) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** Shared by srch_bm25 (inline fused scoring) and srch_bm25_idx
+    * (served from the persisted postings index): the two paths are
+    * result-identical by design — same scoring law, same per-term
+    * HALF_UP micro-unit quantization — so both gates pin against the
+    * same SQL. */
+  private val srchBm25Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
+      |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
+      |          FROM cnt ORDER BY c DESC, token LIMIT 15),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
+      |          FROM documents),
+      |dfc AS (SELECT token, count(DISTINCT doc_id) AS df
+      |        FROM tok JOIN vocab USING (token) GROUP BY token),
+      |ti AS (SELECT vocab.token, (rn - 1) // 3 AS query_id,
+      |              ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      |       FROM vocab JOIN dfc USING (token) CROSS JOIN stats),
+      |d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+      |      FROM documents),
+      |tf AS (SELECT t.doc_id, t.token, count(*) AS tf
+      |       FROM tok t JOIN vocab USING (token) GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ti.query_id, d.doc_id,
+      |    CAST(round(ti.idf * coalesce(tf.tf, 0) * 2.2 /
+      |         (coalesce(tf.tf, 0) + 1.2 * (1.0 - 0.75 + (0.75 * d.dl) /
+      |          (stats.sum_dl / stats.n_docs))) * 1e6) AS BIGINT) AS li
+      |  FROM ti CROSS JOIN d
+      |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.token = ti.token
+      |  CROSS JOIN stats),
+      |sc AS (SELECT query_id, doc_id, sum(li) AS s FROM pairs GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk,
+      |        s FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "knn_pq" -> pqOracleSql,
     "knn_ivfpq" -> ivfPqOracleSql,
@@ -1455,40 +1508,8 @@ object PipelineQueries {
         |FROM delta WHERE digest NOT IN (SELECT digest FROM base)
         |GROUP BY digest ORDER BY doc_id""".stripMargin,
 
-    "srch_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |cnt AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
-        |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
-        |          FROM cnt ORDER BY c DESC, token LIMIT 15),
-        |stats AS (SELECT count(*) AS n_docs,
-        |                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
-        |          FROM documents),
-        |dfc AS (SELECT token, count(DISTINCT doc_id) AS df
-        |        FROM tok JOIN vocab USING (token) GROUP BY token),
-        |ti AS (SELECT vocab.token, (rn - 1) // 3 AS query_id,
-        |              ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
-        |       FROM vocab JOIN dfc USING (token) CROSS JOIN stats),
-        |d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
-        |      FROM documents),
-        |tf AS (SELECT t.doc_id, t.token, count(*) AS tf
-        |       FROM tok t JOIN vocab USING (token) GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT ti.query_id, d.doc_id,
-        |    CAST(round(ti.idf * coalesce(tf.tf, 0) * 2.2 /
-        |         (coalesce(tf.tf, 0) + 1.2 * (1.0 - 0.75 + (0.75 * d.dl) /
-        |          (stats.sum_dl / stats.n_docs))) * 1e6) AS BIGINT) AS li
-        |  FROM ti CROSS JOIN d
-        |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.token = ti.token
-        |  CROSS JOIN stats),
-        |sc AS (SELECT query_id, doc_id, sum(li) AS s FROM pairs GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk,
-        |        s FROM sc)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-        |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "srch_bm25" -> srchBm25Oracle,
+    "srch_bm25_idx" -> srchBm25Oracle,
 
     "pipe_retrieval" ->
       """WITH w AS (

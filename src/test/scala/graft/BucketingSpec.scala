@@ -167,6 +167,32 @@ class BucketingSpec extends AnyFunSuite {
     assert(cellExchanges == 1, s"expected 1 cell exchange, got $cellExchanges:\n$plan")
   }
 
+  test("bm25 index probe equals inline scoring and prunes to the query buckets") {
+    import graft.operators.Search
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // 16 buckets > 15 query terms: the probe's IN filter can touch at
+    // most 15 buckets, so SelectedBucketsCount MUST prune.
+    Search.writeBm25Index(docs, "doc_id", "text", "spec_bm25", 16)
+    // three queries incl. one with no corpus hits at all (exercises
+    // the zero-score by-id padding path end to end)
+    val queries = Seq(
+      (0L, Seq("the", "a", "data")),
+      (1L, Seq("table", "row", "fast")),
+      (2L, Seq("zzz_not_in_corpus"))).toDF("query_id", "terms")
+    val inline = Search.bm25TopK(docs, "doc_id", "text", queries, 5)
+    val served = Search.bm25TopKFromIndex(spark, "spec_bm25", queries, 5)
+    assert(served.collect().map(_.toSeq).toSet ==
+      inline.collect().map(_.toSeq).toSet)
+    // bucket pruning reached the postings scan
+    val plan = served.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 16".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, plan)
+    assert(sel.get.group(1).toInt < 16, plan)
+  }
+
   test("incremental-dedup probe reads the digest index exchange-free") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
