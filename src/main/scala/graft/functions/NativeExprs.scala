@@ -350,6 +350,58 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Hashed bag-of-tokens feature vector: ONE tokenize pass builds
+    * the `dim`-bucket token-count array (the hashing trick) — the
+    * FEATURE side of the [[HashedLinearScoreExpr]] family, used by
+    * [[graft.operators.Training]]'s distributed logistic regression.
+    * Bucket law is the family's md5 law (`conv(substr(md5(t),1,15),
+    * 16,10) % dim` — the high 60 bits of digest bytes 0–7), identical
+    * to the DuckDB-oracle form `CAST(concat('0x', substr(md5(t),1,15))
+    * AS BIGINT) % dim`; whitespace runs delimit tokens and empty
+    * tokens are never counted (the Column law
+    * `filter(split(trim(text)), t -> length(t) > 0)`).
+    * Output: array<long> of length `dim` (raw counts, no
+    * normalization — training owns the scaling). */
+  case class HashedCountsExpr(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0, s"dim=$dim")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      val md = md5Digest()
+      val len = s.length
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val dig = md.digest(s.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          v >>>= 4 // first 15 hex chars = high 60 bits of bytes 0-7
+          counts((v % dim).toInt) += 1L
+        }
+      }
+      new GenericArrayData(counts)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashedCountsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HashedCountsExpr =
+      copy(child = newChild)
+  }
+
   /** Fused BM25 scoring: ONE tokenize pass per document scores EVERY
     * query — tf counting for all query terms rides a single hash-map
     * lookup per token, then per query the quantized contribution sum
@@ -1149,6 +1201,9 @@ object NativeExprs {
                        k1: Double, b: Double, avgdl: Double): Column =
     ColumnBridge.column(Bm25ScoresExpr(ColumnBridge.expression(text),
       terms, k1, b, avgdl))
+
+  def hashedCountsNative(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashedCountsExpr(ColumnBridge.expression(text), dim))
 
   def weightedLinearScoreNative(text: Column, weights: Array[Int]): Column =
     ColumnBridge.column(WeightedLinearScoreExpr(ColumnBridge.expression(text), weights))

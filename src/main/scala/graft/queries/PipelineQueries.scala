@@ -62,6 +62,27 @@ object PipelineQueries {
         TextFunctions.hashedLinearScore(col("text"), 262144).as("clf_score"))
         .withColumn("clf_keep", (col("clf_score") >= 0.0).cast("int"))),
 
+    // Distributed classifier TRAINING (full-batch logistic regression,
+    // 3 GD steps over 32 hashed buckets + intercept, label = lang=en):
+    // every gradient sum is exact-integer micro-units so the trained
+    // weights are independent of row order and partitioning — the
+    // oracle unrolls the same three iterations as CTE stages and
+    // reproduces them bit-for-bit.
+    "txt_lr_train" -> ((s, dir) =>
+      graft.operators.Training.trainLogReg(docs(s, dir), "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.2)),
+
+    // Train-then-score composition: the weights from txt_lr_train
+    // drive the quantized-sigmoid keep decision over the same corpus
+    // (one native feature pass + codegen'd fold per row, no shuffle).
+    "txt_lr_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.operators.Training.trainLogRegWeights(d, "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.2)
+      val (pq, keep) = graft.operators.Training.scoreLogReg(col("text"), w)
+      d.select(col("doc_id"), pq.as("pq"), keep.as("pred_keep"))
+    }),
+
     // Repetition quality signals: duplicate-bigram fraction, top-bigram
     // occurrence share, duplicate-trigram fraction. One native
     // tokenize+count pass per row (`RepStatsExpr`, spec-matched to the
@@ -1019,7 +1040,70 @@ object PipelineQueries {
       |  CAST(rnk AS BIGINT) AS rnk, round(s / 1e6, 6) AS score
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The logistic-regression training chain, shared by txt_lr_train
+    * and txt_lr_score: three GD iterations unrolled as CTE stages on
+    * the exact-integer law of [[graft.operators.Training]] — hashed
+    * counts (the classifier md5 bucket law), long dot products,
+    * 1e-4-quantized sigmoid, micro-unit gradient sums, floor(x+0.5)
+    * weight updates. `spine` keeps buckets no token hashes to. */
+  private val lrChainSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                                    t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |        FROM documents),
+      |spine AS (SELECT unnest(range(0, 33)) AS j),
+      |f AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 AS j,
+      |         count(*) AS x
+      |  FROM tok GROUP BY 1, 2
+      |  UNION ALL SELECT doc_id, 32 AS j, 1 AS x FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |g1 AS (
+      |  SELECT s.j, coalesce(sum(fl.gv), 0) AS g
+      |  FROM spine s LEFT JOIN (
+      |    SELECT f.j, (5000 - lab.y * 10000) * f.x * 100 AS gv
+      |    FROM f JOIN lab USING (doc_id)) fl ON fl.j = s.j
+      |  GROUP BY s.j),
+      |w1 AS (SELECT g1.j, 0 - CAST(floor(0.2 * g1.g / nn.n + 0.5) AS BIGINT) AS w
+      |       FROM g1 CROSS JOIN nn),
+      |m2 AS (SELECT f.doc_id, sum(w1.w * f.x) AS m FROM f JOIN w1 USING (j) GROUP BY 1),
+      |p2 AS (SELECT doc_id, CAST(floor(1e4 / (1 + exp(-(m / 1e6))) + 0.5) AS BIGINT) AS pq
+      |       FROM m2),
+      |g2 AS (
+      |  SELECT s.j, coalesce(sum(fl.gv), 0) AS g
+      |  FROM spine s LEFT JOIN (
+      |    SELECT f.j, (p2.pq - lab.y * 10000) * f.x * 100 AS gv
+      |    FROM f JOIN lab USING (doc_id) JOIN p2 USING (doc_id)) fl ON fl.j = s.j
+      |  GROUP BY s.j),
+      |w2 AS (SELECT w1.j, w1.w - CAST(floor(0.2 * g2.g / nn.n + 0.5) AS BIGINT) AS w
+      |       FROM w1 JOIN g2 USING (j) CROSS JOIN nn),
+      |m3 AS (SELECT f.doc_id, sum(w2.w * f.x) AS m FROM f JOIN w2 USING (j) GROUP BY 1),
+      |p3 AS (SELECT doc_id, CAST(floor(1e4 / (1 + exp(-(m / 1e6))) + 0.5) AS BIGINT) AS pq
+      |       FROM m3),
+      |g3 AS (
+      |  SELECT s.j, coalesce(sum(fl.gv), 0) AS g
+      |  FROM spine s LEFT JOIN (
+      |    SELECT f.j, (p3.pq - lab.y * 10000) * f.x * 100 AS gv
+      |    FROM f JOIN lab USING (doc_id) JOIN p3 USING (doc_id)) fl ON fl.j = s.j
+      |  GROUP BY s.j),
+      |w3 AS (SELECT w2.j, w2.w - CAST(floor(0.2 * g3.g / nn.n + 0.5) AS BIGINT) AS w
+      |       FROM w2 JOIN g3 USING (j) CROSS JOIN nn)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "txt_lr_train" -> (lrChainSql +
+      """
+        |SELECT CAST(j AS INT) AS bucket, CAST(w AS BIGINT) AS w_micro
+        |FROM w3 ORDER BY bucket""".stripMargin),
+    "txt_lr_score" -> (lrChainSql +
+      """,
+        |m4 AS (SELECT f.doc_id, sum(w3.w * f.x) AS m FROM f JOIN w3 USING (j) GROUP BY 1),
+        |p4 AS (SELECT doc_id, CAST(floor(1e4 / (1 + exp(-(m / 1e6))) + 0.5) AS BIGINT) AS pq
+        |       FROM m4)
+        |SELECT doc_id, pq,
+        |  CASE WHEN pq >= 5000 THEN 1 ELSE 0 END AS pred_keep
+        |FROM p4 ORDER BY doc_id""".stripMargin),
     "knn_pq" -> pqOracleSql,
     "knn_ivfpq" -> ivfPqOracleSql,
     "txt_tokens" ->

@@ -2071,4 +2071,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(last._3 + last._4 == ws.length, s"tail not covered for doc $id")
     }
   }
+
+  test("trainLogReg: weights equal the serial GD oracle and survive repartitioning") {
+    import graft.operators.Training
+    val dim = 16
+    val iters = 3
+    val lr = 0.2
+    // label: docs containing "spark" (roughly balanced on this corpus)
+    val df = corpus.toDF("doc_id", "text")
+      .withColumn("y", array_contains(split(col("text"), " "), "spark"))
+    val got = Training.trainLogRegWeights(df, "text", col("y"), dim, iters, lr)
+
+    // serial oracle: same quantized-integer law, plain Scala
+    def bucket(t: String): Int = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(b => v = (v << 8) | (dig(b) & 0xffL))
+      ((v >>> 4) % dim).toInt
+    }
+    val rows = corpus.map { case (_, t) =>
+      val x = new Array[Long](dim + 1)
+      t.trim.split("\\s+").filter(_.nonEmpty).foreach(tok => x(bucket(tok)) += 1)
+      x(dim) = 1L
+      (x, if (t.split(" ").contains("spark")) 1L else 0L)
+    }
+    val w = Array.fill(dim + 1)(0L)
+    val n = rows.length
+    (1 to iters).foreach { _ =>
+      val g = Array.fill(dim + 1)(0L)
+      rows.foreach { case (x, y) =>
+        val m = x.zip(w).map { case (a, b) => a * b }.sum
+        val pq = math.floor(1e4 / (1.0 + math.exp(-(m.toDouble / 1e6))) + 0.5).toLong
+        val gs = (pq - y * 10000L) * 100L
+        (0 to dim).foreach(j => g(j) += gs * x(j))
+      }
+      (0 to dim).foreach(j => w(j) -= math.floor(lr * g(j) / n + 0.5).toLong)
+    }
+    assert(got.toSeq == w.toSeq)
+    // the model moved off zero and learned SOMETHING: trained scores
+    // separate the classes better than the zero model (pq=5000 for all)
+    assert(got.exists(_ != 0L))
+    val (pqCol, keep) = Training.scoreLogReg(col("text"), got)
+    val acc = df.select((keep === col("y").cast("int")).cast("long").as("ok"))
+      .agg(avg(col("ok"))).first().getDouble(0)
+    assert(acc > 0.6, s"train accuracy $acc")
+    // partitioning invariance: the integer gradient sums don't care
+    // about row order or split count
+    val got7 = Training.trainLogRegWeights(df.repartition(7), "text",
+      col("y"), dim, iters, lr)
+    assert(got7.toSeq == got.toSeq)
+  }
 }
