@@ -652,6 +652,45 @@ object Dedup {
     * ~32 B x distinct-docs (three orders smaller than the corpus) and
     * its bucket layout means every future probe join reads it
     * EXCHANGE-FREE — only the (small) delta ever shuffles again. */
+  /** Cross-document duplicate-SPAN detection (the "exact substring
+    * dedup" of Lee et al. 2022, Deduplicating Training Data Makes
+    * Language Models Better — arXiv:2107.06499 — at n-gram
+    * granularity): document pairs sharing at least `minShared`
+    * distinct `n`-token windows, with the count of shared windows.
+    * Near-dup families share long runs (many windows); unrelated docs
+    * that merely quote one boilerplate sentence share few — `n_spans`
+    * is the evidence a span-level deduper acts on.
+    *
+    * Shape: one pure-map pass builds each doc's DISTINCT window-hash
+    * set (sliding `n`-gram → the md5-15 60-bit law, dedup at the
+    * array level so no extra shuffle), explode → ONE shuffle on the
+    * 8-byte hash; spans shared by more than `maxDocsPerSpan` docs are
+    * dropped (web boilerplate would go quadratic — same cap law as
+    * [[lshCandidates]]); the bucket-size² pair expansion rides a
+    * pinned exchange ([[ExplosiveJoin.pinnedParts]]) so AQE can't
+    * coalesce it. Hash collisions (60-bit) can in principle merge two
+    * spans — at fingerprint granularity that is the standard trade
+    * (same law as [[fingerprintJaccardPairs]]'s blocks). */
+  def duplicateSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, maxDocsPerSpan: Int = 100,
+                         minShared: Int = 2): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val hashes = array_distinct(transform(
+      graft.functions.TextFunctions.wordNgrams(toks, n),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+    val spans = Repartition.forCompute(df)
+      .select(col(idCol), explode(hashes).as("h"))
+    val parts = ExplosiveJoin.pinnedParts(spans)
+    val grouped = spans.repartition(parts, col("h"))
+      .groupBy("h").agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")).between(2, maxDocsPerSpan))
+    grouped.select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_spans"))
+      .where(col("n_spans") >= minShared)
+  }
+
   def writeDigestIndex(df: DataFrame, idCol: String, textCol: String,
                        table: String, buckets: Int): Unit =
     graft.sources.Sinks.writeBucketed(

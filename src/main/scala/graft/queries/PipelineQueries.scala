@@ -371,6 +371,15 @@ object PipelineQueries {
           TextFunctions.qualityScore(col("text")).as("quality"))
     }),
 
+    // Duplicate-span detection (Lee et al. exact-substring dedup at
+    // 8-gram granularity): doc pairs sharing >= 2 distinct 8-token
+    // windows + how many — the evidence a span-level deduper acts on.
+    // One map pass to distinct window hashes, one hash shuffle,
+    // capped buckets, pinned pair expansion.
+    "dd_span_overlap" -> ((s, dir) =>
+      Dedup.duplicateSpanPairs(docs(s, dir), "doc_id", "text", n = 8,
+        maxDocsPerSpan = 100, minShared = 2)),
+
     // Incremental dedup: the deterministic 80/20 hash split plays
     // "historical corpus" vs "daily delta"; the base digest index is
     // PERSISTED bucketed-by-digest (probe joins read it
@@ -1577,6 +1586,23 @@ object PipelineQueries {
         |SELECT d.doc_id, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id
         |WHERE d.doc_id NOT IN (SELECT node FROM r WHERE rn > 1)
         |ORDER BY 1""".stripMargin,
+
+    "dd_span_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(
+        |      ws[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 7, 0))) AS i)),
+        |cap AS (SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sp a JOIN cap USING (h) JOIN sp b USING (h)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, count(*) AS n_spans FROM pairs
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
     "dd_incremental" ->
       """WITH bkt AS (

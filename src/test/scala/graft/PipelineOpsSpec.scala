@@ -2072,6 +2072,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateSpanPairs: pair set and shared-window counts match the serial oracle") {
+    import graft.operators.Dedup
+    val n = 8
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanPairs(df, "doc_id", "text", n,
+        maxDocsPerSpan = 100, minShared = 2)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+
+    // serial oracle on the same md5-15 hash law
+    def h(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(b => v = (v << 8) | (dig(b) & 0xffL))
+      v >>> 4
+    }
+    val sets: Map[Long, Set[Long]] = corpus.map { case (id, t) =>
+      val ws = t.trim.split("\\s+")
+      id -> ws.sliding(n).filter(_.length == n)
+        .map(w => h(w.mkString(" "))).toSet
+    }.toMap
+    // cap: spans shared by > 100 docs are dropped (none here, corpus
+    // is 49 docs, but apply the law anyway)
+    val freq = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      shared = (sa intersect sb).count(x => freq(x) <= 100)
+      if shared >= 2
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got == want)
+    // the near-dup plants actually surface: each single-word edit of a
+    // 60+-token doc leaves long identical runs => many shared windows
+    assert(want.nonEmpty)
+    assert((0L until 8L).forall(i => want.contains((i, 100L + i))))
+    // the exact dup shares every window of doc 3
+    assert(got((3L, 200L)) == sets(3L).count(x => freq(x) <= 100))
+  }
+
   test("trainLogReg: weights equal the serial GD oracle and survive repartitioning") {
     import graft.operators.Training
     val dim = 16
