@@ -624,6 +624,14 @@ object PipelineQueries {
     // re-shuffling the corpus. Same assignment/probe/rerank law as
     // knn_ivf — the oracle is knn_ivf's verbatim, pinning
     // index-serving == inline.
+    // Exact quantized second moments of the first 16 embedding dims
+    // (upper-triangle Σxᵢxⱼ, marginals, count — all exact longs via
+    // milli-grid quantization): the distributed half of PCA/whitening
+    // for the ANN tier. One pure-map pass + a 153-key map-side-
+    // combined aggregate; the vectors never shuffle.
+    "emb_moments" -> ((s, dir) =>
+      graft.operators.EmbedStats.secondMoments(embs(s, dir), "embedding", 16)),
+
     "knn_ivf_idx" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.writeIvfIndex(e, "vec_id", "embedding", nCells = 8,
@@ -1586,6 +1594,25 @@ object PipelineQueries {
         |SELECT d.doc_id, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id
         |WHERE d.doc_id NOT IN (SELECT node FROM r WHERE rn > 1)
         |ORDER BY 1""".stripMargin,
+
+    "emb_moments" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding[1:16],
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |idx AS (SELECT unnest(range(0, 16)) AS i),
+        |pr AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        |prod AS (
+        |  SELECT pr.i, pr.j, sum(xq[CAST(pr.i + 1 AS INT)] * xq[CAST(pr.j + 1 AS INT)]) AS s
+        |  FROM q CROSS JOIN pr GROUP BY 1, 2),
+        |marg AS (
+        |  SELECT idx.i AS i, -1 AS j, sum(xq[CAST(idx.i + 1 AS INT)]) AS s
+        |  FROM q CROSS JOIN idx GROUP BY 1, 2),
+        |cnt AS (SELECT -1 AS i, -1 AS j, count(*) AS s FROM q)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(s AS BIGINT) AS s
+        |FROM (SELECT * FROM prod UNION ALL SELECT * FROM marg
+        |      UNION ALL SELECT * FROM cnt)
+        |ORDER BY i, j""".stripMargin,
 
     "dd_span_overlap" ->
       """WITH tok AS (

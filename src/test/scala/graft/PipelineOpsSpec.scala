@@ -2111,6 +2111,74 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got((3L, 200L)) == sets(3L).count(x => freq(x) <= 100))
   }
 
+  test("secondMoments/PCA: exact moments, eigen residuals, orthogonality, projection") {
+    import graft.operators.EmbedStats
+    val dims = 8
+    // correlated synthetic vectors so the spectrum is non-trivial
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 400).map { _ =>
+      val base = rnd.nextGaussian()
+      Array.tabulate(dims)(i =>
+        (base * (dims - i) + rnd.nextGaussian() * 0.3).toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val rows = EmbedStats.secondMoments(df, "embedding", dims).collect()
+
+    // moments equal the serial exact-integer oracle
+    def q(x: Float): Long = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+    val qs = vecs.map(_.map(q))
+    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m((-1, -1)) == 400L)
+    for (i <- 0 until dims; j <- i until dims)
+      assert(m((i, j)) == qs.map(v => v(i) * v(j)).sum, s"($i,$j)")
+    for (i <- 0 until dims)
+      assert(m((i, -1)) == qs.map(_(i)).sum, s"marg $i")
+
+    // partitioning invariance: exact longs don't care about splits
+    val rows7 = EmbedStats.secondMoments(df.repartition(7), "embedding", dims)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows7 == m)
+
+    val cov = EmbedStats.covarianceFromMoments(rows.toSeq, dims)
+    val comps = EmbedStats.principalComponents(cov, 3, iters = 1000)
+    def matvec(a: Array[Array[Double]], v: Array[Double]) =
+      Array.tabulate(dims)(i => (0 until dims).map(j => a(i)(j) * v(j)).sum)
+    val lams = comps.map { v =>
+      val w = matvec(cov, v)
+      v.indices.map(i => v(i) * w(i)).sum
+    }
+    // eigen equation: ||Cv - λv|| small relative to λ₁
+    comps.zip(lams).foreach { case (v, lam) =>
+      val w = matvec(cov, v)
+      val res = math.sqrt(v.indices.map(i => math.pow(w(i) - lam * v(i), 2)).sum)
+      assert(res < 1e-5 * math.max(lams(0), 1e-12), s"residual $res")
+    }
+    // unit norm, mutual orthogonality, descending eigenvalues
+    comps.foreach(v => assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1) < 1e-9))
+    for (a <- 0 until 3; b <- a + 1 until 3)
+      assert(math.abs(comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum) < 1e-6)
+    assert(lams(0) >= lams(1) && lams(1) >= lams(2))
+    // the planted dominant direction (~ proportional to (d, d-1, ..., 1))
+    // is recovered: top component correlates almost perfectly
+    val planted = Array.tabulate(dims)(i => (dims - i).toDouble)
+    val pn = math.sqrt(planted.map(x => x * x).sum)
+    val corr = math.abs(comps(0).zip(planted).map { case (x, y) => x * y }.sum) / pn
+    assert(corr > 0.99, s"corr $corr")
+
+    // projection: plain dot products of the sliced vector
+    val proj = df.limit(5).select(col("vec_id"),
+        EmbedStats.project(col("embedding"), comps, dims).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    proj.foreach { case (id, p) =>
+      val x = vecs(id.toInt).map(_.toDouble)
+      comps.zipWithIndex.foreach { case (c, k) =>
+        val want = c.zip(x).map { case (a, b) => a * b }.sum
+        assert(math.abs(p(k) - want) < 1e-9)
+      }
+    }
+  }
+
   test("trainLogReg: weights equal the serial GD oracle and survive repartitioning") {
     import graft.operators.Training
     val dim = 16
