@@ -49,6 +49,20 @@ object DocStreams {
       curateStream(docs, minQuality).withColumn("digest", xxhash64(col("text"))),
       Seq("digest"), watermark).drop("digest")
 
+  /** Trained-classifier serving on a stream: score documents with the
+    * micro-unit weights trained in batch by [[graft.operators
+    * .Training]] — the train-in-batch / serve-on-stream contract. The
+    * weight array rides the task closure (dim+1 longs); scoring is
+    * ONE stateless native feature pass + codegen'd fold per row — no
+    * state, no shuffle, bit-identical on a batch frame and a
+    * `readStream` frame (StreamingSpec pins it). Retraining swaps the
+    * array on the next query restart; the plan shape never changes
+    * (the same swap-in contract as `hashedLinearScoreTrained`). */
+  def classifyStream(docs: DataFrame, wMicro: Array[Long]): DataFrame = {
+    val (pq, keep) = graft.operators.Training.scoreLogReg(col("text"), wMicro)
+    docs.select(col("doc_id"), col("ts"), pq.as("pq"), keep.as("pred_keep"))
+  }
+
   /** Streaming INCREMENTAL dedup: drop stream rows whose md5 text
     * digest already exists in a persisted [[graft.operators.Dedup
     * .writeDigestIndex]] corpus index (stream-static anti-join — the

@@ -233,6 +233,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trained classifier serves a stream identically to batch scoring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.operators.Training
+
+    val texts = Seq(
+      "spark scan join filter group sort the a of merge",
+      "the a of the a of the a of the a",
+      "spark spark merge window hash row key data spark",
+      "window hash row key data the a of sort group",
+      "spark join join filter the merge hash data row key")
+    val docs = texts.zipWithIndex.map { case (t, i) => StreamDoc(i.toLong, ts(i.toLong), t) }
+    // train in batch (label: contains "spark"), serve on the stream
+    val w = Training.trainLogRegWeights(docs.toDF(), "text",
+      array_contains(split(col("text"), " "), "spark"), dim = 16)
+    assert(w.exists(_ != 0L))
+
+    val input = MemoryStream[StreamDoc]
+    val q = DocStreams.classifyStream(input.toDF(), w)
+      .writeStream.format("memory").queryName("clf_out").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("clf_out").select("doc_id", "pq", "pred_keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = DocStreams.classifyStream(docs.toDF(), w)
+        .select("doc_id", "pq", "pred_keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want)
+      assert(got.nonEmpty && got.map(_._3).contains(1))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup probes the persisted index and dedups in-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
