@@ -380,6 +380,19 @@ object PipelineQueries {
       Dedup.duplicateSpanPairs(docs(s, dir), "doc_id", "text", n = 8,
         maxDocsPerSpan = 100, minShared = 2)),
 
+    // Span-overlap dedup POLICY: duplicate-span pairs → connected
+    // components → min-id survivor per cluster (the Lee et al.
+    // exact-substring dedup applied at document granularity — drop
+    // docs sharing >= 2 distinct 8-token windows with an earlier doc,
+    // transitively).
+    "dd_span_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.duplicateSpanPairs(d, "doc_id", "text", n = 8,
+        maxDocsPerSpan = 100, minShared = 2)
+      graft.operators.ConnectedComponents.dropNearDuplicates(d, "doc_id", pairs)
+        .select("doc_id")
+    }),
+
     // Incremental dedup: the deterministic 80/20 hash split plays
     // "historical corpus" vs "daily delta"; the base digest index is
     // PERSISTED bucketed-by-digest (probe joins read it
@@ -1630,6 +1643,34 @@ object PipelineQueries {
         |  WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, count(*) AS n_spans FROM pairs
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    "dd_span_survivors" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(
+        |      ws[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 7, 0))) AS i)),
+        |cap AS (SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM sp a JOIN cap USING (h) JOIN sp b USING (h)
+        |    WHERE a.doc_id < b.doc_id)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
+        |ORDER BY 1""".stripMargin,
 
     "dd_incremental" ->
       """WITH bkt AS (
