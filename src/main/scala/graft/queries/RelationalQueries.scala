@@ -672,6 +672,14 @@ object RelationalQueries {
     // construction from logs (the Markov/next-token stats a sequence
     // model trains on): per-user time-ordered lead(), then one
     // map-side-combined count over the tiny (type, next) key space.
+    // Ordered-step funnel (signup -> click -> purchase, strictly-after
+    // chaining): per-step completion counts in ONE shuffle — the k
+    // chained prefix-min window layers share a single (user, ts) sort
+    // instead of the naive k-aggregate/k-join plan.
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelCounts(t(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id", Seq("signup", "click", "purchase"))),
+
     "q_event_pairs" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
@@ -1238,6 +1246,21 @@ object RelationalQueries {
         |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM t1) AS users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM t2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+        |ORDER BY step""".stripMargin,
 
     "q_event_pairs" ->
       """WITH nxt AS (

@@ -2179,6 +2179,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: chained completion times match the serial law in one user shuffle") {
+    import graft.operators.Funnel
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(m * 60000L)
+    // users exercising every chain shape: complete, out-of-order
+    // (purchase before click), stalled, repeated steps, tie-free
+    val rows = Seq(
+      // u1: clean chain
+      (1L, "signup", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      // u2: purchase BEFORE the click -> chain stalls at click
+      (2L, "signup", 1L), (2L, "purchase", 2L), (2L, "click", 3L),
+      // u3: repeated signups/clicks; chain uses the EARLIEST valid ts
+      (3L, "signup", 5L), (3L, "signup", 1L), (3L, "click", 4L),
+      (3L, "click", 2L), (3L, "purchase", 6L),
+      // u4: click with no signup -> never starts
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      // u5: signup only
+      (5L, "signup", 9L))
+      .zipWithIndex.map { case ((u, t, m), i) => (i.toLong, u, t, ts(m)) }
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val steps = Seq("signup", "click", "purchase")
+    val times = Funnel.funnelTimes(df, "user_id", "event_type", "ts",
+      "event_id", steps)
+    val got = times.collect().map(r => r.getLong(0) ->
+      (0 to 2).map(i => Option(r.getTimestamp(i + 1)).map(_.getTime / 60000L))).toMap
+    // serial law: t_i = min ts of step i strictly after t_{i-1}
+    val want = rows.groupBy(_._2).map { case (u, es) =>
+      val byType = es.groupBy(_._3).view
+        .mapValues(_.map(_._4.getTime / 60000L).sorted).toMap
+      val t0 = byType.get("signup").map(_.min)
+      val t1 = t0.flatMap(t => byType.getOrElse("click", Nil).filter(_ > t)
+        .minOption)
+      val t2 = t1.flatMap(t => byType.getOrElse("purchase", Nil).filter(_ > t)
+        .minOption)
+      u -> Seq(t0, t1, t2)
+    }
+    assert(got == want)
+    assert(got(1L) == Seq(Some(1L), Some(2L), Some(3L)))
+    assert(got(2L) == Seq(Some(1L), Some(3L), None)) // purchase pre-click ignored
+    assert(got(3L) == Seq(Some(1L), Some(2L), Some(6L))) // earliest valid chain
+    assert(got(4L) == Seq(None, None, None))
+
+    val counts = Funnel.funnelCounts(df, "user_id", "event_type", "ts",
+      "event_id", steps)
+    val cgot = counts.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(cgot.sortBy(_._1).map(_._3).toSeq == Seq(4L, 3L, 2L))
+    // single user-keyed shuffle: the k window layers + the per-user
+    // aggregate share ONE hash exchange
+    // (take the AQE final plan only — the dump repeats the Initial Plan)
+    val plan = times.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+
   test("trainLogReg: weights equal the serial GD oracle and survive repartitioning") {
     import graft.operators.Training
     val dim = 16
