@@ -45,6 +45,54 @@ object Funnel {
     df.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cohort retention: users grouped by first-activity week (Monday
+    * truncation), counted per later activity-week offset — the
+    * triangle a product dashboard plots. Output
+    * `(cohort, week_offset, users)`; offset 0 row = cohort size.
+    *
+    * Scale shape: the (user, week) activity set is distinct-reduced
+    * BEFORE the join (weeks-per-user rows, not events-per-user), and
+    * both the cohort aggregate and the join key on user — Catalyst
+    * co-partitions them, so the chain is two user-keyed exchanges +
+    * the small (cohort, offset) aggregate. No per-user history is
+    * materialized. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val wk = date_trunc("week", col(tsCol)).cast("date")
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(wk).as("cohort"))
+    val activity = events.select(col(userCol), wk.as("wk")).distinct()
+    activity.join(firsts, userCol)
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** Per-user daily activity with the gaps filled: every day between
+    * a user's first and last event appears, zero-count where idle —
+    * the dense series a downstream model consumes. Output
+    * `(user, day, n)`.
+    *
+    * Scale shape: daily counts aggregate first (days-per-user rows),
+    * the per-user [min, max] span aggregates from THAT (no second
+    * event scan), and the `sequence` explode generates only span
+    * days — all three stages share the user-keyed partitioning. The
+    * explode is the output's own size, not a blowup. */
+  def gapFillDaily(events: DataFrame, userCol: String,
+                   tsCol: String): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val counts = events.groupBy(col(userCol), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spans = counts.groupBy(col(userCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = spans.select(col(userCol),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(counts, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Step-completion counts: `(step, step_name, users)` — users whose
     * chain reached step i. Monotone non-increasing by construction. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,

@@ -680,6 +680,20 @@ object RelationalQueries {
       graft.operators.Funnel.funnelCounts(t(s, dir, "events"), "user_id",
         "event_type", "ts", "event_id", Seq("signup", "click", "purchase"))),
 
+    // Cohort retention triangle: users by first-activity week ×
+    // activity-week offset. Distinct (user, week) reduction before
+    // the join; two user-keyed exchanges total.
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Funnel.retentionCohorts(t(s, dir, "events"),
+        "user_id", "ts")),
+
+    // Dense per-user daily series: gaps zero-filled between each
+    // user's first and last active day (sequence explode bounded by
+    // the output size itself).
+    "q_gap_fill" -> ((s, dir) =>
+      graft.operators.Funnel.gapFillDaily(t(s, dir, "events"),
+        "user_id", "ts")),
+
     "q_event_pairs" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
@@ -1261,6 +1275,32 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT 3, 'purchase', (SELECT count(*) FROM t3))
         |ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+        |  count(*) AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM c GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(u.d AS DATE) AS day
+        |  FROM s, LATERAL (SELECT unnest(generate_series(d0, d1,
+        |                                 INTERVAL 1 DAY)) AS d) u)
+        |SELECT spine.user_id, spine.day, coalesce(c.n, 0) AS n
+        |FROM spine LEFT JOIN c ON c.user_id = spine.user_id AND c.day = spine.day
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_event_pairs" ->
       """WITH nxt AS (

@@ -2234,6 +2234,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange:\n$plan")
   }
 
+  test("retention + gapFill: serial cohort law, dense spans, zero-filled gaps") {
+    import graft.operators.Funnel
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 9) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1 active weeks 1+3 (skips week 2); u2 active week 1 only;
+    // u3 first appears week 2 — its own cohort
+    val rows = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(16)),
+      (2L, ts(3)),
+      (3L, ts(8)), (3L, ts(10)))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+    val df = rows.toDF("event_id", "user_id", "ts")
+
+    val ret = Funnel.retentionCohorts(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    // weeks truncate to Monday: 2024-01-01 IS a Monday
+    assert(ret == Map(
+      ("2024-01-01", 0) -> 2L, // u1, u2 in the week-1 cohort
+      ("2024-01-01", 2) -> 1L, // u1 returns in week 3
+      ("2024-01-08", 0) -> 1L)) // u3's own cohort
+
+    val gf = Funnel.gapFillDaily(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val byUser = gf.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // u1 spans Jan 1..16: 16 dense days, 3 active
+    assert(byUser(1L).size == 16)
+    assert(byUser(1L).map(_._3).sum == 3)
+    assert(byUser(1L).count(_._3 == 0L) == 13)
+    // u3 spans Jan 8..10: 3 days with the 9th zero-filled
+    assert(byUser(3L).map(t => (t._2, t._3)).toSeq ==
+      Seq(("2024-01-08", 1L), ("2024-01-09", 0L), ("2024-01-10", 1L)))
+    assert(byUser(2L).map(t => (t._2, t._3)).toSeq == Seq(("2024-01-03", 1L)))
+  }
+
   test("trainLogReg: weights equal the serial GD oracle and survive repartitioning") {
     import graft.operators.Training
     val dim = 16

@@ -129,13 +129,17 @@ class PlanSpec extends AnyFunSuite {
     // the document scan — the corpus side streams, never shuffles)
     // and srch_rrf (srch_bm25's stats broadcast plus overlapTopK's
     // ≤5-row query-set broadcast) and knn_ivf_idx (knn_ivf's bounded
-    // centroid-table broadcast, served from the persisted index).
+    // centroid-table broadcast, served from the persisted index)
+    // and srch_bm25_idx (the zero-score padding path: |Q| query ids
+    // × the broadcast 2k-lowest-id head of the doclen table — both
+    // sides bounded by construction, never the corpus).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
         "txt_ppl_buckets", "pipe_curation", "q_temp_mix",
         "knn_recall", "q_histogram", "srch_bm25", "srch_rrf",
-        "knn_ivf_idx", "sk_hll_setops", "pipe_retrieval")
+        "knn_ivf_idx", "sk_hll_setops", "pipe_retrieval",
+        "srch_bm25_idx")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
