@@ -22,7 +22,10 @@ object ClusterBench {
   private val DefaultQueries = Seq(
     "q1_agg", "q5_region_revenue", "dd_exact", "dd_minhash_lsh",
     "srch_bm25", "txt_unigram_lm", "txt_tfidf", "q_bucketed_join",
-    "pmr_sum_large", "txt_chunks")
+    "pmr_sum_large", "txt_chunks",
+    // round-7 third wave: the trainer's integer-gradient law and the
+    // span-hash shuffle must survive real cross-JVM serialization
+    "txt_lr_train", "dd_span_overlap", "emb_moments", "q_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
