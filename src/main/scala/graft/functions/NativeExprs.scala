@@ -402,6 +402,69 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Fused duplicate-span hashing: ONE tokenize pass emits the
+    * DISTINCT md5-15 hashes of every sliding `n`-token window — the
+    * per-row half of [[graft.operators.Dedup.duplicateSpanPairs]].
+    * Bit-identical to the Column chain `array_distinct(transform(
+    * wordNgrams(tokens, n), g -> conv(substr(md5(g),1,15),16,10)
+    * .cast(long)))`: same `split(trim(text), "\s+")` tokenization
+    * (including the empty-string token of whitespace-only docs —
+    * which can never fill an n≥2 window alone), windows joined with
+    * single spaces, digest of the UTF-8 bytes, high 60 bits of
+    * digest bytes 0–7. The Column form pays per-window string
+    * concat + hex-string conv parsing on top of the digest; this
+    * pass builds each window's bytes once and hashes straight off
+    * the digest — the same fusion arc as MinHash/BM25/classifier. */
+  case class SpanHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"n=$n")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      // the exact Column law: space-only trim, Java regex \s+ split
+      val s = text.toString
+      var lo = 0
+      var hi = s.length
+      while (lo < hi && s.charAt(lo) == ' ') lo += 1
+      while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+      val toks = s.substring(lo, hi).split("\\s+", -1)
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val md = md5Digest()
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val dig = md.digest(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        seen.add(v >>> 4) // first 15 hex chars = high 60 bits
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("spanHashesExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
+      copy(child = newChild)
+  }
+
   /** Fused BM25 scoring: ONE tokenize pass per document scores EVERY
     * query — tf counting for all query terms rides a single hash-map
     * lookup per token, then per query the quantized contribution sum
@@ -1201,6 +1264,9 @@ object NativeExprs {
                        k1: Double, b: Double, avgdl: Double): Column =
     ColumnBridge.column(Bm25ScoresExpr(ColumnBridge.expression(text),
       terms, k1, b, avgdl))
+
+  def spanHashesNative(text: Column, n: Int): Column =
+    ColumnBridge.column(SpanHashesExpr(ColumnBridge.expression(text), n))
 
   def hashedCountsNative(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedCountsExpr(ColumnBridge.expression(text), dim))

@@ -674,12 +674,14 @@ object Dedup {
   def duplicateSpanPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 8, maxDocsPerSpan: Int = 100,
                          minShared: Int = 2): DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val hashes = array_distinct(transform(
-      graft.functions.TextFunctions.wordNgrams(toks, n),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+    // ONE fused native pass per row (SpanHashesExpr — bit-identical
+    // to the Column chain array_distinct(transform(wordNgrams(...),
+    // md5-15)), spec-pinned); the Column form paid per-window string
+    // concat + hex conv parsing on top of the digest.
     val spans = Repartition.forCompute(df)
-      .select(col(idCol), explode(hashes).as("h"))
+      .select(col(idCol),
+        explode(graft.functions.NativeExprs.spanHashesNative(
+          col(textCol), n)).as("h"))
     val parts = ExplosiveJoin.pinnedParts(spans)
     val grouped = spans.repartition(parts, col("h"))
       .groupBy("h").agg(collect_list(col(idCol)).as("ids"))

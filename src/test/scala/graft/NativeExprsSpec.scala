@@ -242,4 +242,25 @@ class NativeExprsSpec extends AnyFunSuite {
       assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
     }
   }
+  test("spanHashesNative is bit-identical to the Column n-gram md5 chain") {
+    import graft.functions.TextFunctions
+    val vocab = Vector("spark", "scan", "join", "the", "a", "of", "tab\tsep",
+      "uni\u00e9", "x")
+    def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (Seq("", " ", "   ", "one", "a b", "a a a a a a a a a a") ++
+      (0 until 60).map(i => doc(rnd.nextInt(30)))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    for (n <- Seq(2, 8)) {
+      val toks = TextFunctions.tokens(col("text"))
+      val ref = array_distinct(transform(TextFunctions.wordNgrams(toks, n),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+      val rows = docs.toDF("id", "text")
+        .select(NativeExprs.spanHashesNative(col("text"), n).as("fast"),
+          ref.as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted, s"n=$n")
+      }
+    }
+  }
 }
