@@ -96,6 +96,57 @@ object Training {
       .toDF("bucket", "w_micro")
   }
 
+  /** Exact distributed binary-classification evaluation over a scored
+    * frame: confusion counts at the pq ≥ 5000 decision threshold plus
+    * ROC-AUC by the Mann–Whitney rank statistic — the metric tier
+    * that closes the train → score → evaluate loop.
+    *
+    * AUC law (exact integers end-to-end): scores are the quantized
+    * `pq ∈ [0, 10000]`, so ties are the NORM; average-rank handling
+    * is mandatory and exact — group by pq (≤ 10001 groups), cumulate
+    * counts in pq order, and for each group the doubled average rank
+    * `2·cum_before + n + 1` is an integer. `u2 = Σ_pos 2·avg_rank`
+    * is an exact long; `auc = (u2/2 − P(P+1)/2) / (P·N)` is one
+    * double division at the end (rounded to 6 dp), so the value is
+    * independent of row order, partitioning, and engine.
+    *
+    * Scale shape: one map-side-combined aggregate to the ≤10001-row
+    * pq histogram, one tiny ordered window over it, one 1-row fold.
+    * The corpus is scanned once; nothing per-row ever reaches the
+    * driver. Output: one row `(tp, fp, tn, fn, pos, neg, u2, auc)`. */
+  def evalBinary(scored: DataFrame, pqCol: String,
+                 labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = labelCol.cast("long")
+    val hist = scored.select(col(pqCol).as("pq"), y.as("y"))
+      .groupBy("pq")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    // ≤10001 rows: the global-order window is driver-scale by design
+    val w = Window.orderBy(col("pq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("pq"), col("n"), col("np"),
+        // doubled average rank of the tie group: 2·(cum−n) + n + 1
+        ((col("cum") - col("n")) * 2 + col("n") + 1).as("ar2"))
+    ranked.agg(
+      sum(when(col("pq") >= 5000L, col("np"))).as("tpn"),
+      sum(when(col("pq") >= 5000L, col("n") - col("np"))).as("fpn"),
+      sum(when(col("pq") < 5000L, col("n") - col("np"))).as("tnn"),
+      sum(when(col("pq") < 5000L, col("np"))).as("fnn"),
+      sum(col("np")).as("pos"),
+      sum(col("n") - col("np")).as("neg"),
+      sum(col("np") * col("ar2")).as("u2"))
+      .select(
+        coalesce(col("tpn"), lit(0L)).as("tp"),
+        coalesce(col("fpn"), lit(0L)).as("fp"),
+        coalesce(col("tnn"), lit(0L)).as("tn"),
+        coalesce(col("fnn"), lit(0L)).as("fn"),
+        col("pos"), col("neg"), col("u2"),
+        round((col("u2") / 2.0 - col("pos") * (col("pos") + 1) / 2.0) /
+          (col("pos") * col("neg")), 6).as("auc"))
+  }
+
   /** Score with trained micro-weights: the quantized sigmoid
     * `pq ∈ [0, 10000]` (same law as training) and the keep decision
     * `pq ≥ 5000`. One native feature pass + codegen'd fold; no

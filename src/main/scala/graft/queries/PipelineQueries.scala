@@ -83,6 +83,19 @@ object PipelineQueries {
       d.select(col("doc_id"), pq.as("pq"), keep.as("pred_keep"))
     }),
 
+    // Train → score → EVALUATE: exact confusion counts at the
+    // pq>=5000 threshold plus Mann–Whitney ROC-AUC with exact
+    // average-rank tie handling (integers until one final division) —
+    // the metric a curation pipeline gates model swaps on.
+    "txt_lr_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.operators.Training.trainLogRegWeights(d, "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.2)
+      val (pq, _) = graft.operators.Training.scoreLogReg(col("text"), w)
+      graft.operators.Training.evalBinary(
+        d.select(pq.as("pq"), col("lang")), "pq", col("lang") === "en")
+    }),
+
     // Repetition quality signals: duplicate-bigram fraction, top-bigram
     // occurrence share, duplicate-trigram fraction. One native
     // tokenize+count pass per row (`RepStatsExpr`, spec-matched to the
@@ -1126,6 +1139,31 @@ object PipelineQueries {
       """
         |SELECT CAST(j AS INT) AS bucket, CAST(w AS BIGINT) AS w_micro
         |FROM w3 ORDER BY bucket""".stripMargin),
+    "txt_lr_eval" -> (lrChainSql +
+      """,
+        |m4 AS (SELECT f.doc_id, sum(w3.w * f.x) AS m FROM f JOIN w3 USING (j) GROUP BY 1),
+        |p4 AS (SELECT doc_id, CAST(floor(1e4 / (1 + exp(-(m / 1e6))) + 0.5) AS BIGINT) AS pq
+        |       FROM m4),
+        |ev AS (SELECT p4.pq, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |       FROM p4 JOIN documents d USING (doc_id)),
+        |h AS (SELECT pq, count(*) AS n, sum(y) AS np FROM ev GROUP BY 1),
+        |r AS (SELECT pq, n, np,
+        |        (sum(n) OVER (ORDER BY pq ROWS UNBOUNDED PRECEDING) - n) * 2 + n + 1 AS ar2
+        |      FROM h),
+        |agg AS (SELECT
+        |    coalesce(sum(CASE WHEN pq >= 5000 THEN np END), 0) AS tp,
+        |    coalesce(sum(CASE WHEN pq >= 5000 THEN n - np END), 0) AS fp,
+        |    coalesce(sum(CASE WHEN pq < 5000 THEN n - np END), 0) AS tn,
+        |    coalesce(sum(CASE WHEN pq < 5000 THEN np END), 0) AS fn,
+        |    sum(np) AS pos, sum(n - np) AS neg, sum(np * ar2) AS u2
+        |  FROM r)
+        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+        |  CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+        |  CAST(u2 AS BIGINT) AS u2,
+        |  round((u2 / 2.0 - pos * (pos + 1) / 2.0) / (pos * neg), 6) AS auc
+        |FROM agg""".stripMargin),
+
     "txt_lr_score" -> (lrChainSql +
       """,
         |m4 AS (SELECT f.doc_id, sum(w3.w * f.x) AS m FROM f JOIN w3 USING (j) GROUP BY 1),

@@ -2234,6 +2234,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange:\n$plan")
   }
 
+  test("evalBinary: confusion + tie-averaged AUC match the serial Mann-Whitney oracle") {
+    import graft.operators.Training
+    def aucOracle(rows: Seq[(Long, Int)]): Double = {
+      // average ranks over ascending score with exact tie handling
+      val sorted = rows.sortBy(_._1)
+      val ranks = scala.collection.mutable.Map.empty[Long, Double]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+        i = j
+      }
+      val p = rows.count(_._2 == 1).toDouble
+      val n = rows.length - p
+      val rsum = rows.filter(_._2 == 1).map(r => ranks(r._1)).sum
+      (rsum - p * (p + 1) / 2.0) / (p * n)
+    }
+    val rnd = new scala.util.Random(23)
+    // heavy ties on a coarse grid, correlated with the label
+    val rows = (0 until 500).map { _ =>
+      val y = rnd.nextInt(2)
+      val pq = math.max(0, math.min(10000,
+        (5000 + y * 1500 + rnd.nextGaussian() * 2000).toInt / 500 * 500)).toLong
+      (pq, y)
+    }
+    val df = rows.toDF("pq", "y")
+    val got = Training.evalBinary(df, "pq", col("y") === 1).collect()(0)
+    val (tp, fp, tn, fn) = (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    assert(tp == rows.count(r => r._1 >= 5000 && r._2 == 1))
+    assert(fp == rows.count(r => r._1 >= 5000 && r._2 == 0))
+    assert(tn == rows.count(r => r._1 < 5000 && r._2 == 0))
+    assert(fn == rows.count(r => r._1 < 5000 && r._2 == 1))
+    assert(tp + fp + tn + fn == 500L)
+    val wantAuc = BigDecimal(aucOracle(rows)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(7) == wantAuc, s"${got.getDouble(7)} vs $wantAuc")
+    // degenerate sanity: a perfect separator scores 1, its inverse 0
+    val perfect = Seq((9000L, 1), (8000L, 1), (2000L, 0), (1000L, 0)).toDF("pq", "y")
+    assert(Training.evalBinary(perfect, "pq", col("y") === 1)
+      .collect()(0).getDouble(7) == 1.0)
+    assert(Training.evalBinary(perfect, "pq", col("y") === 0)
+      .collect()(0).getDouble(7) == 0.0)
+    // all-tied scores: AUC exactly 1/2
+    val tied = Seq((5000L, 1), (5000L, 0), (5000L, 1), (5000L, 0)).toDF("pq", "y")
+    assert(Training.evalBinary(tied, "pq", col("y") === 1)
+      .collect()(0).getDouble(7) == 0.5)
+  }
+
   test("retention + gapFill: serial cohort law, dense spans, zero-filled gaps") {
     import graft.operators.Funnel
     import java.sql.Timestamp
