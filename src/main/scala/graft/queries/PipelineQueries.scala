@@ -96,6 +96,22 @@ object PipelineQueries {
         d.select(pq.as("pq"), col("lang")), "pq", col("lang") === "en")
     }),
 
+    // Reliability/calibration table: per pq-decile bucket the exact
+    // row count, positive count, and pq sum (all longs — ratios are
+    // the consumer's one division). The companion diagnostic to
+    // txt_lr_eval's AUC.
+    "txt_lr_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.operators.Training.trainLogRegWeights(d, "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.2)
+      val (pq, _) = graft.operators.Training.scoreLogReg(col("text"), w)
+      d.select(pq.as("pq"),
+          (col("lang") === "en").cast("long").as("y"))
+        .groupBy((col("pq") / 1000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("pq")).as("sum_pq"))
+    }),
+
     // Repetition quality signals: duplicate-bigram fraction, top-bigram
     // occurrence share, duplicate-trigram fraction. One native
     // tokenize+count pass per row (`RepStatsExpr`, spec-matched to the
@@ -1163,6 +1179,17 @@ object PipelineQueries {
         |  CAST(u2 AS BIGINT) AS u2,
         |  round((u2 / 2.0 - pos * (pos + 1) / 2.0) / (pos * neg), 6) AS auc
         |FROM agg""".stripMargin),
+
+    "txt_lr_calibration" -> (lrChainSql +
+      """,
+        |m4 AS (SELECT f.doc_id, sum(w3.w * f.x) AS m FROM f JOIN w3 USING (j) GROUP BY 1),
+        |p4 AS (SELECT doc_id, CAST(floor(1e4 / (1 + exp(-(m / 1e6))) + 0.5) AS BIGINT) AS pq
+        |       FROM m4)
+        |SELECT CAST(pq // 1000 AS INT) AS bucket, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(pq) AS BIGINT) AS sum_pq
+        |FROM p4 JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "txt_lr_score" -> (lrChainSql +
       """,

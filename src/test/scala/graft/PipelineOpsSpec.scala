@@ -2234,6 +2234,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange:\n$plan")
   }
 
+  test("PCA projection onto the full basis preserves cosine top-k (orthogonality end-to-end)") {
+    import graft.operators.{EmbedStats, Similarity}
+    val dims = 8
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 60).map { _ =>
+      val base = rnd.nextGaussian()
+      Array.tabulate(dims)(i =>
+        (base * (dims - i) * 0.4 + rnd.nextGaussian()).toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val comps = EmbedStats.principalComponents(
+      EmbedStats.covarianceFromMoments(
+        EmbedStats.secondMoments(df, "embedding", dims).collect().toSeq, dims),
+      dims, iters = 1000)
+    // rotate the whole corpus into the PCA basis (all dims kept: an
+    // orthonormal change of basis, so cosine geometry is unchanged)
+    val proj = df.select(col("vec_id"),
+      EmbedStats.project(col("embedding"), comps, dims).as("embedding"))
+    val q = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val qProj = proj.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val a = Similarity.cosineTopK(q, df, 3, idCol = "vec_id",
+      vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Similarity.cosineTopK(qProj, proj, 3, idCol = "vec_id",
+      vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("evalBinary: confusion + tie-averaged AUC match the serial Mann-Whitney oracle") {
     import graft.operators.Training
     def aucOracle(rows: Seq[(Long, Int)]): Double = {
