@@ -17,13 +17,21 @@ import org.apache.spark.sql.functions._
   * map stages, and the job completes with BYTE-IDENTICAL output, which
   * the probe asserts by comparing order-insensitive result digests.
   *
-  * Usage: runMain graft.FaultProbe <sfDir>
+  * Usage: runMain graft.FaultProbe <sfDir> [query]
+  * With a query name, rehearses that catalog gate instead of the
+  * default minhash pipeline (e.g. txt_lr_train: an executor dies
+  * mid-gradient-scan and the trained weights must come out
+  * bit-identical — retried tasks recompute the same exact-integer
+  * partials, so the quantized law survives partial re-execution).
   * (dev-side rehearsal — local-cluster spawns worker JVMs; see
   * SCALE.md "Round-6 executor-loss rehearsal" for the recorded run)
   */
 object FaultProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val queryName = if (args.length > 1) Some(args(1)) else None
+    queryName.foreach(n => require(SparkEntry.queries.contains(n),
+      s"unknown query: $n"))
     val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val spark = SparkSession.builder()
       .master("local-cluster[2,4,1536]")
@@ -37,15 +45,21 @@ object FaultProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def digestOf(): (Long, Long) = {
-      val pairs = graft.operators.Dedup.minhashNearDupPairs(
-        spark.read.parquet(s"$sfDir/documents.parquet"),
-        "doc_id", "text", threshold = 0.7)
-      // Order-insensitive digest: count + xor of per-row hashes
-      // (xor, not sum: overflow-free under the ANSI default).
-      val r = pairs.select(count(lit(1)),
-        expr("bit_xor(xxhash64(id_a, id_b, jaccard))")).collect()(0)
-      (r.getLong(0), r.getLong(1))
+    def digestOf(): (Long, Long) = queryName match {
+      case Some(n) =>
+        // any catalog gate, digested over every column
+        val r = SparkEntry.queries(n)(spark, sfDir).select(count(lit(1)),
+          expr("bit_xor(xxhash64(to_json(struct(*))))")).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      case None =>
+        val pairs = graft.operators.Dedup.minhashNearDupPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", threshold = 0.7)
+        // Order-insensitive digest: count + xor of per-row hashes
+        // (xor, not sum: overflow-free under the ANSI default).
+        val r = pairs.select(count(lit(1)),
+          expr("bit_xor(xxhash64(id_a, id_b, jaccard))")).collect()(0)
+        (r.getLong(0), r.getLong(1))
     }
 
     // Pass 1: undisturbed.
