@@ -223,6 +223,51 @@ object Sketches {
   def histMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("bin").agg(sum("cnt").as("cnt"))
 
+  /** Per-group [[histSketch]]: `(groupCols…, bin, cnt)` — the same
+    * equi-width deterministic law, keyed by group; merge is the same
+    * per-(group, bin) count sum, so sketches roll up across
+    * partitions, days, or sources without rescanning (the grouped
+    * face of the HLL rollup-of-sketches law). Shuffle is
+    * ≤ |groups|·bins rows at any input size. */
+  def histSketchGrouped(df: DataFrame, groupCols: Seq[String],
+                        value: Column, lo: Column, hi: Column,
+                        bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"bins=$bins")
+    val v = value.cast("double")
+    val bin = least(greatest(
+      floor((v - lo) / (hi - lo) * lit(bins.toDouble)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.where(v.isNotNull)
+      .select(groupCols.map(col) :+ bin.as("bin"): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group [[histQuantiles]]: `(groupCols…, q, est)`. The
+    * cumulative window partitions by group (≤bins rows each), the
+    * group totals join on the same key the window partitioned by, and
+    * the interpolation is the identical fixed-order double expression
+    * — engine- and partitioning-deterministic per group. */
+  def histQuantilesGrouped(hist: DataFrame, groupCols: Seq[String],
+                           lo: Column, hi: Column, bins: Int,
+                           qs: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("bin")
+      .rowsBetween(Long.MinValue, 0)
+    val totals = hist.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
+    val width = (hi - lo) / lit(bins.toDouble)
+    hist.withColumn("cum", sum("cnt").over(w))
+      .join(totals, groupCols)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("target", col("q") * col("n"))
+      .where(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(groupCols.map(col) :+ col("q") :+
+        round(lo + (col("bin") +
+          (col("target") - (col("cum") - col("cnt"))) / col("cnt")) * width,
+          6).as("est"): _*)
+  }
+
   // ---- Count-min frequency sketch -------------------------------------
 
   /** Count-min sketch (Cormode–Muthukrishnan, public): `d` hash rows ×

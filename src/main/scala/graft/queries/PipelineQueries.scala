@@ -96,6 +96,20 @@ object PipelineQueries {
         d.select(pq.as("pq"), col("lang")), "pq", col("lang") === "en")
     }),
 
+    // Per-group quantile sketch: token-count p50/p90/p99 per language
+    // from the mergeable equi-width histogram — |langs|·64 integer
+    // cells shuffle, deterministic interpolation per group.
+    "sk_quant_group" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val d = docs(s, dir)
+      val hist = Sketches.histSketchGrouped(
+        d.select(col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tok")),
+        Seq("lang"), col("n_tok"), lit(0.0), lit(200.0), bins = 64)
+      Sketches.histQuantilesGrouped(hist, Seq("lang"),
+        lit(0.0), lit(200.0), 64, Seq(0.5, 0.9, 0.99))
+    }),
+
     // Reliability/calibration table: per pq-decile bucket the exact
     // row count, positive count, and pq sum (all longs — ratios are
     // the consumer's one division). The companion diagnostic to
@@ -1179,6 +1193,28 @@ object PipelineQueries {
         |  CAST(u2 AS BIGINT) AS u2,
         |  round((u2 / 2.0 - pos * (pos + 1) / 2.0) / (pos * neg), 6) AS auc
         |FROM agg""".stripMargin),
+
+    "sk_quant_group" ->
+      """WITH v AS (
+        |  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, CAST(least(greatest(floor((CAST(n_tok AS DOUBLE) - 0.0)
+        |           / (200.0 - 0.0) * 64.0), 0.0), 63.0) AS BIGINT) AS bin
+        |  FROM v WHERE n_tok IS NOT NULL),
+        |h AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY 1),
+        |c AS (SELECT h.lang, bin, cnt,
+        |        sum(cnt) OVER (PARTITION BY h.lang ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        t.n FROM h JOIN t USING (lang)),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT c.lang, q.q,
+        |  round(0.0 + (c.bin + (q.q * c.n - (c.cum - c.cnt)) / c.cnt)
+        |        * ((200.0 - 0.0) / 64.0), 6) AS est
+        |FROM c, q
+        |WHERE c.cum >= q.q * c.n AND (c.cum - c.cnt) < q.q * c.n
+        |ORDER BY 1, 2""".stripMargin,
 
     "txt_lr_calibration" -> (lrChainSql +
       """,

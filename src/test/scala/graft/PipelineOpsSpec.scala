@@ -2234,6 +2234,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange:\n$plan")
   }
 
+  test("grouped histogram quantiles: per-group equals per-filter, halves merge exactly") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 2000).map { i =>
+      val g = s"g${i % 3}"
+      (i.toLong, g, rnd.nextInt(180) + (if (g == "g1") 20 else 0))
+    }
+    val df = rows.toDF("id", "g", "v")
+    val lo = lit(0.0); val hi = lit(200.0)
+    val hist = Sketches.histSketchGrouped(df, Seq("g"), col("v"), lo, hi, 64)
+    val got = Sketches.histQuantilesGrouped(hist, Seq("g"), lo, hi, 64,
+        Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // per-group equals the ungrouped sketch over that group's rows
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.histQuantiles(
+        Sketches.histSketch(df.where(col("g") === g), col("v"), lo, hi, 64),
+        lo, hi, 64, Seq(0.5, 0.9)).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      for (q <- Seq(0.5, 0.9))
+        assert(got((g, q)) == solo(q), s"$g q=$q")
+    }
+    // the shifted group's median sits visibly above the others'
+    assert(got(("g1", 0.5)) > got(("g0", 0.5)))
+    // merge law: sketches of two disjoint halves sum per (group, bin)
+    // to the full sketch
+    val h1 = Sketches.histSketchGrouped(df.where(col("id") % 2 === 0),
+      Seq("g"), col("v"), lo, hi, 64)
+    val h2 = Sketches.histSketchGrouped(df.where(col("id") % 2 === 1),
+      Seq("g"), col("v"), lo, hi, 64)
+    val merged = h1.unionAll(h2).groupBy("g", "bin")
+      .agg(sum("cnt").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = hist.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full)
+  }
+
   test("PCA projection onto the full basis preserves cosine top-k (orthogonality end-to-end)") {
     import graft.operators.{EmbedStats, Similarity}
     val dims = 8
