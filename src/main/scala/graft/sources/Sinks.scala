@@ -190,4 +190,42 @@ object Sinks {
     fs.delete(bak, true)
     spark.read.parquet(statePath)
   }
+
+  /** Compact a parquet directory's small files: rewrite to
+    * ⌈total bytes / targetBytes⌉ outputs and swap in place with the
+    * same two-rename law as [[mergeAggState]] (a complete committed
+    * copy exists on disk at every instant; a crash mid-swap recovers
+    * from `_bak` on the next call). The small-files problem is the
+    * slow death of long-lived pipeline state — every micro-batch
+    * append and incremental merge leaves files behind, and a 100 TB
+    * table read through 10⁶ tiny files pays scheduler and
+    * footer-parse overhead per file. Returns (filesBefore,
+    * filesAfter). Row-order within the table is not preserved
+    * (parquet state tables are unordered by contract — the sorted
+    * sinks own ordering). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "_bak")
+    val tmpP = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(bak)) fs.rename(bak, target)
+    val parts = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val before = parts.length
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmpP.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(target, bak)
+    fs.rename(tmpP, target)
+    fs.delete(bak, true)
+    fs.listStatus(target)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-")) match {
+      case after => (before, after)
+    }
+  }
 }

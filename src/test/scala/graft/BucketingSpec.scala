@@ -90,6 +90,45 @@ class BucketingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("compact: small files collapse to the byte-target count, data intact") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val path = sys.props("java.io.tmpdir") + "/graft_compact_spec"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val df = (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(40).write.parquet(path)
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // huge target -> single file
+    val (before, after) = Sinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(before == 40, s"before=$before")
+    assert(after == 1, s"after=$after")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // no _tmp/_bak residue after a clean swap
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_bak")))
+
+    // byte-proportional target: ask for ~quarter-of-total chunks
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val (_, after2) = Sinks.compact(spark, path, targetBytes = total / 4 + 1)
+    assert(after2 >= 2 && after2 <= 8, s"after2=$after2")
+    assert(spark.read.parquet(path).count() == 5000L)
+
+    // crash between the two renames: target missing, _bak holding the
+    // committed copy -> next compact recovers it first
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.rename(p, new org.apache.hadoop.fs.Path(path + "_bak"))
+    val (b3, a3) = Sinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(a3 == 1, s"a3=$a3")
+    assert(spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == want)
+  }
+
   test("incremental agg state: N batch merges equal the one-shot aggregate") {
     import spark.implicits._
     import graft.sources.Sinks
