@@ -126,6 +126,74 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel-progress state for [[funnelStream]] (public for
+    * the state encoder's generated code): per step the ascending
+    * candidate times (ms) that could still become that step's
+    * first-completion time. */
+  case class FunnelState(times: Seq[Seq[Long]])
+
+  /** One funnel-progress update: the user's deepest reached stage
+    * (0 = not started) and the completion times (ms) of the reached
+    * prefix. */
+  case class FunnelUpdate(user_id: Long, stage: Int, t_ms: Seq[Long])
+
+  /** [[graft.operators.Funnel]]'s chain law on a live stream, with
+    * out-of-order arrival handled: `mapGroupsWithState` keeps, per
+    * step, only the candidate times that can still matter — step 1
+    * needs just its min (t₁ only ever decreases); for step i, a
+    * LATE-arriving earlier step-(i−1) event can only lower tᵢ₋₁,
+    * which only ADMITS SMALLER step-i times, so any stored time above
+    * the current tᵢ is dead and is pruned, and the remainder is
+    * capped at the `maxKeep` smallest (the documented approximation
+    * bound — exact whenever fewer than `maxKeep` step-i events
+    * precede the settled chain, which is the practical case). Each
+    * batch re-derives the chain from the candidate lists and emits
+    * the user's current progress (update mode: latest row per user
+    * wins). State is O(steps · maxKeep) longs per user — bounded
+    * regardless of event volume. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   watermark: String = "1 hour",
+                   maxKeep: Int = 64): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.map(_.times)
+            .getOrElse(Seq.fill(k)(Seq.empty[Long]))
+          val fresh = rows.toSeq
+            .flatMap(e => stepIdx.get(e.event_type).map(_ -> e.ts.getTime))
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          var times = (0 until k).map(i =>
+            (prev(i) ++ fresh.getOrElse(i, Nil)).distinct.sorted)
+          // chain: t_i = min step-i time strictly after t_{i-1}
+          val chain = Array.fill[Option[Long]](k)(None)
+          for (i <- 0 until k) {
+            val floor = if (i == 0) Long.MinValue
+              else chain(i - 1).getOrElse(Long.MaxValue)
+            chain(i) =
+              if (i > 0 && chain(i - 1).isEmpty) None
+              else times(i).find(_ > floor)
+          }
+          // prune dead candidates: anything above the settled t_i can
+          // never become the min (t_{i-1} only decreases); cap the rest
+          times = (0 until k).map { i =>
+            val kept = chain(i) match {
+              case Some(t) => times(i).filter(_ <= t)
+              case None => times(i)
+            }
+            kept.take(maxKeep)
+          }
+          state.update(FunnelState(times))
+          val stage = chain.takeWhile(_.isDefined).length
+          FunnelUpdate(userId, stage, chain.toSeq.take(stage).map(_.get))
+      }
+  }
+
   /** Streaming dedup on a key within the watermark horizon: the
     * streaming face of exact dedup (state = seen keys inside the
     * watermark window; expired automatically — bounded state at any

@@ -233,6 +233,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel converges to the batch chain law under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    import graft.operators.Funnel
+    def ev(id: Long, u: Long, t: String, m: Long) =
+      Event(id, ts(m), u, t, 0.0)
+    val steps = Seq("signup", "click", "purchase")
+    // u1 arrives IN order; u2's signup arrives LATE (after its click
+    // and purchase) — the chain must rewrite; u3 stalls at click
+    val all = Seq(
+      ev(0, 1, "signup", 1), ev(1, 1, "click", 2), ev(2, 1, "purchase", 3),
+      ev(3, 2, "click", 5), ev(4, 2, "purchase", 6), ev(5, 2, "signup", 3),
+      ev(6, 3, "signup", 2), ev(7, 3, "purchase", 1))
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelStream(input.toDS(), steps, "1 hour")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      input.addData(all.take(5): _*) // u2 still signup-less
+      q.processAllAvailable()
+      val mid = spark.table("funnel_out")
+        .groupBy("user_id").agg(max(struct(col("stage"), col("t_ms"))).as("s"))
+        .select(col("user_id"), col("s.stage")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(mid(2L) == 0) // click/purchase without signup: not started
+      input.addData(all.drop(5): _*) // late signup@3 + u3
+      q.processAllAvailable()
+      // latest update per user (update mode appends to the memory sink)
+      val got = spark.table("funnel_out").withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(monotonically_increasing_id().desc)))
+        .where(col("rn") === 1)
+        .select("user_id", "stage", "t_ms").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2).toList))).toMap
+      // batch oracle on the full event set
+      val want = Funnel.funnelTimes(all.toDF(), "user_id", "event_type",
+          "ts", "event_id", steps).collect()
+        .map { r =>
+          val ts3 = (1 to 3).map(i => Option(r.getTimestamp(i)).map(_.getTime))
+          r.getLong(0) -> ((ts3.takeWhile(_.isDefined).length,
+            ts3.takeWhile(_.isDefined).map(_.get).toList))
+        }.toMap
+      assert(got == want)
+      assert(got(2L)._1 == 3) // the late signup completed u2's chain
+      assert(got(3L)._1 == 1) // purchase BEFORE signup never counts
+    } finally q.stop()
+  }
+
   test("trained classifier serves a stream identically to batch scoring") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
