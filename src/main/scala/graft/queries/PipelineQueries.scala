@@ -96,6 +96,21 @@ object PipelineQueries {
         d.select(pq.as("pq"), col("lang")), "pq", col("lang") === "en")
     }),
 
+    // JSONL round trip: write the corpus as JSON-lines (the exchange
+    // format of every public training-data release), read it back,
+    // and prove identity against the parquet original — gated on
+    // md5(text) so any escaping/encoding loss in either direction
+    // hash-fails. The written dataset is line-splittable, so a 100 TB
+    // export re-reads with full parallelism.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/g_jsonl_docs"
+      docs(s, dir).write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("doc_id").cast("long"), col("lang"), col("source"),
+          col("n_chars").cast("long"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     // Per-group quantile sketch: token-count p50/p90/p99 per language
     // from the mergeable equi-width histogram — |langs|·64 integer
     // cells shuffle, deterministic interpolation per group.
@@ -1193,6 +1208,10 @@ object PipelineQueries {
         |  CAST(u2 AS BIGINT) AS u2,
         |  round((u2 / 2.0 - pos * (pos + 1) / 2.0) / (pos * neg), 6) AS auc
         |FROM agg""".stripMargin),
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sk_quant_group" ->
       """WITH v AS (
