@@ -465,6 +465,102 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Exact long margin of the hashed-feature model in ONE tokenize
+    * pass: `w(dim) + Σ_tokens w(bucket(tok))` over micro-unit long
+    * weights (`weights.length = dim + 1`, last slot = intercept,
+    * counted once). The weight array rides as ONE reference object —
+    * a fastText-sized 262k-bucket model is 2 MiB shipped once per
+    * task, NOT a 262k-element plan literal — which is what lets
+    * [[graft.operators.Training]] hold any `dim`. Value-identical to
+    * `Σ_j w_j·x_j` over [[HashedCountsExpr]] counts by distributivity
+    * (integer adds commute); same md5-15 bucket law, same
+    * empty-token-free tokenization. */
+  case class HashedMarginExpr(child: Expression, weights: Array[Long])
+      extends UnaryExpression {
+    require(weights.length >= 2, s"weights=${weights.length}")
+    override def dataType: DataType = LongType
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val s = text.toString
+      val dim = weights.length - 1
+      val md = md5Digest()
+      val len = s.length
+      var m = weights(dim) // intercept
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val dig = md.digest(s.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          v >>>= 4
+          m += weights((v % dim).toInt)
+        }
+        i += 1
+      }
+      m
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashedMarginExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HashedMarginExpr =
+      copy(child = newChild)
+  }
+
+  /** Per-token bucket ids (NOT distinct, NOT counted — one entry per
+    * token occurrence) in one tokenize pass: the SPARSE feature face
+    * of the hashed family, exploded by the trainer so gradient rows
+    * scale with tokens-per-doc, never with `dim`. Same md5-15 law. */
+  case class HashedBucketsExpr(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim > 0, s"dim=$dim")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      val md = md5Digest()
+      val len = s.length
+      val out = new java.util.ArrayList[Any]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val dig = md.digest(s.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          v >>>= 4
+          out.add(java.lang.Long.valueOf(v % dim))
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashedBucketsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HashedBucketsExpr =
+      copy(child = newChild)
+  }
+
   /** Fused BM25 scoring: ONE tokenize pass per document scores EVERY
     * query — tf counting for all query terms rides a single hash-map
     * lookup per token, then per query the quantized contribution sum
@@ -1267,6 +1363,12 @@ object NativeExprs {
 
   def spanHashesNative(text: Column, n: Int): Column =
     ColumnBridge.column(SpanHashesExpr(ColumnBridge.expression(text), n))
+
+  def hashedMarginNative(text: Column, weights: Array[Long]): Column =
+    ColumnBridge.column(HashedMarginExpr(ColumnBridge.expression(text), weights))
+
+  def hashedBucketsNative(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashedBucketsExpr(ColumnBridge.expression(text), dim))
 
   def hashedCountsNative(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedCountsExpr(ColumnBridge.expression(text), dim))

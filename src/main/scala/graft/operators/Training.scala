@@ -30,13 +30,16 @@ import graft.functions.NativeExprs
   * weights bit-for-bit.
   *
   * Scale shape: each iteration is ONE corpus scan — a native
-  * feature-extraction pass, a codegen'd margin fold against the
-  * weight literal, then a posexplode into a (dim+1)-key map-side-
-  * combined aggregate (the only shuffle: ≤ (dim+1)·P partial rows).
-  * Nothing is cached and nothing but the (dim+1)-row gradient ever
-  * reaches the driver, so the loop holds at any corpus size; `iters`
-  * scans is the honest cost of full-batch GD (mini-batching would
-  * ride [[Sampling.hashSample]] on the same law). */
+  * one-pass margin ([[NativeExprs.HashedMarginExpr]]: the weight
+  * array is a task-shipped reference object, never a plan literal,
+  * so a fastText-sized 262k-bucket model costs 2 MiB per task) and a
+  * SPARSE gradient explode (one row per token occurrence, so
+  * gradient traffic scales with tokens-per-doc, never with `dim`)
+  * into a map-side-combined per-bucket aggregate. Nothing is cached
+  * and only the touched-bucket gradient rows reach the driver, so
+  * the loop holds at any corpus size and any `dim`; `iters` scans is
+  * the honest cost of full-batch GD (mini-batching would ride
+  * [[Sampling.hashSample]] on the same law). */
 object Training {
 
   /** Train `iters` full-batch GD steps; returns `dim+1` micro-unit
@@ -45,37 +48,38 @@ object Training {
   def trainLogRegWeights(docs: DataFrame, textCol: String, label: Column,
                          dim: Int = 32, iters: Int = 3,
                          lr: Double = 0.2): Array[Long] = {
-    val base = docs.select(
-      concat(NativeExprs.hashedCountsNative(col(textCol), dim),
-        array(lit(1L))).as("x"),
-      label.cast("long").as("y"))
+    val base = docs.select(col(textCol).as("t"), label.cast("long").as("y"))
     val n = docs.count()
     val w = Array.fill(dim + 1)(0L)
     if (n == 0L) return w
     var it = 0
     while (it < iters) {
+      // SPARSE gradient: gs_d = (pq_d − y_d·1e4)·100 once per TOKEN
+      // occurrence of bucket j (plus one intercept row per doc) sums
+      // to exactly Σ_d gs_d·x_dj — identical integers to the dense
+      // Σ gs·count formulation by distributivity, but gradient rows
+      // scale with tokens-per-doc, never with dim: a 262k-bucket
+      // fastText-sized model trains with the same shuffle as dim=32.
+      // Both the margin and the bucket list ride native one-pass
+      // expressions whose weight array is a reference object, not a
+      // plan literal (w.clone: the driver mutates w after collect).
       val grads = base
-        .select(col("y"), col("x"), marginMicro(col("x"), w).as("m"))
-        .select(col("x"), gradScale(col("m"), col("y")).as("gs"))
-        .select(col("gs"), posexplode(col("x")).as(Seq("j", "xj")))
-        // (pq − y·1e4)·x_j·100: exact integers, order-independent sum
-        .withColumn("g", col("gs") * col("xj"))
-        .groupBy("j").agg(sum(col("g")).as("g"))
+        .select(
+          gradScale(NativeExprs.hashedMarginNative(col("t"), w.clone()),
+            col("y")).as("gs"),
+          concat(NativeExprs.hashedBucketsNative(col("t"), dim),
+            array(lit(dim.toLong))).as("bk"))
+        .select(col("gs"), explode(col("bk")).as("j"))
+        .groupBy("j").agg(sum(col("gs")).as("g"))
         .collect()
       grads.foreach { r =>
-        val j = r.getInt(0)
+        val j = r.getLong(0).toInt
         w(j) -= math.floor(lr * r.getLong(1) / n + 0.5).toLong
       }
       it += 1
     }
     w
   }
-
-  /** Exact long dot product of the count array against the micro-unit
-    * weight literal. */
-  private def marginMicro(x: Column, w: Array[Long]): Column =
-    aggregate(zip_with(x, typedLit(w.toSeq), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
 
   /** `(pq − y·1e4)·100` where `pq = ⌊σ(m/1e6)·1e4 + 0.5⌋` — the
     * per-doc gradient scale; multiplied by the integer count x_j it
@@ -149,13 +153,12 @@ object Training {
 
   /** Score with trained micro-weights: the quantized sigmoid
     * `pq ∈ [0, 10000]` (same law as training) and the keep decision
-    * `pq ≥ 5000`. One native feature pass + codegen'd fold; no
-    * shuffle. */
+    * `pq ≥ 5000`. ONE native tokenize pass computes the exact long
+    * margin (weights as a reference object — any dim); no shuffle. */
   def scoreLogReg(text: Column, w: Array[Long]): (Column, Column) = {
-    val dim = w.length - 1
-    val x = concat(NativeExprs.hashedCountsNative(text, dim), array(lit(1L)))
     val pq = floor(lit(1e4) / (lit(1.0) +
-      exp(-(marginMicro(x, w).cast("double") / lit(1e6)))) + lit(0.5))
+      exp(-(NativeExprs.hashedMarginNative(text, w.clone())
+        .cast("double") / lit(1e6)))) + lit(0.5))
       .cast("long")
     (pq, (pq >= 5000L).cast("int"))
   }

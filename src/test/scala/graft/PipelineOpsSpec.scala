@@ -2437,5 +2437,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got7 = Training.trainLogRegWeights(df.repartition(7), "text",
       col("y"), dim, iters, lr)
     assert(got7.toSeq == got.toSeq)
+    // the dense feature face agrees with the serial counts (the
+    // trainer itself rides the sparse explode, same integers)
+    val cnts = df.limit(10).select(col("doc_id"),
+        graft.functions.NativeExprs.hashedCountsNative(col("text"), dim).as("x"))
+      .as[(Long, Seq[Long])].collect().toMap
+    corpus.take(10).foreach { case (id, t) =>
+      val x = new Array[Long](dim)
+      t.trim.split("\\s+").filter(_.nonEmpty).foreach(tok => x(bucket(tok)) += 1)
+      assert(cnts(id) == x.toSeq, s"doc $id")
+    }
+    // fastText-sized bucket space: the weight array is a reference
+    // object and gradients are sparse, so dim=262144 trains on the
+    // same corpus without a 262k-wide plan or shuffle
+    val big = Training.trainLogRegWeights(df, "text", col("y"),
+      dim = 262144, iters = 2, lr = 0.2)
+    assert(big.length == 262145 && big.exists(_ != 0L))
   }
 }
