@@ -45,7 +45,7 @@ object EmbedStats {
         element_at(col("xq"), i + 1) * element_at(col("xq"), j + 1) } ++
         (0 until dims).map(i => element_at(col("xq"), i + 1)) ++
         Seq(lit(1L))): _*)
-    val mapping = (pairs.map { case (i, j) => (i, j) } ++
+    val mapping = (pairs ++
       (0 until dims).map(i => (i, -1)) ++ Seq((-1, -1)))
       .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
       .toDF("pos", "i", "j")

@@ -152,17 +152,20 @@ object Search {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     graft.sources.Sinks.writeBucketed(postings, s"${prefix}_postings",
       buckets, Seq("token"))
-    // df = distinct docs per token = postings row count per token;
-    // reading the persisted table keeps this exchange-free under the
-    // token bucket layout (no second tokenize pass).
+    // Everything else derives FROM the persisted postings, so the
+    // corpus really is tokenized once: df = postings row count per
+    // token (exchange-free under the token bucket layout); doclen =
+    // per-doc max(dl) (every doc has >= 1 postings row — the Column
+    // tokenizer emits the empty-string token for empty docs); stats
+    // folds doclen.
+    val p = spark.table(s"${prefix}_postings")
     graft.sources.Sinks.saveTableReplacing(
-      spark.table(s"${prefix}_postings")
-        .groupBy("token").agg(count(lit(1)).as("df")),
-      s"${prefix}_df")
+      p.groupBy("token").agg(count(lit(1)).as("df")), s"${prefix}_df")
     graft.sources.Sinks.saveTableReplacing(
-      base.select(col("doc_id"), col("dl")), s"${prefix}_doclen")
+      p.groupBy("doc_id").agg(max(col("dl")).as("dl")), s"${prefix}_doclen")
     graft.sources.Sinks.saveTableReplacing(
-      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      spark.table(s"${prefix}_doclen")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
       s"${prefix}_stats")
   }
 

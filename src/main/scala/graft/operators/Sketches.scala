@@ -209,15 +209,8 @@ object Sketches {
     * the deterministic trade.) Values outside [lo, hi] clamp to the
     * edge buckets. */
   def histSketch(df: DataFrame, value: Column, lo: Column, hi: Column,
-                 bins: Int): DataFrame = {
-    require(bins >= 2 && bins <= 65536, s"bins=$bins")
-    val v = value.cast("double")
-    val bin = least(greatest(
-      floor((v - lo) / (hi - lo) * lit(bins.toDouble)), lit(0.0)),
-      lit((bins - 1).toDouble)).cast("long")
-    df.where(v.isNotNull).select(bin.as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-  }
+                 bins: Int): DataFrame =
+    histSketchGrouped(df, Seq.empty, value, lo, hi, bins)
 
   /** Merge two histogram sketches: per-bin count sum. */
   def histMerge(a: DataFrame, b: DataFrame): DataFrame =
@@ -251,13 +244,20 @@ object Sketches {
   def histQuantilesGrouped(hist: DataFrame, groupCols: Seq[String],
                            lo: Column, hi: Column, bins: Int,
                            qs: Seq[Double]): DataFrame = {
+    // Ungrouped (the histQuantiles delegate): a constant partition key
+    // — the frame is ≤bins rows — keeps WindowExec's single-partition
+    // warning out of the logs; the 1-row total rides a cross join.
+    val partCols = if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*).orderBy("bin")
+      .partitionBy(partCols: _*).orderBy("bin")
       .rowsBetween(Long.MinValue, 0)
     val totals = hist.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
     val width = (hi - lo) / lit(bins.toDouble)
-    hist.withColumn("cum", sum("cnt").over(w))
-      .join(totals, groupCols)
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    val joined =
+      if (groupCols.isEmpty) cum.crossJoin(totals) // 1-row broadcast
+      else cum.join(totals, groupCols)
+    joined
       .withColumn("q", explode(array(qs.map(lit): _*)))
       .withColumn("target", col("q") * col("n"))
       .where(col("cum") >= col("target") &&
@@ -320,26 +320,8 @@ object Sketches {
     * expression, so the estimate is engine- and partitioning-
     * deterministic (6-dp rounded like every gate double). */
   def histQuantiles(hist: DataFrame, lo: Column, hi: Column, bins: Int,
-                    qs: Seq[Double]): DataFrame = {
-    // Constant partition key: the frame is ≤`bins` rows by
-    // construction, and an explicit (if degenerate) partition spec
-    // keeps WindowExec's single-partition warning out of the logs.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy("bin").rowsBetween(Long.MinValue, 0)
-    val cum = hist
-      .withColumn("cum", sum("cnt").over(w))
-      .crossJoin(hist.agg(sum("cnt").as("n"))) // 1-row broadcast
-    val width = (hi - lo) / lit(bins.toDouble)
-    cum
-      .withColumn("q", explode(array(qs.map(lit): _*)))
-      .withColumn("target", col("q") * col("n"))
-      .where(col("cum") >= col("target") &&
-        (col("cum") - col("cnt")) < col("target"))
-      .select(col("q"),
-        round(lo + (col("bin") +
-          (col("target") - (col("cum") - col("cnt"))) / col("cnt")) * width,
-          6).as("est"))
-  }
+                    qs: Seq[Double]): DataFrame =
+    histQuantilesGrouped(hist, Seq.empty, lo, hi, bins, qs)
 
   // ---- Bloom membership sketch (join pruning) -------------------------
 

@@ -44,14 +44,18 @@ object Training {
 
   /** Train `iters` full-batch GD steps; returns `dim+1` micro-unit
     * weights (index `dim` = intercept). `label` must evaluate to
-    * 0/1 (cast to long). */
+    * 0/1 (cast to long). Null law (so no document's gradient is ever
+    * silently dropped, matching the oracle's CASE/ELSE-0 semantics):
+    * a null text trains as the empty document (intercept-only
+    * features) and a null label as 0. */
   def trainLogRegWeights(docs: DataFrame, textCol: String, label: Column,
                          dim: Int = 32, iters: Int = 3,
                          lr: Double = 0.2): Array[Long] = {
-    val base = docs.select(col(textCol).as("t"), label.cast("long").as("y"))
-    val n = docs.count()
+    val base = docs.select(
+      coalesce(col(textCol), lit("")).as("t"),
+      coalesce(label.cast("long"), lit(0L)).as("y"))
+    var n = 0L // derived from the first iteration's intercept count
     val w = Array.fill(dim + 1)(0L)
-    if (n == 0L) return w
     var it = 0
     while (it < iters) {
       // SPARSE gradient: gs_d = (pq_d − y_d·1e4)·100 once per TOKEN
@@ -70,8 +74,14 @@ object Training {
           concat(NativeExprs.hashedBucketsNative(col("t"), dim),
             array(lit(dim.toLong))).as("bk"))
         .select(col("gs"), explode(col("bk")).as("j"))
-        .groupBy("j").agg(sum(col("gs")).as("g"))
+        .groupBy("j").agg(sum(col("gs")).as("g"), count(lit(1)).as("c"))
         .collect()
+      if (grads.isEmpty) return w // empty corpus
+      // n rides the gradient aggregate (the intercept bucket appears
+      // exactly once per document) — no dedicated count scan.
+      if (it == 0)
+        n = grads.find(_.getLong(0) == dim.toLong).map(_.getLong(2)).getOrElse(0L)
+      if (n == 0L) return w
       grads.foreach { r =>
         val j = r.getLong(0).toInt
         w(j) -= math.floor(lr * r.getLong(1) / n + 0.5).toLong
@@ -121,7 +131,7 @@ object Training {
   def evalBinary(scored: DataFrame, pqCol: String,
                  labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val y = labelCol.cast("long")
+    val y = coalesce(labelCol.cast("long"), lit(0L)) // null label = 0
     val hist = scored.select(col(pqCol).as("pq"), y.as("y"))
       .groupBy("pq")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
@@ -157,7 +167,7 @@ object Training {
     * margin (weights as a reference object — any dim); no shuffle. */
   def scoreLogReg(text: Column, w: Array[Long]): (Column, Column) = {
     val pq = floor(lit(1e4) / (lit(1.0) +
-      exp(-(NativeExprs.hashedMarginNative(text, w.clone())
+      exp(-(NativeExprs.hashedMarginNative(coalesce(text, lit("")), w.clone())
         .cast("double") / lit(1e6)))) + lit(0.5))
       .cast("long")
     (pq, (pq >= 5000L).cast("int"))

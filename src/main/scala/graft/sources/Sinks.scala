@@ -185,8 +185,11 @@ object Sinks {
     // delete-then-rename would open a window where a crash loses the
     // state entirely).
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(target)) fs.rename(target, bak)
-    fs.rename(tmpP, target)
+    // verified renames: see compact() — an unchecked failure here
+    // followed by the bak delete would lose the committed state
+    if (fs.exists(target))
+      require(fs.rename(target, bak), s"mergeAggState: rename $target -> $bak failed")
+    require(fs.rename(tmpP, target), s"mergeAggState: rename $tmpP -> $target failed")
     fs.delete(bak, true)
     spark.read.parquet(statePath)
   }
@@ -220,8 +223,12 @@ object Sinks {
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmpP.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(target, bak)
-    fs.rename(tmpP, target)
+    // Renames MUST be verified: an unchecked false from the second
+    // rename followed by the bak delete would destroy the only
+    // committed copy. Fail loudly instead — bak still holds the data
+    // and the next call's recovery path restores it.
+    require(fs.rename(target, bak), s"compact: rename $target -> $bak failed")
+    require(fs.rename(tmpP, target), s"compact: rename $tmpP -> $target failed")
     fs.delete(bak, true)
     fs.listStatus(target)
       .count(s => s.isFile && s.getPath.getName.startsWith("part-")) match {
