@@ -125,6 +125,24 @@ object PipelineQueries {
         lit(0.0), lit(200.0), 64, Seq(0.5, 0.9, 0.99))
     }),
 
+    // Train → score → CURATE composition: the freshly trained
+    // classifier gates the corpus (any positive evidence, pq > 0 —
+    // three GD steps on a 44%-positive corpus leave the model
+    // underfit-conservative, so the meaningful cut at this budget is
+    // above-zero, not above-half) and exact dedup folds the keepers
+    // to min-id survivors — the model-in-the-loop curation pipeline
+    // as one run, hash-gated end to end.
+    "pipe_train_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.operators.Training.trainLogRegWeights(d, "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.2)
+      val (pq, _) = graft.operators.Training.scoreLogReg(col("text"), w)
+      val kept = d.select(col("doc_id"), col("text"), pq.as("pq"))
+        .where(col("pq") > 0L)
+      Dedup.dropExactDuplicates(kept, "doc_id", "text")
+        .select(col("doc_id"), col("pq"))
+    }),
+
     // Reliability/calibration table: per pq-decile bucket the exact
     // row count, positive count, and pq sum (all longs — ratios are
     // the consumer's one division). The companion diagnostic to
@@ -1234,6 +1252,17 @@ object PipelineQueries {
         |FROM c, q
         |WHERE c.cum >= q.q * c.n AND (c.cum - c.cnt) < q.q * c.n
         |ORDER BY 1, 2""".stripMargin,
+
+    "pipe_train_curate" -> (lrChainSql +
+      """,
+        |m4 AS (SELECT f.doc_id, sum(w3.w * f.x) AS m FROM f JOIN w3 USING (j) GROUP BY 1),
+        |p4 AS (SELECT doc_id, CAST(floor(1e4 / (1 + exp(-(m / 1e6))) + 0.5) AS BIGINT) AS pq
+        |       FROM m4),
+        |kept AS (SELECT d.doc_id, d.text, p4.pq
+        |         FROM p4 JOIN documents d USING (doc_id) WHERE p4.pq > 0),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+        |SELECT k.doc_id, k.pq FROM kept k JOIN dd USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin),
 
     "txt_lr_calibration" -> (lrChainSql +
       """,

@@ -2453,5 +2453,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val big = Training.trainLogRegWeights(df, "text", col("y"),
       dim = 262144, iters = 2, lr = 0.2)
     assert(big.length == 262145 && big.exists(_ != 0L))
+
+    // null law: a null text trains as the empty document and a null
+    // label as 0 — no document's gradient is ever silently dropped
+    val withNulls = df.select(col("doc_id"), col("text"), col("y"))
+      .unionByName(Seq((9001L, null.asInstanceOf[String], Some(true)),
+        (9002L, "spark scan join", None))
+        .toDF("doc_id", "text", "y"))
+    val wNull = Training.trainLogRegWeights(withNulls, "text", col("y"),
+      dim, iters, lr)
+    val wExplicit = Training.trainLogRegWeights(
+      df.select(col("doc_id"), col("text"), col("y"))
+        .unionByName(Seq((9001L, "", true), (9002L, "spark scan join", false))
+          .toDF("doc_id", "text", "y")),
+      "text", col("y"), dim, iters, lr)
+    assert(wNull.toSeq == wExplicit.toSeq)
+    assert(wNull.toSeq != got.toSeq) // the two extra docs DID count
   }
 }
