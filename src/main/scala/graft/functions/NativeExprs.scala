@@ -516,6 +516,57 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** K class margins in ONE tokenize pass: row k of `weights` is a
+    * [[HashedMarginExpr]] weight vector (dim+1 micro-longs, last =
+    * intercept); every token's bucket is hashed once and added into
+    * all K accumulators — the multiclass face of the family, used by
+    * the softmax trainer. Output: array<long> length K. */
+  case class HashedMarginsExpr(child: Expression, weights: Array[Array[Long]])
+      extends UnaryExpression {
+    require(weights.nonEmpty && weights.forall(_.length == weights(0).length)
+      && weights(0).length >= 2, "ragged or empty weights")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      val k = weights.length
+      val dim = weights(0).length - 1
+      val md = md5Digest()
+      val len = s.length
+      val m = Array.tabulate(k)(c => weights(c)(dim)) // intercepts
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val dig = md.digest(s.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          v >>>= 4
+          val j = (v % dim).toInt
+          var c = 0
+          while (c < k) { m(c) += weights(c)(j); c += 1 }
+        }
+        i += 1
+      }
+      new GenericArrayData(m.map(x => x: Any))
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashedMarginsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HashedMarginsExpr =
+      copy(child = newChild)
+  }
+
   /** Per-token bucket ids (NOT distinct, NOT counted — one entry per
     * token occurrence) in one tokenize pass: the SPARSE feature face
     * of the hashed family, exploded by the trainer so gradient rows
@@ -1363,6 +1414,9 @@ object NativeExprs {
 
   def spanHashesNative(text: Column, n: Int): Column =
     ColumnBridge.column(SpanHashesExpr(ColumnBridge.expression(text), n))
+
+  def hashedMarginsNative(text: Column, weights: Array[Array[Long]]): Column =
+    ColumnBridge.column(HashedMarginsExpr(ColumnBridge.expression(text), weights))
 
   def hashedMarginNative(text: Column, weights: Array[Long]): Column =
     ColumnBridge.column(HashedMarginExpr(ColumnBridge.expression(text), weights))

@@ -110,6 +110,103 @@ object Training {
       .toDF("bucket", "w_micro")
   }
 
+  /** Multiclass softmax (multinomial logistic regression) training by
+    * the same quantized-integer law as [[trainLogRegWeights]] —
+    * lang-ID-style K-way classification trained at corpus scale.
+    *
+    * Per doc: K exact long margins in ONE native tokenize pass
+    * ([[NativeExprs.HashedMarginsExpr]]); the softmax is made
+    * order/engine-independent by integer quantization at BOTH seams —
+    * `eq_k = ⌊exp((m_k − m_max)/1e6)·1e6 + 0.5⌋` (m_max is an integer
+    * max, so the shift is exact) and
+    * `pq_k = ⌊eq_k/Σeq·1e4 + 0.5⌋`; the gradient contribution
+    * `(pq_k − [y=k]·1e4)·100` is then an exact integer per token
+    * occurrence per class, summed sparsely (rows scale with
+    * tokens·K, never with dim). Update per class as the binary
+    * trainer. The DuckDB oracle replays the iterations as CTE stages
+    * over a (j, k, w) weight table and matches bit-for-bit.
+    *
+    * Returns K rows of dim+1 micro-weights (slot dim = intercept).
+    * `labelIdx` must evaluate to 0..k-1 (nulls train as class 0). */
+  def trainSoftmaxWeights(docs: DataFrame, textCol: String,
+                          labelIdx: Column, k: Int, dim: Int = 16,
+                          iters: Int = 2,
+                          lr: Double = 0.2): Array[Array[Long]] = {
+    require(k >= 2, s"k=$k")
+    val base = docs.select(
+      coalesce(col(textCol), lit("")).as("t"),
+      coalesce(labelIdx.cast("long"), lit(0L)).as("y"))
+    var n = 0L
+    val w = Array.fill(k, dim + 1)(0L)
+    var it = 0
+    while (it < iters) {
+      val margins = NativeExprs.hashedMarginsNative(col("t"),
+        w.map(_.clone()))
+      val mmax = array_max(col("m"))
+      val eqs = transform(col("m"),
+        m => floor(exp((m - mmax).cast("double") / lit(1e6)) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      val seq_ = aggregate(col("eq"), lit(0L), (a, b) => a + b)
+      val pqs = transform(col("eq"),
+        eq => floor(eq.cast("double") / col("sq") * lit(1e4) + lit(0.5))
+          .cast("long"))
+      val gs = transform(sequence(lit(0), lit(k - 1)),
+        i => (element_at(col("pq"), i.cast("int") + 1) -
+          when(col("y") === i.cast("long"), lit(10000L)).otherwise(lit(0L)))
+          * lit(100L))
+      val grads = base
+        .select(col("y"), margins.as("m"),
+          concat(NativeExprs.hashedBucketsNative(col("t"), dim),
+            array(lit(dim.toLong))).as("bk"))
+        .select(col("y"), col("bk"), eqs.as("eq"))
+        .select(col("y"), col("bk"), col("eq"), seq_.as("sq"))
+        .select(col("y"), col("bk"), pqs.as("pq"))
+        .select(gs.as("gs"), explode(col("bk")).as("j"))
+        .groupBy("j")
+        .agg(count(lit(1)).as("c"),
+          (0 until k).map(c =>
+            sum(element_at(col("gs"), c + 1)).as(s"g$c")): _*)
+        .collect()
+      if (grads.isEmpty) return w
+      if (it == 0)
+        n = grads.find(_.getLong(0) == dim.toLong).map(_.getLong(1)).getOrElse(0L)
+      if (n == 0L) return w
+      grads.foreach { r =>
+        val j = r.getLong(0).toInt
+        var c = 0
+        while (c < k) {
+          w(c)(j) -= math.floor(lr * r.getLong(2 + c) / n + 0.5).toLong
+          c += 1
+        }
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** The trained softmax model as data: `(k, bucket, w_micro)`. */
+  def trainSoftmax(docs: DataFrame, textCol: String, labelIdx: Column,
+                   k: Int, dim: Int = 16, iters: Int = 2,
+                   lr: Double = 0.2): DataFrame = {
+    val w = trainSoftmaxWeights(docs, textCol, labelIdx, k, dim, iters, lr)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    w.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (wm, j) => (c, j, wm) }
+    }.toSeq.toDF("k", "bucket", "w_micro")
+  }
+
+  /** Predicted class (argmax margin, ties to the lower class id) with
+    * trained softmax weights — one native pass, no shuffle. Margins
+    * order-match softmax probabilities, so no exp is needed to
+    * serve. */
+  def predictSoftmax(text: Column, w: Array[Array[Long]]): Column = {
+    val m = NativeExprs.hashedMarginsNative(coalesce(text, lit("")),
+      w.map(_.clone()))
+    // argmax with ties to the lower index: array_position of the max
+    array_position(m, array_max(m)).cast("int") - 1
+  }
+
   /** Exact distributed binary-classification evaluation over a scored
     * frame: confusion counts at the pq ≥ 5000 decision threshold plus
     * ROC-AUC by the Mann–Whitney rank statistic — the metric tier

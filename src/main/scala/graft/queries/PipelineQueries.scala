@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity}
@@ -36,6 +36,16 @@ object PipelineQueries {
   }
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Class index for the softmax gates: en/de/es/fr/zh -> 0..4 (the
+    * oracle's VALUES table order); anything else 0. */
+  private def langIdx(lang: Column): Column = {
+    val classes = Seq("en", "de", "es", "fr", "zh")
+    classes.zipWithIndex.tail
+      .foldLeft(when(lang === classes.head, 0L)) {
+        case (c, (l, i)) => c.when(lang === l, i.toLong)
+      }.otherwise(0L)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + quality scoring (whitespace + ratio features).
@@ -123,6 +133,27 @@ object PipelineQueries {
         Seq("lang"), col("n_tok"), lit(0.0), lit(200.0), bins = 64)
       Sketches.histQuantilesGrouped(hist, Seq("lang"),
         lit(0.0), lit(200.0), 64, Seq(0.5, 0.9, 0.99))
+    }),
+
+    // MULTICLASS softmax training (5-way lang-ID, 2 GD steps over 16
+    // hashed buckets + intercept): K margins per doc in one native
+    // pass; the softmax is integer-quantized at both seams (shifted
+    // exp to the 1e6 grid, probabilities to the 1e4 grid) so every
+    // gradient sum is exact and the oracle replays the iterations
+    // over a (j, k, w) weight table bit-for-bit.
+    "txt_softmax_train" -> ((s, dir) =>
+      graft.operators.Training.trainSoftmax(docs(s, dir), "text",
+        langIdx(col("lang")), k = 5, dim = 16, iters = 2, lr = 0.2)),
+
+    // Softmax serving: argmax-margin class per doc (ties to the lower
+    // class id; margins order-match probabilities so serving needs no
+    // exp) with the freshly trained weights.
+    "txt_softmax_pred" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.operators.Training.trainSoftmaxWeights(d, "text",
+        langIdx(col("lang")), k = 5, dim = 16, iters = 2, lr = 0.2)
+      d.select(col("doc_id"),
+        graft.operators.Training.predictSoftmax(col("text"), w).as("yhat"))
     }),
 
     // Train → score → CURATE composition: the freshly trained
@@ -1197,7 +1228,78 @@ object PipelineQueries {
       |w3 AS (SELECT w2.j, w2.w - CAST(floor(0.2 * g3.g / nn.n + 0.5) AS BIGINT) AS w
       |       FROM w2 JOIN g3 USING (j) CROSS JOIN nn)""".stripMargin
 
+  /** The softmax-training chain, shared by txt_softmax_train and
+    * txt_softmax_pred: two GD iterations over a (j, k, w) weight
+    * table on [[graft.operators.Training.trainSoftmaxWeights]]'s
+    * law — integer margins, shifted exp quantized to the 1e6 grid,
+    * probabilities to the 1e4 grid, exact gradient sums,
+    * floor(x+0.5) updates. Iteration 1 hardcodes pq = 2000 (all
+    * margins 0 under zero weights → uniform 1/5 on the 1e4 grid). */
+  private val softmaxChainSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                                    t -> length(t) > 0)) AS t
+      |  FROM documents),
+      |cls AS (SELECT * FROM (VALUES (0, 'en'), (1, 'de'), (2, 'es'),
+      |                              (3, 'fr'), (4, 'zh')) c(k, lang)),
+      |lab AS (SELECT d.doc_id, coalesce(cls.k, 0) AS y
+      |        FROM documents d LEFT JOIN cls USING (lang)),
+      |spine AS (SELECT a.j, b.k
+      |          FROM (SELECT unnest(range(0, 17)) AS j) a,
+      |               (SELECT unnest(range(0, 5)) AS k) b),
+      |f AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 16 AS j,
+      |         count(*) AS x
+      |  FROM tok GROUP BY 1, 2
+      |  UNION ALL SELECT doc_id, 16 AS j, 1 AS x FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |g1 AS (
+      |  SELECT s.j, s.k, coalesce(sum(fl.gv), 0) AS g
+      |  FROM spine s LEFT JOIN (
+      |    SELECT f.j, c.k,
+      |      (2000 - CASE WHEN l.y = c.k THEN 10000 ELSE 0 END) * 100 * f.x AS gv
+      |    FROM f JOIN lab l USING (doc_id)
+      |         CROSS JOIN (SELECT unnest(range(0, 5)) AS k) c) fl
+      |    ON fl.j = s.j AND fl.k = s.k
+      |  GROUP BY s.j, s.k),
+      |w1 AS (SELECT g1.j, g1.k, 0 - CAST(floor(0.2 * g1.g / nn.n + 0.5) AS BIGINT) AS w
+      |       FROM g1 CROSS JOIN nn),
+      |m2 AS (SELECT f.doc_id, w1.k, sum(w1.w * f.x) AS m
+      |       FROM f JOIN w1 USING (j) GROUP BY 1, 2),
+      |mm2 AS (SELECT doc_id, max(m) AS mm FROM m2 GROUP BY 1),
+      |e2 AS (SELECT m2.doc_id, m2.k,
+      |         CAST(floor(exp(CAST(m2.m - mm2.mm AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT) AS eq
+      |       FROM m2 JOIN mm2 USING (doc_id)),
+      |s2 AS (SELECT doc_id, sum(eq) AS sq FROM e2 GROUP BY 1),
+      |p2 AS (SELECT e2.doc_id, e2.k,
+      |         CAST(floor(CAST(e2.eq AS DOUBLE) / s2.sq * 1e4 + 0.5) AS BIGINT) AS pq
+      |       FROM e2 JOIN s2 USING (doc_id)),
+      |g2 AS (
+      |  SELECT s.j, s.k, coalesce(sum(fl.gv), 0) AS g
+      |  FROM spine s LEFT JOIN (
+      |    SELECT f.j, p.k,
+      |      (p.pq - CASE WHEN l.y = p.k THEN 10000 ELSE 0 END) * 100 * f.x AS gv
+      |    FROM f JOIN lab l USING (doc_id) JOIN p2 p USING (doc_id)) fl
+      |    ON fl.j = s.j AND fl.k = s.k
+      |  GROUP BY s.j, s.k),
+      |w2 AS (SELECT w1.j, w1.k, w1.w - CAST(floor(0.2 * g2.g / nn.n + 0.5) AS BIGINT) AS w
+      |       FROM w1 JOIN g2 ON w1.j = g2.j AND w1.k = g2.k CROSS JOIN nn)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "txt_softmax_train" -> (softmaxChainSql +
+      """
+        |SELECT CAST(k AS INT) AS k, CAST(j AS INT) AS bucket,
+        |  CAST(w AS BIGINT) AS w_micro
+        |FROM w2 ORDER BY 1, 2""".stripMargin),
+    "txt_softmax_pred" -> (softmaxChainSql +
+      """,
+        |m3 AS (SELECT f.doc_id, w2.k, sum(w2.w * f.x) AS m
+        |       FROM f JOIN w2 USING (j) GROUP BY 1, 2),
+        |r3 AS (SELECT doc_id, k,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, k) AS rk
+        |       FROM m3)
+        |SELECT doc_id, CAST(k AS INT) AS yhat FROM r3 WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin),
     "txt_lr_train" -> (lrChainSql +
       """
         |SELECT CAST(j AS INT) AS bucket, CAST(w AS BIGINT) AS w_micro

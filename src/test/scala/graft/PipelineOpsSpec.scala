@@ -2354,6 +2354,75 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()(0).getDouble(7) == 0.5)
   }
 
+  test("trainSoftmax: weights equal the serial GD oracle; argmax serving recovers classes") {
+    import graft.operators.Training
+    val k = 3
+    val dim = 8
+    val iters = 2
+    val lr = 0.2
+    // three token dialects so the classes are separable
+    val rnd = new scala.util.Random(53)
+    val vocabs = Seq(
+      Vector("alpha", "beta", "gamma", "shared", "x"),
+      Vector("delta", "eps", "zeta", "shared", "x"),
+      Vector("eta", "theta", "iota", "shared", "x"))
+    val rows = (0 until 120).map { i =>
+      val c = i % 3
+      val v = vocabs(c)
+      (i.toLong, Seq.fill(12)(v(rnd.nextInt(v.size))).mkString(" "), c.toLong)
+    }
+    val df = rows.toDF("doc_id", "text", "y")
+    val got = Training.trainSoftmaxWeights(df, "text", col("y"), k, dim,
+      iters, lr)
+
+    // serial oracle on the same quantized law
+    def bucket(t: String): Int = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(b => v = (v << 8) | (dig(b) & 0xffL))
+      ((v >>> 4) % dim).toInt
+    }
+    val feats = rows.map { case (_, t, y) =>
+      val x = new Array[Long](dim + 1)
+      t.trim.split("\\s+").filter(_.nonEmpty).foreach(tok => x(bucket(tok)) += 1)
+      x(dim) = 1L
+      (x, y)
+    }
+    val w = Array.fill(k, dim + 1)(0L)
+    val n = feats.length
+    (1 to iters).foreach { _ =>
+      val g = Array.fill(k, dim + 1)(0L)
+      feats.foreach { case (x, y) =>
+        val m = (0 until k).map(c =>
+          x.zip(w(c)).map { case (a, b) => a * b }.sum)
+        val mm = m.max
+        val eq = m.map(v => math.floor(
+          math.exp((v - mm).toDouble / 1e6) * 1e6 + 0.5).toLong)
+        val sq = eq.sum
+        val pq = eq.map(e => math.floor(e.toDouble / sq * 1e4 + 0.5).toLong)
+        for (c <- 0 until k; j <- 0 to dim)
+          g(c)(j) += (pq(c) - (if (y == c) 10000L else 0L)) * 100L * x(j)
+      }
+      for (c <- 0 until k; j <- 0 to dim)
+        w(c)(j) -= math.floor(lr * g(c)(j) / n + 0.5).toLong
+    }
+    assert(got.map(_.toSeq).toSeq == w.map(_.toSeq).toSeq)
+    // partitioning invariance
+    val got7 = Training.trainSoftmaxWeights(df.repartition(7), "text",
+      col("y"), k, dim, iters, lr)
+    assert(got7.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    // serving: with a longer budget (more steps, fewer bucket
+    // collisions) argmax margins recover the dialects far above the
+    // 1/3 chance floor
+    val wLong = Training.trainSoftmaxWeights(df, "text", col("y"), k,
+      dim = 32, iters = 10, lr = 0.2)
+    val acc = df.select((Training.predictSoftmax(col("text"), wLong) ===
+        col("y").cast("int")).cast("long").as("ok"))
+      .agg(avg(col("ok"))).first().getDouble(0)
+    assert(acc > 0.8, s"softmax accuracy $acc")
+  }
+
   test("retention + gapFill: serial cohort law, dense spans, zero-filled gaps") {
     import graft.operators.Funnel
     import java.sql.Timestamp
