@@ -1766,7 +1766,7 @@ object PipelineQueries {
         |SELECT CASE WHEN bkt < 960 THEN 'train'
         |            WHEN bkt < 980 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs,
-        |  sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+        |  CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_source_report" ->
@@ -1780,7 +1780,7 @@ object PipelineQueries {
         |    md5(text) AS digest
         |  FROM documents),
         |s AS (
-        |  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |    sum(q_micro) AS q_sum, count(DISTINCT lang) AS n_langs
         |  FROM p GROUP BY source),
         |dupd AS (SELECT digest FROM p GROUP BY digest HAVING count(*) >= 2),
