@@ -673,9 +673,8 @@ object NativeExprs {
         while (j < idxs.length) {
           val ti = idxs(j)
           val tf = tfs(ti).toDouble
-          val c = terms(ti)._3 * tf * (k1 + 1.0) / (tf + dln) * 1e6
-          sum += java.math.BigDecimal.valueOf(c)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          sum += graft.functions.Quantize.quantizeDouble(
+            terms(ti)._3 * tf * (k1 + 1.0) / (tf + dln), 6)
           j += 1
         }
         out(q) = org.apache.spark.sql.catalyst.InternalRow(qids(q), sum)

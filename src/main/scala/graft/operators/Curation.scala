@@ -59,7 +59,7 @@ object Curation {
     // cache(): the scored frame feeds both the threshold aggregate and
     // the output join — query-scoped, same policy as the dedup family.
     val q = sur.withColumn("bq",
-      round(col("bits_per_token") * 1e6, 0).cast("decimal(38,0)")).cache()
+      graft.functions.Quantize.quantizeDecimal(col("bits_per_token"), 6)).cache()
     val stats = q.groupBy(langCol).agg(
       count(lit(1)).as("ln"),
       sum(col("bq")).as("s1"),

@@ -99,10 +99,13 @@ object Funnel {
                    tsCol: String, orderCol: String,
                    steps: Seq[String]): DataFrame = {
     val times = funnelTimes(events, userCol, typeCol, tsCol, orderCol, steps)
+    // coalesce: a global agg over ZERO rows yields null sums, but the
+    // count of users who reached a step of an empty corpus is 0.
     val counts = times.agg(
-      sum(when(col("t0").isNotNull, 1L).otherwise(0L)).as("c0"),
+      coalesce(sum(when(col("t0").isNotNull, 1L).otherwise(0L)), lit(0L)).as("c0"),
       steps.indices.tail.map(i =>
-        sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"c$i")): _*)
+        coalesce(sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"c$i")): _*)
     counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
       struct(lit(i + 1).as("step"), lit(s).as("step_name"),
         col(s"c$i").as("users"))

@@ -39,7 +39,7 @@ object LanguageModel {
     val total = cnt.agg(sum(col("c")).as("total"))
     // one quantized log-prob per vocab entry; total is a 1-row frame
     val lp = cnt.crossJoin(broadcast(total)).select(col("token"),
-      round(log2(col("c") / col("total")) * 1e9, 0).cast("long").as("li"))
+      graft.functions.Quantize.quantize(log2(col("c") / col("total")), 9).as("li"))
     val docTok = tok.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("nt"))
     docTok.join(lp, "token")
@@ -87,7 +87,7 @@ object LanguageModel {
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = cb.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val lp = cb.join(c1, "w1").select(col("w1"), col("w2"),
-      round(log2(col("c2") / col("c1")) * 1e9, 0).cast("long").as("li"))
+      graft.functions.Quantize.quantize(log2(col("c2") / col("c1")), 9).as("li"))
     big.join(lp, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("li")).as("s"))

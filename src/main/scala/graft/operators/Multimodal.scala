@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * partition sizing, per-partition batched iteration (the Scala analog
   * of `mapInPandas` batch shape), and a deterministic metadata pipeline.
   * Image decode is REAL for formats the JDK ships codecs for
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeOne]]); payloads
-  * with no installed reader (and the feature/frame stubs, which stand
-  * in for model inference) fall back to deterministic MD5-derived
-  * values, keeping every pipeline total and oracle-checkable.
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[decodeOne]]); feature
+  * extraction is a REAL fixed random projection of the decoded
+  * statistics ([[extractFeatures]]). Payloads with no installed
+  * reader (and the frame-sampling stub, which stands in for a video
+  * codec) fall back to deterministic MD5-derived values, keeping
+  * every pipeline total and oracle-checkable.
   */
 object Multimodal {
 
@@ -113,28 +115,67 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Feature extraction stub: fixed-size float vector per media row
-    * (stands in for an embedding model; deterministic from bytes).
-    * Component d derives from md5(content ++ ":d") so an ANSI SQL
-    * oracle can recompute the exact grid value
-    * (first 16 digest bits mod 2000, centered, /1000). */
+  /** Number of per-row statistics [[extractFeatures]] projects:
+    * (width, height, mean_px, byte_mean, n_bytes). */
+  val featureStatsDim: Int = 5
+
+  /** Fixed ±1 projection entry (d, j) for [[extractFeatures]] — the
+    * sign of a Rademacher JL projection matrix, derived from the md5
+    * of the literal "proj:d:j" so every executor (and the SQL oracle,
+    * which inlines the signs as constants) agrees without shipping a
+    * matrix. */
+  def projSign(d: Int, j: Int): Int = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"proj:$d:$j".getBytes("UTF-8"))
+    if ((dig(0) & 1) == 0) 1 else -1
+  }
+
+  /** REAL feature extraction: a fixed Rademacher random projection
+    * (the JL construction [[graft.operators.Similarity]] uses for
+    * embeddings) of per-row DECODED statistics — the batched-inference
+    * contract (bounded per-partition batches, codec amortized per
+    * partition) carrying an actual computation instead of a digest
+    * stub. Per row the statistics vector is
+    * `s = (width, height, mean_px, byte_mean, n_bytes/1000)` — width/
+    * height/mean_px from the REAL [[decodeOne]] (ImageIO for decodable
+    * payloads, the deterministic [[fakeDecode]] fallback otherwise),
+    * byte_mean the mean unsigned payload byte, size in KILObytes so
+    * the components share a scale — and
+    * `features[d] = Σ_j projSign(d, j) · s_j`.
+    *
+    * Determinism seam: each statistic is quantized HALF_UP to the
+    * milli grid ([[graft.functions.Quantize.quantizeDouble]]), the
+    * signed sum folds in exact longs, and the float output is that
+    * integer / 1000 — so `round(f · 1000)` recovers the exact signed
+    * sum for any payload under ~8 MB (float's 2^24 integer-exactness
+    * divided by the one rounding step), and the SQL oracle reproduces
+    * it with integer arithmetic. */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val signs: Array[Array[Long]] =
+      Array.tabulate(dim, featureStatsDim)((d, j) => projSign(d, j).toLong)
     val rdd = Repartition.forCompute(media.select("media_id", "content")).rdd.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val id = row.getLong(0)
           val bytes = row.getAs[Array[Byte]](1)
+          val (w, h, mp) = decodeOne(bytes)
+          var bsum = 0L
+          var i = 0
+          while (i < bytes.length) { bsum += bytes(i) & 0xff; i += 1 }
+          val bm = if (bytes.length == 0) 0.0 else bsum.toDouble / bytes.length
+          val q = Array[Long](w * 1000L, h * 1000L,
+            graft.functions.Quantize.quantizeDouble(mp, 3),
+            graft.functions.Quantize.quantizeDouble(bm, 3),
+            bytes.length.toLong)
           val feats = Array.tabulate(dim) { d =>
-            md.reset()
-            md.update(bytes)
-            md.update(s":$d".getBytes("UTF-8"))
-            val dig = md.digest()
-            val v = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
-            ((v % 2000) - 1000).toFloat / 1000.0f
+            var s = 0L
+            var j = 0
+            while (j < featureStatsDim) { s += signs(d)(j) * q(j); j += 1 }
+            s.toFloat / 1000.0f
           }
           Row(id, feats.toSeq)
         }

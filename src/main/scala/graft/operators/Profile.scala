@@ -136,8 +136,10 @@ object Profile {
     val perDoc = docs.select(col(sourceCol).as("source"), col(idCol),
       col(langCol).as("lang"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
-      round(TextFunctions.qualityScore(col(textCol)) * 1e6, 0).cast("long")
-        .as("q_micro"),
+      // qualityScore is already 6-dp, so this quantization is exact
+      // (no second rounding can move the value off its grid point)
+      graft.functions.Quantize.quantize(
+        TextFunctions.qualityScore(col(textCol)), 6).as("q_micro"),
       md5(col(textCol).cast("binary")).as("digest"))
     val stats = perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),

@@ -38,9 +38,10 @@ import graft.functions.TextFunctions
   * only row-count shuffle is
   * the per-query top-k window, which Spark 4 executes as
   * WindowGroupLimit — a per-partition k-heap BEFORE the exchange, so
-  * ~|Q|·k·P rows move, not |Q|·N. For |Q| in the millions one would
-  * flip to the postings-join (explode + shuffle on token) plan
-  * instead; that regime is [[TfIdf]]'s shape. */
+  * ~|Q|·k·P rows move, not |Q|·N. For |Q| in the millions use
+  * [[bm25TopKFromIndexBulk]]: the postings-join plan over the
+  * persisted index, queries as a DataFrame end-to-end — no driver
+  * collect, no per-query literal in the plan. */
 object Search {
 
   /** Top-`k` docs per query by BM25. `queries` is a SMALL frame
@@ -83,8 +84,12 @@ object Search {
     // Fused scoring: ONE native token pass per document scores every
     // query ([[graft.functions.NativeExprs.Bm25ScoresExpr]] — the
     // unrolled Column form re-walked the token array once per term).
+    // Terms dedupe PER QUERY: a duplicated term contributes once
+    // (Bm25ScoresExpr's tf slots already collapse duplicates — last
+    // index wins, earlier slots see tf 0 — so this only makes the
+    // contract explicit and keeps the index path identical).
     val termTriples: Seq[(Long, String, Double)] = qrows.flatMap {
-      case (qid, terms) => terms.map(t => (qid, t, idf(t)))
+      case (qid, terms) => terms.distinct.map(t => (qid, t, idf(t)))
     }
     val scored = docs
       .select(col(idCol),
@@ -205,15 +210,19 @@ object Search {
       case None => 0.0
     }
     import spark.implicits._
-    val termsDf = qrows.flatMap { case (qid, ts) => ts.map(t => (qid, t, idf(t))) }
+    // distinct PER QUERY: a term listed twice in one query must score
+    // once (the fused [[bm25TopK]] path counts it once — its tf slots
+    // collapse duplicates); without it each occurrence row would join
+    // the postings and double-count the contribution.
+    val termsDf = qrows.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t, idf(t))) }
       .toDF("query_id", "token", "idf")
 
-    // Same arithmetic order (and the same HALF_UP rounding `round`
-    // applies to doubles) as Bm25ScoresExpr: ((idf·tf)·(k1+1)) /
+    // Same arithmetic order (and the same HALF_UP law — Quantize is
+    // the single definition) as Bm25ScoresExpr: ((idf·tf)·(k1+1)) /
     // (tf + k1·((1−b) + (b·dl)/avgdl)) · 1e6.
     val dln = lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))
-    val li = round(col("idf") * col("tf") * lit(k1 + 1.0) /
-      (col("tf") + dln) * lit(1e6), 0).cast("long")
+    val li = graft.functions.Quantize.quantize(
+      col("idf") * col("tf") * lit(k1 + 1.0) / (col("tf") + dln), 6)
     val scored = spark.table(s"${prefix}_postings")
       .where(col("token").isInCollection(allTerms))
       .join(broadcast(termsDf), "token")
@@ -246,7 +255,87 @@ object Search {
     topPos.select(col("query_id"), col("doc_id"), col("rnk"), col("s"))
       .union(pads)
       .select(col("query_id"), col("doc_id"), col("rnk"),
-        round(col("s") / 1e6, 6).as("score"))
+        graft.functions.Quantize.dequantize(col("s"), 6).as("score"))
+  }
+
+  /** The large-|Q| regime of [[bm25TopKFromIndex]]: queries stay a
+    * DataFrame end-to-end — NOTHING is collected to the driver, so
+    * millions of queries (hard-negative mining over a whole training
+    * set) are one distributed plan instead of a driver-built literal.
+    * Result-identical to [[bm25TopKFromIndex]] on the same queries:
+    * same scoring law, same per-term HALF_UP micro-unit quantization
+    * ([[graft.functions.Quantize]]), same per-query term dedupe, same
+    * tie and zero-padding rules.
+    *
+    * Plan shape: explode+distinct the query terms, join the persisted
+    * `_df` table for idf (token-keyed — absent tokens have no
+    * postings, so the inner join is exact), then ONE token-keyed join
+    * against the bucketed postings (exchange-free on the postings
+    * side under the bucket layout), a (query, doc)-keyed
+    * map-side-combined sum, and the WindowGroupLimit top-k. The
+    * zero-score padding joins the distinct query ids against the
+    * bounded 2k-lowest-doc-id head — |Q|·2k rows, distributed. No
+    * `isInCollection` literal anywhere: the query vocabulary is data,
+    * not plan. */
+  def bm25TopKFromIndexBulk(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String, queries: DataFrame, k: Int,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val statsRow = spark.table(s"${prefix}_stats").first()
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0L)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("rnk"),
+        lit(0.0).as("score"))
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+
+    // distinct PER QUERY — the same duplicate-term contract as the
+    // driver-path termsDf and Bm25ScoresExpr.
+    val qterms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(col("terms")).as("token"))
+      .distinct()
+    // idf from the persisted df table: (nDocs - df + 0.5) stays in the
+    // exact long domain until the +0.5, matching the driver path's
+    // math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) bit-for-bit.
+    val qidf = qterms.join(spark.table(s"${prefix}_df"), "token")
+      .select(col("query_id"), col("token"),
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+
+    val dln = lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))
+    val li = graft.functions.Quantize.quantize(
+      col("idf") * col("tf") * lit(k1 + 1.0) / (col("tf") + dln), 6)
+    val scored = spark.table(s"${prefix}_postings")
+      .join(qidf, "token")
+      .select(col("query_id"), col("doc_id"), li.as("li"))
+      .groupBy("query_id", "doc_id").agg(sum(col("li")).as("s"))
+      .where(col("s") > 0L)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("doc_id").asc)
+    val topPos = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+
+    // Zero-score padding, all-DataFrame: same 2k-lowest-ids law as
+    // the driver path, with the query ids taken from the frame.
+    val counts = topPos.groupBy("query_id").agg(count(lit(1)).as("c"))
+    val qids = queries.select(col("query_id").cast("long").as("query_id"))
+      .distinct()
+    val lowIds = spark.table(s"${prefix}_doclen")
+      .select(col("doc_id")).orderBy(col("doc_id").asc).limit(2 * k)
+    val wp = Window.partitionBy("query_id").orderBy(col("doc_id").asc)
+    val pads = qids.crossJoin(broadcast(lowIds))
+      .join(topPos.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .join(counts, Seq("query_id"), "left").na.fill(0L, Seq("c"))
+      .withColumn("pr", row_number().over(wp).cast("long"))
+      .where(col("c") + col("pr") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("c") + col("pr")).as("rnk"), lit(0L).as("s"))
+    topPos.select(col("query_id"), col("doc_id"), col("rnk"), col("s"))
+      .union(pads)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        graft.functions.Quantize.dequantize(col("s"), 6).as("score"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
@@ -274,6 +363,6 @@ object Search {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("query_id"), col(idCol), col("rnk"),
-        round(col("s") / 1e9, 6).as("rrf_score"))
+        graft.functions.Quantize.dequantize(col("s"), 9).as("rrf_score"))
   }
 }

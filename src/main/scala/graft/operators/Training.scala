@@ -254,8 +254,11 @@ object Training {
         coalesce(col("tnn"), lit(0L)).as("tn"),
         coalesce(col("fnn"), lit(0L)).as("fn"),
         col("pos"), col("neg"), col("u2"),
-        round((col("u2") / 2.0 - col("pos") * (col("pos") + 1) / 2.0) /
-          (col("pos") * col("neg")), 6).as("auc"))
+        // AUC is undefined on a single-class frame (pos·neg = 0):
+        // return null, never NaN/Infinity from the unguarded division.
+        when(col("pos") > 0L && col("neg") > 0L,
+          round((col("u2") / 2.0 - col("pos") * (col("pos") + 1) / 2.0) /
+            (col("pos") * col("neg")), 6)).as("auc"))
   }
 
   /** Score with trained micro-weights: the quantized sigmoid

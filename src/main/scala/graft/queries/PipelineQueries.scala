@@ -549,6 +549,18 @@ object PipelineQueries {
         vocabQueries(s, dir), 5)
     }),
 
+    // The large-|Q| BM25 regime: same persisted index, but the query
+    // set stays a DataFrame end-to-end — postings-join plan, zero
+    // driver collect, no isInCollection vocab literal. Pinned against
+    // the SAME oracle as srch_bm25/srch_bm25_idx (the three paths are
+    // result-identical by design).
+    "srch_bm25_bulk" -> ((s, dir) => {
+      graft.operators.Search.writeBm25Index(docs(s, dir), "doc_id", "text",
+        "g_bm25b", 8)
+      graft.operators.Search.bm25TopKFromIndexBulk(s, "g_bm25b",
+        vocabQueries(s, dir), 5)
+    }),
+
     // Retrieval end-to-end: chunk the corpus into 64/48 passages, then
     // BM25-retrieve the top-5 PASSAGES per corpus-derived query — the
     // RAG indexing+retrieval pipeline as one lazy plan (stats, df, and
@@ -979,12 +991,17 @@ object PipelineQueries {
     // Multimodal feature extraction: per-media float vector from the
     // batched stub extractor, emitted as integer grid values so the
     // float/double seam can't blur the hash compare.
+    // Real feature extraction: fixed Rademacher projection of decoded
+    // stats; the ×1000 HALF_UP round recovers the exact milli-grid
+    // integer the projection folded in longs (cast to double first so
+    // the recovery pays one float rounding, not two).
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
       val feats = Multimodal.extractFeatures(media, dim = 8)
       feats.select(col("media_id") +:
         (0 until 8).map(d =>
-          round(element_at(col("features"), d + 1) * 1000).cast("int").as(s"f$d")): _*)
+          round(element_at(col("features"), d + 1).cast("double") * 1000)
+            .cast("int").as(s"f$d")): _*)
     }),
 
     // Multimodal frame sampling: every stride-th fixed-size chunk of
@@ -1939,6 +1956,7 @@ object PipelineQueries {
 
     "srch_bm25" -> srchBm25Oracle,
     "srch_bm25_idx" -> srchBm25Oracle,
+    "srch_bm25_bulk" -> srchBm25Oracle,
 
     "pipe_retrieval" ->
       """WITH w AS (

@@ -129,8 +129,9 @@ object EventStreams {
   /** Per-user funnel-progress state for [[funnelStream]] (public for
     * the state encoder's generated code): per step the ascending
     * candidate times (ms) that could still become that step's
-    * first-completion time. */
-  case class FunnelState(times: Seq[Seq[Long]])
+    * first-completion time, plus the max event time seen (the
+    * retention clock). */
+  case class FunnelState(times: Seq[Seq[Long]], lastMs: Long = 0L)
 
   /** One funnel-progress update: the user's deepest reached stage
     * (0 = not started) and the completion times (ms) of the reached
@@ -149,48 +150,78 @@ object EventStreams {
     * precede the settled chain, which is the practical case). Each
     * batch re-derives the chain from the candidate lists and emits
     * the user's current progress (update mode: latest row per user
-    * wins). State is O(steps · maxKeep) longs per user — bounded
-    * regardless of event volume. */
+    * wins). State is O(steps · maxKeep) longs per user AND reaped in
+    * time: an event-time timeout fires once the watermark passes
+    * `retentionMs` beyond the user's last event — the final progress
+    * row is emitted once more and the state removed, so the job's
+    * state store is bounded by the ACTIVE user population inside the
+    * retention horizon, not every user ever seen. */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    watermark: String = "1 hour",
-                   maxKeep: Int = 64): Dataset[FunnelUpdate] = {
+                   maxKeep: Int = 64,
+                   retentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
+    // chain law, shared by the update and timeout paths:
+    // t_i = min step-i time strictly after t_{i-1}
+    def chainOf(times: Seq[Seq[Long]]): Array[Option[Long]] = {
+      val chain = Array.fill[Option[Long]](k)(None)
+      for (i <- 0 until k) {
+        val floor = if (i == 0) Long.MinValue
+          else chain(i - 1).getOrElse(Long.MaxValue)
+        chain(i) =
+          if (i > 0 && chain(i - 1).isEmpty) None
+          else times(i).find(_ > floor)
+      }
+      chain
+    }
+    def updateOf(userId: Long, chain: Array[Option[Long]]): FunnelUpdate = {
+      val stage = chain.takeWhile(_.isDefined).length
+      FunnelUpdate(userId, stage, chain.toSeq.take(stage).map(_.get))
+    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUpdate](
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          val prev = state.getOption.map(_.times)
-            .getOrElse(Seq.fill(k)(Seq.empty[Long]))
-          val fresh = rows.toSeq
-            .flatMap(e => stepIdx.get(e.event_type).map(_ -> e.ts.getTime))
-            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-          var times = (0 until k).map(i =>
-            (prev(i) ++ fresh.getOrElse(i, Nil)).distinct.sorted)
-          // chain: t_i = min step-i time strictly after t_{i-1}
-          val chain = Array.fill[Option[Long]](k)(None)
-          for (i <- 0 until k) {
-            val floor = if (i == 0) Long.MinValue
-              else chain(i - 1).getOrElse(Long.MaxValue)
-            chain(i) =
-              if (i > 0 && chain(i - 1).isEmpty) None
-              else times(i).find(_ > floor)
-          }
-          // prune dead candidates: anything above the settled t_i can
-          // never become the min (t_{i-1} only decreases); cap the rest
-          times = (0 until k).map { i =>
-            val kept = chain(i) match {
-              case Some(t) => times(i).filter(_ <= t)
-              case None => times(i)
+          if (state.hasTimedOut) {
+            // retention horizon passed with no new events: emit the
+            // settled progress one last time and drop the state.
+            val fin = updateOf(userId, chainOf(state.get.times))
+            state.remove()
+            fin
+          } else {
+            val prevState = state.getOption
+            val prev = prevState.map(_.times)
+              .getOrElse(Seq.fill(k)(Seq.empty[Long]))
+            val freshRows = rows.toSeq
+            val fresh = freshRows
+              .flatMap(e => stepIdx.get(e.event_type).map(_ -> e.ts.getTime))
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+            var times = (0 until k).map(i =>
+              (prev(i) ++ fresh.getOrElse(i, Nil)).distinct.sorted)
+            val chain = chainOf(times)
+            // prune dead candidates: anything above the settled t_i can
+            // never become the min (t_{i-1} only decreases); cap the rest
+            times = (0 until k).map { i =>
+              val kept = chain(i) match {
+                case Some(t) => times(i).filter(_ <= t)
+                case None => times(i)
+              }
+              kept.take(maxKeep)
             }
-            kept.take(maxKeep)
+            // retention clock: EVERY event (funnel step or not) counts
+            // as user activity; the timeout must sit strictly above the
+            // current watermark or Spark rejects it.
+            val lastMs = (prevState.map(_.lastMs).getOrElse(0L) +:
+              freshRows.map(_.ts.getTime)).max
+            state.update(FunnelState(times, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + retentionMs, state.getCurrentWatermarkMs + 1))
+            updateOf(userId, chain)
           }
-          state.update(FunnelState(times))
-          val stage = chain.takeWhile(_.isDefined).length
-          FunnelUpdate(userId, stage, chain.toSeq.take(stage).map(_.get))
       }
   }
 
