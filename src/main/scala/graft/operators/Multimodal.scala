@@ -147,9 +147,16 @@ object Multimodal {
     * milli grid ([[graft.functions.Quantize.quantizeDouble]]), the
     * signed sum folds in exact longs, and the float output is that
     * integer / 1000 — so `round(f · 1000)` recovers the exact signed
-    * sum for any payload under ~8 MB (float's 2^24 integer-exactness
-    * divided by the one rounding step), and the SQL oracle reproduces
-    * it with integer arithmetic. */
+    * sum whenever |s| < 2^23 (the float division costs one relative
+    * rounding of 2^-24, so the recovered integer is off only past
+    * 8.38M). Width and height are CLAMPED at 2048 before
+    * quantization — a real ImageIO decode of a large image would
+    * otherwise push w·1000 + h·1000 past the bound on its own,
+    * independent of payload size — so with the clamp
+    * |s| ≤ 4.61M + n_bytes and recovery is exact for any payload
+    * under ~3.7 MB regardless of decoded dimensions (the md5
+    * fallback's dims are ≤ 511, giving ~6.8 MB there). The SQL
+    * oracle reproduces the law with integer arithmetic. */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -162,7 +169,12 @@ object Multimodal {
         batch.iterator.map { row =>
           val id = row.getLong(0)
           val bytes = row.getAs[Array[Byte]](1)
-          val (w, h, mp) = decodeOne(bytes)
+          val (w0, h0, mp) = decodeOne(bytes)
+          // dimension clamp: keeps the signed sum inside float's
+          // exact-recovery bound (see scaladoc) for real decodes of
+          // arbitrarily large images; the md5 fallback is ≤ 511.
+          val w = math.min(w0, 2048)
+          val h = math.min(h0, 2048)
           var bsum = 0L
           var i = 0
           while (i < bytes.length) { bsum += bytes(i) & 0xff; i += 1 }

@@ -1302,6 +1302,55 @@ object PipelineQueries {
       |w2 AS (SELECT w1.j, w1.k, w1.w - CAST(floor(0.2 * g2.g / nn.n + 0.5) AS BIGINT) AS w
       |       FROM w1 JOIN g2 ON w1.j = g2.j AND w1.k = g2.k CROSS JOIN nn)""".stripMargin
 
+  /** mm_features oracle: replays [[graft.operators.Multimodal
+    * .extractFeatures]]' Rademacher projection in DuckDB integer
+    * arithmetic. Payloads in the gate are text, so `decodeOne` always
+    * falls to the deterministic `fakeDecode` stub — width/height from
+    * the first two 16-bit words of md5(text), mean_px from digest
+    * byte 4 (hex chars 9-10); byte_mean is the mean unsigned byte of
+    * the text (pure ASCII in the documents table: strlen ==
+    * octet_length, so char-based `ascii(substr(...))` IS the byte),
+    * HALF_UP onto the milli grid exactly as `Quantize.quantizeDouble`
+    * (DuckDB's `round(double)` rounds half away from zero; the .5
+    * grid points are exactly representable, so it agrees with Java's
+    * shortest-decimal HALF_UP for these non-negative stats). The 40
+    * ±1 projection signs are inlined as constants from the SAME
+    * `Multimodal.projSign` definition the executors evaluate, and the
+    * engine's signed long milli-sum s_d is recovered exactly by the
+    * gate's `round(f·1000)` (|s_d| < 2^23 for these payloads). */
+  private def mmFeaturesOracle: String = {
+    def hex16(pos: Int): String =
+      Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+        s"(instr('0123456789abcdef', substr(h, ${pos + i}, 1)) - 1) * $m"
+      }.mkString("(", "\n          + ", ")")
+    val stats = Seq("qw", "qh", "qm", "qb", "ql")
+    val feats = (0 until 8).map { d =>
+      val terms = stats.zipWithIndex.map { case (s, j) =>
+        s"(${graft.operators.Multimodal.projSign(d, j)}) * $s"
+      }.mkString(" + ")
+      s"  CAST($terms AS INT) AS f$d"
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, md5(text) AS h, strlen(text) AS len FROM documents),
+       |b AS (
+       |  SELECT doc_id, h, len,
+       |    CAST(list_sum(list_transform(range(1, CAST(len AS INT) + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS bsum
+       |  FROM d),
+       |v AS (
+       |  SELECT doc_id,
+       |    (64 + (${hex16(1)} % 448)) * 1000 AS qw,
+       |    (64 + (${hex16(5)} % 448)) * 1000 AS qh,
+       |    ((instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 16
+       |     + (instr('0123456789abcdef', substr(h, 10, 1)) - 1)) * 1000 AS qm,
+       |    CAST(round(CAST(bsum AS DOUBLE) / len * 1000.0) AS BIGINT) AS qb,
+       |    len AS ql
+       |  FROM b)
+       |SELECT doc_id AS media_id,
+       |$feats
+       |FROM v ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "txt_softmax_train" -> (softmaxChainSql +
       """
@@ -2833,44 +2882,11 @@ object PipelineQueries {
         |       * sqrt(list_sum(list_transform(dq, x -> x * x)))), 4) AS recon_cos
         |FROM d ORDER BY vec_id""".stripMargin,
 
-    // feature stub oracle: component d = (first 16 bits of
-    // md5(text || ':' || d)) % 2000 - 1000 (the engine divides by 1000
-    // into a float; the gate multiplies back to the integer grid).
-    "mm_features" ->
-      """SELECT doc_id AS media_id,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 0), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 0), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 0), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 0), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f0,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 1), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 1), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 1), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 1), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f1,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 2), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 2), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 2), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 2), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f2,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 3), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 3), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 3), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 3), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f3,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 4), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 4), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 4), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 4), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f4,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 5), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 5), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 5), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 5), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f5,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 6), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 6), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 6), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 6), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f6,
-        |  CAST((((instr('0123456789abcdef', substr(md5(text || ':' || 7), 1, 1)) - 1) * 4096
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 7), 2, 1)) - 1) * 256
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 7), 3, 1)) - 1) * 16
-        |        +(instr('0123456789abcdef', substr(md5(text || ':' || 7), 4, 1)) - 1)) % 2000) - 1000 AS INT) AS f7
-        |FROM documents ORDER BY 1""".stripMargin,
+    // feature oracle: replays extractFeatures' fixed Rademacher
+    // projection in DuckDB integer arithmetic (built by
+    // [[mmFeaturesOracle]]; the 40 ±1 projSign constants are inlined
+    // at map-build time from the same definition the executors use).
+    "mm_features" -> mmFeaturesOracle,
 
     // frame-sampling oracle: pure arithmetic over the byte length —
     // m = len div 64 full frames, every 4th kept; short payloads yield
