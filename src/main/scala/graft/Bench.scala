@@ -48,23 +48,51 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Self-validating A/B: each query runs TWO back-to-back min-of-reps
+    // passes (caches cleared between passes, so B re-pays query-scoped
+    // caches exactly as A did after its cold rep). On frozen code the
+    // two minima measure the same plan — so their divergence IS the
+    // box-noise floor for that query, recorded in bench.json per query
+    // and summarized as a `noisy` list (>25% A/B divergence above a
+    // 0.2 s absolute floor; sub-floor rows jitter wildly in relative
+    // terms but cannot move the total). A cross-round regression on a
+    // query that its own A/B flags as noisy is noise, not signal.
+    val NoisyPct = 25.0
+    val NoisyFloorSec = 0.2
     val results = ordered.map { case (n, f) =>
-      val t = (1 to repsFor(n)).map(_ => once(n, f)).min
-      // Drop caches between queries: operators cache query-scoped frames
-      // (sigs, candidates) that a fresh cluster job wouldn't carry over;
-      // letting 108x3 of them pile up measures GC pressure, not plans.
+      val r = repsFor(n)
+      val a = (1 to r).map(_ => once(n, f)).min
+      // Drop caches between passes and queries: operators cache
+      // query-scoped frames (sigs, candidates) that a fresh cluster
+      // job wouldn't carry over; letting 108x2x3 of them pile up
+      // measures GC pressure, not plans.
       spark.catalog.clearCache()
-      n -> t
+      val b = (1 to r).map(_ => once(n, f)).min
+      spark.catalog.clearCache()
+      (n, math.min(a, b), a, b)
     }
     // 2-decimal seconds: 10 ms granularity is far below the
     // run-to-run noise.
     def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.map(_._2).sum
+    val mins = results.map { case (n, t, _, _) => n -> t }
+    val total = mins.map(_._2).sum
     def entry(k: String, v: Double): String = "\"" + k + "\":" + f3(v)
-    // Full record (all queries) goes to the file.
-    val fullQs = results.map((entry _).tupled).mkString("{", ",", "}")
+    def deltaPct(a: Double, b: Double): Double =
+      if (math.min(a, b) <= 0) 0.0
+      else (math.max(a, b) - math.min(a, b)) / math.min(a, b) * 100.0
+    val noisy = results.collect {
+      case (n, t, a, b) if t >= NoisyFloorSec && deltaPct(a, b) > NoisyPct => n
+    }
+    // Full record (all queries + both A/B minima + divergence) to file.
+    val fullQs = mins.map((entry _).tupled).mkString("{", ",", "}")
+    val abQs = results.map { case (n, _, a, b) =>
+      "\"" + n + "\":{\"a\":" + f3(a) + ",\"b\":" + f3(b) +
+        ",\"delta_pct\":" + f3(deltaPct(a, b)) + "}"
+    }.mkString("{", ",", "}")
+    val noisyArr = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,""" +
+        s""""ab":$abQs,"noisy":$noisyArr,"noisy_rule":"A/B min divergence > ${f3(NoisyPct)}% at >= ${f3(NoisyFloorSec)}s","sf":"$sfDir"}"""
     // The STDOUT line must fit the round harness's tail window: it
     // keeps only the last 2000 bytes of stdout, and the 120-query
     // record is ~2.4 KB — r5/r6 both landed `parsed: null` because
@@ -76,15 +104,15 @@ object Bench {
     // sbt's trailing "[success] Total time ..." line (~80 B) shares
     // the window, hence 1800 not 2000.
     val BudgetBytes = 1800
-    val byTime = results.sortBy { case (k, v) => (-v, k) }
+    val byTime = mins.sortBy { case (k, v) => (-v, k) }
     def lineWith(kept: Seq[(String, Double)]): String = {
-      val omitted = results.size - kept.size
+      val omitted = mins.size - kept.size
       val omittedSec = total - kept.map(_._2).sum
       val qs = kept.map((entry _).tupled).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""omitted":$omitted,"omitted_sec":${f3(omittedSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${mins.size},""" +
+        s""""noisy":$noisyArr,"omitted":$omitted,"omitted_sec":${f3(omittedSec)},"queries":$qs,"sf":"$sfDir"}"""
     }
-    val keptCount = (results.size to 0 by -1)
+    val keptCount = (mins.size to 0 by -1)
       .find(n => lineWith(byTime.take(n)).length <= BudgetBytes)
       .getOrElse(0)
     val line = lineWith(byTime.take(keptCount).sortBy(_._1))
