@@ -2539,4 +2539,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(wNull.toSeq == wExplicit.toSeq)
     assert(wNull.toSeq != got.toSeq) // the two extra docs DID count
   }
+
+  test("bm25: a duplicated query term scores once, identically on all three paths (r9 defect pin)") {
+    import graft.operators.Search
+    // Regression pin for the r9 duplicate-term fix: a term listed
+    // twice in one query must contribute once (Bm25ScoresExpr's tf
+    // slots collapse duplicates; the index paths dedupe per query) —
+    // the pre-fix index join double-counted each occurrence row.
+    val df = corpus.toDF("doc_id", "text")
+    val qDup = Seq(
+      (0L, Seq("spark", "join", "spark", "spark")),
+      (1L, Seq("window", "window", "hash"))).toDF("query_id", "terms")
+    val qUniq = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("window", "hash"))).toDF("query_id", "terms")
+    def rows(d: DataFrame): Seq[(Long, Long, Long, Double)] =
+      d.select("query_id", "doc_id", "rnk", "score")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val inlineDup = rows(Search.bm25TopK(df, "doc_id", "text", qDup, k = 5))
+    val inlineUniq = rows(Search.bm25TopK(df, "doc_id", "text", qUniq, k = 5))
+    assert(inlineDup == inlineUniq)
+    Search.writeBm25Index(df, "doc_id", "text", "t_dupterm_bm25", buckets = 4)
+    val idxDup = rows(Search.bm25TopKFromIndex(spark, "t_dupterm_bm25", qDup, k = 5))
+    val bulkDup = rows(Search.bm25TopKFromIndexBulk(spark, "t_dupterm_bm25", qDup, k = 5))
+    assert(idxDup == inlineUniq)
+    assert(bulkDup == inlineUniq)
+    spark.catalog.clearCache() // the index probes cache their top-k frame
+  }
+
+  test("evalBinary: single-class frame yields null AUC, never NaN/Infinity (r9 defect pin)") {
+    import graft.operators.Training
+    val allPos = Seq((9000L, 1), (2000L, 1), (5000L, 1)).toDF("pq", "y")
+    val gp = Training.evalBinary(allPos, "pq", col("y") === 1).collect()(0)
+    assert(gp.getLong(4) == 3L && gp.getLong(5) == 0L) // pos=3, neg=0
+    assert(gp.isNullAt(7), s"single-class AUC must be null, got ${gp.get(7)}")
+    val allNeg = Seq((9000L, 0), (2000L, 0)).toDF("pq", "y")
+    val gn = Training.evalBinary(allNeg, "pq", col("y") === 1).collect()(0)
+    assert(gn.getLong(4) == 0L && gn.getLong(5) == 2L)
+    assert(gn.isNullAt(7))
+  }
+
+  test("funnelCounts: empty event log yields zero counts per step, never nulls (r9 defect pin)") {
+    import graft.operators.Funnel
+    val empty = Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Funnel.funnelCounts(empty, "user_id", "event_type", "ts",
+        "event_id", Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == Seq((1, "signup", 0L), (2, "click", 0L), (3, "purchase", 0L)))
+  }
 }

@@ -283,6 +283,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream reaps state past the retention horizon: final emission + fresh restart (r9 pin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Regression pin for the r9 state-bounding fix: once the watermark
+    // passes retentionMs beyond a user's last event, the event-time
+    // timeout must (a) emit the settled progress one final time and
+    // (b) REMOVE the state — observable because a later event for the
+    // same user then starts a fresh chain instead of extending the
+    // old one.
+    val steps = Seq("signup", "click")
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelStream(input.toDS(), steps,
+        watermark = "10 minutes", maxKeep = 64, retentionMs = 60000L)
+      .writeStream.format("memory").queryName("funnel_reap_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 completes the chain -> one stage-2 update row
+      input.addData(Event(0, ts(1), 1, "signup", 0.0),
+        Event(1, ts(2), 1, "click", 0.0))
+      q.processAllAvailable()
+      // advance the watermark far past lastMs + retention (ts(2) + 1
+      // min); the timeout fires against the batch-start watermark, so
+      // advance twice
+      input.addData(Event(2, ts(120), 9, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(125), 9, "view", 0.0))
+      q.processAllAvailable()
+      val afterReap = spark.table("funnel_reap_out")
+        .where(col("user_id") === 1L).collect()
+        .map(r => (r.getInt(1), r.getSeq[Long](2).toList))
+      // the update row AND the timeout's final emission, both stage 2
+      assert(afterReap.length == 2, afterReap.mkString(","))
+      assert(afterReap.forall(_ == ((2, List(base + 60000L, base + 120000L)))),
+        afterReap.mkString(","))
+      // batch 4: a lone click for u1 — state was removed, so the chain
+      // restarts and click-without-signup is stage 0 (pre-fix, the
+      // surviving state would have kept u1 at stage 2)
+      input.addData(Event(4, ts(130), 1, "click", 0.0))
+      q.processAllAvailable()
+      val last = spark.table("funnel_reap_out")
+        .where(col("user_id") === 1L)
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(monotonically_increasing_id().desc)))
+        .where(col("rn") === 1).collect()
+        .map(r => (r.getInt(1), r.getSeq[Long](2).toList)).head
+      assert(last == ((0, Nil)), s"state not reaped: $last")
+    } finally q.stop()
+  }
+
   test("trained classifier serves a stream identically to batch scoring") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
