@@ -155,7 +155,17 @@ object EventStreams {
     * `retentionMs` beyond the user's last event — the final progress
     * row is emitted once more and the state removed, so the job's
     * state store is bounded by the ACTIVE user population inside the
-    * retention horizon, not every user ever seen. */
+    * retention horizon, not every user ever seen.
+    *
+    * CHECKPOINT COMPATIBILITY: the retention change (round 9) added
+    * `lastMs` to [[FunnelState]] and switched the group-state timeout
+    * from NoTimeout to EventTimeTimeout. Both are incompatible with
+    * checkpoints written by the pre-change operator — a restart from
+    * an old checkpoint location fails on the state-encoder schema and
+    * timeout-mode check. Jobs upgrading across that boundary must
+    * start a NEW checkpoint location (and, if continuity matters,
+    * replay the retained event horizon into it); there is no in-place
+    * state migration. */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    watermark: String = "1 hour",
                    maxKeep: Int = 64,
