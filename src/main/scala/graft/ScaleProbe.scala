@@ -23,6 +23,9 @@ object ScaleProbe {
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
     if (args(0) == "mh") { mhProbe(args(1)); return }
+    if (args(0) == "bm25bulk") {
+      bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10); return
+    }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
     val threshold = if (args.length > 3) args(3).toDouble else 0.3
@@ -142,6 +145,42 @@ object ScaleProbe {
       docs, "doc_id", "text", threshold = 0.7).count()
     val t = (System.nanoTime() - t0) / 1e9
     println(f"SCALEPROBE mh dir=$sfDir pairs=$n t=$t%.2f s usPerPair=${t * 1e6 / math.max(1, n)}%.2f")
+    spark.stop()
+  }
+
+  /** `bm25bulk <sfDir> [k]`: the hard-negative-mining regime — EVERY
+    * document is a query (|Q| = corpus size, terms = the doc's own
+    * distinct tokens), served from the persisted index via the
+    * all-DataFrame [[graft.operators.Search.bm25TopKFromIndexBulk]]
+    * path (nothing collected to the driver). Index build time is
+    * reported separately: at 100 TB the index is built once and
+    * probed forever, so the probe number is the one that scales. */
+  private def bm25BulkProbe(sfDir: String, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t0 = System.nanoTime()
+    graft.operators.Search.writeBm25Index(docs, "doc_id", "text",
+      "t_probe_bm25", buckets = 16)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val queries = docs.select(col("doc_id").as("query_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("terms"))
+    val nq = queries.count()
+    def once(): Double = {
+      val t1 = System.nanoTime()
+      graft.operators.Search.bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache() // the probe caches its top-k frame
+      (System.nanoTime() - t1) / 1e9
+    }
+    val (ta, tb) = (once(), once())
+    val rows = graft.operators.Search
+      .bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k).count()
+    spark.catalog.clearCache()
+    println(f"SCALEPROBE bm25bulk dir=$sfDir k=$k nq=$nq build=$tBuild%.2f s " +
+      f"probe=${math.min(ta, tb)}%.2f s rows=$rows")
     spark.stop()
   }
 
