@@ -15,6 +15,11 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for it.
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    // Also warm the parquet read stack (footer parsing, codec, Hadoop FS
+    // classes) with the smallest table — a range job doesn't touch it,
+    // so the alphabetically-first catalog query was paying it in rep 1.
+    scala.util.Try(spark.read.parquet(s"$sfDir/region.parquet").write
+      .format("noop").mode("overwrite").save())
 
     // Warm min-of-3 per query, reps run CONSECUTIVELY: rep 1 pays the
     // cold costs (parquet page cache, codegen compile, internal cache

@@ -16,6 +16,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE partition sizing: start exchanges WIDE and let the
+      // coalescer shrink them by actual bytes. With only `cores`
+      // initial partitions, a pair-expansion aggregate at 30× the
+      // bench corpus lands ~50M records on a single reduce task
+      // (deep sort/agg spills — measured 1.54× per-pair cost growth
+      // sf10→sf30 on dd_minhash_lsh); starting at 32× cores, AQE
+      // coalesces bench-scale exchanges back to ~cores tasks
+      // (advisoryPartitionSizeInBytes) while scale runs keep the
+      // fan-out. Explicit repartition(n, keys) pins are untouched.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores * 32).toString)
       // let cached plans keep AQE's coalesced output partitioning —
       // off by default, which pins tiny cached frames (LSH signature
       // tables) at the full shuffle-partition count

@@ -23,8 +23,11 @@ object ScaleProbe {
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
     if (args(0) == "mh") { mhProbe(args(1)); return }
+    if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
-      bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10); return
+      bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10,
+        if (args.length > 3) args(3).toDouble else 1.0,
+        if (args.length > 4) args(4).toInt else 1); return
     }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
@@ -148,14 +151,51 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `span <sfDir>`: duplicate-span pair counts + stage-volume
+    * diagnostics — the output-volume normalizer for dd_span_overlap
+    * growth rows. Mirrors [[graft.operators.Dedup.duplicateSpanPairs]]
+    * internals to expose the PRE-filter pair-expansion volume
+    * (sum over qualifying spans of c·(c−1)/2) — the rows the
+    * pair-groupBy actually pays for, which output pairs alone
+    * understate when near-dup families share many windows. */
+  private def spanProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t0 = System.nanoTime()
+    val outPairs = graft.operators.Dedup.duplicateSpanPairs(
+      docs, "doc_id", "text", n = 8, maxDocsPerSpan = 100, minShared = 2).count()
+    val t = (System.nanoTime() - t0) / 1e9
+    val spans = docs.select(col("doc_id"),
+      explode(graft.functions.NativeExprs.spanHashesNative(col("text"), 8)).as("h"))
+    val sizes = spans.groupBy("h").agg(count(lit(1)).as("c"))
+    val r = sizes.agg(
+      count(lit(1)).as("nSpans"),
+      coalesce(sum(when(col("c").between(2, 100),
+        (col("c") * (col("c") - 1) / 2).cast("long"))), lit(0L)).as("expand"),
+      coalesce(sum(when(col("c") > 100, 1L)), lit(0L)).as("capped")).collect()(0)
+    val expand = r.getLong(1)
+    println(f"SCALEPROBE span dir=$sfDir outPairs=$outPairs t=$t%.2f s " +
+      s"nSpans=${r.getLong(0)} expandPairs=$expand cappedSpans=${r.getLong(2)} " +
+      f"usPerExpandPair=${t * 1e6 / math.max(1L, expand)}%.2f")
+    spark.stop()
+  }
+
   /** `bm25bulk <sfDir> [k]`: the hard-negative-mining regime — EVERY
     * document is a query (|Q| = corpus size, terms = the doc's own
     * distinct tokens), served from the persisted index via the
     * all-DataFrame [[graft.operators.Search.bm25TopKFromIndexBulk]]
     * path (nothing collected to the driver). Index build time is
     * reported separately: at 100 TB the index is built once and
-    * probed forever, so the probe number is the one that scales. */
-  private def bm25BulkProbe(sfDir: String, k: Int): Unit = {
+    * probed forever, so the probe number is the one that scales.
+    * Optional `maxDfFrac` measures the df-capped plan (the knob for
+    * the Σ df·qf head-term blowup) and `saltChunks` the doc-salted
+    * join (the knob for hot-term task serialization) — see
+    * bm25TopKFromIndexBulk. */
+  private def bm25BulkProbe(sfDir: String, k: Int, maxDfFrac: Double = 1.0,
+                            saltChunks: Int = 1): Unit = {
     import org.apache.spark.sql.functions._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
@@ -170,17 +210,19 @@ object ScaleProbe {
     val nq = queries.count()
     def once(): Double = {
       val t1 = System.nanoTime()
-      graft.operators.Search.bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k)
+      graft.operators.Search.bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k,
+          maxDfFrac = maxDfFrac, saltChunks = saltChunks)
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache() // the probe caches its top-k frame
       (System.nanoTime() - t1) / 1e9
     }
     val (ta, tb) = (once(), once())
     val rows = graft.operators.Search
-      .bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k).count()
+      .bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k,
+        maxDfFrac = maxDfFrac, saltChunks = saltChunks).count()
     spark.catalog.clearCache()
-    println(f"SCALEPROBE bm25bulk dir=$sfDir k=$k nq=$nq build=$tBuild%.2f s " +
-      f"probe=${math.min(ta, tb)}%.2f s rows=$rows")
+    println(f"SCALEPROBE bm25bulk dir=$sfDir k=$k maxDfFrac=$maxDfFrac chunks=$saltChunks " +
+      f"nq=$nq build=$tBuild%.2f s probe=${math.min(ta, tb)}%.2f s rows=$rows")
     spark.stop()
   }
 

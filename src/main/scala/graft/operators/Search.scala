@@ -285,10 +285,42 @@ object Search {
     * zero-score padding joins the distinct query ids against the
     * bounded 2k-lowest-doc-id head — |Q|·2k rows, distributed. No
     * `isInCollection` literal anywhere: the query vocabulary is data,
-    * not plan. */
+    * not plan.
+    *
+    * Cost law and the df cap: the postings join produces
+    * Σ_t df(t)·qf(t) rows (qf = queries containing t) — in the
+    * every-doc-is-a-query regime that is Σ_t df(t)², dominated by the
+    * HEAD terms (stopwords): one term present in half the corpus
+    * contributes N²/4 rows on its own. `maxDfFrac < 1.0` drops terms
+    * with df > maxDfFrac·nDocs from scoring — an explicit
+    * approximation (those terms have the SMALLEST idf, ≈ log(1 +
+    * 1/maxDfFrac − 1 …) → e.g. ≈ 0.69 at df = N/2 vs ≈ 7+ for rare
+    * terms), exactly equivalent to deleting those terms from every
+    * query (each term's idf depends only on its own df, so remaining
+    * contributions are bit-identical — spec-pinned). The default 1.0
+    * keeps the plan and the results exact.
+    *
+    * Hot-term serialization and `saltChunks`: a token is ONE
+    * indivisible hash key, so a head term's df·qf join rows land on a
+    * single task — and AQE's skew-join split cannot help, because the
+    * bucketed postings side is unsplittable. Measured on the 31-token
+    * corpus: the whole sf0.1 bulk probe runs at ~1 core. `saltChunks
+    * > 1` routes the join through
+    * [[ExplosiveJoin.explosiveBucketJoin]] — postings hash into one
+    * of `saltChunks` sub-keys by doc_id, query terms replicate over
+    * all of them, every (query-term, posting) pair still meets
+    * exactly once — spreading each hot term over `saltChunks` tasks
+    * at the price of re-shuffling the postings (the bucket layout no
+    * longer covers the salted key) and ×chunks query-term fan-out.
+    * RESULTS are bit-identical (same joined pairs, same quantized
+    * sums — spec-pinned); only the exchange shape changes. Default 1
+    * keeps the exchange-free bucket-riding plan — right when the
+    * vocabulary is large enough that no single term dominates. */
   def bm25TopKFromIndexBulk(spark: org.apache.spark.sql.SparkSession,
                             prefix: String, queries: DataFrame, k: Int,
-                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                            k1: Double = 1.2, b: Double = 0.75,
+                            maxDfFrac: Double = 1.0,
+                            saltChunks: Int = 1): DataFrame = {
     val statsRow = spark.table(s"${prefix}_stats").first()
     val nDocs = statsRow.getLong(0)
     if (nDocs == 0L)
@@ -306,7 +338,13 @@ object Search {
     // idf from the persisted df table: (nDocs - df + 0.5) stays in the
     // exact long domain until the +0.5, matching the driver path's
     // math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) bit-for-bit.
-    val qidf = qterms.join(spark.table(s"${prefix}_df"), "token")
+    // The df cap filters the vocab-sized _df side BEFORE the fan-out
+    // join (only added when active, keeping the default plan exact).
+    val dfTable0 = spark.table(s"${prefix}_df")
+    val dfTable = if (maxDfFrac < 1.0)
+      dfTable0.where(col("df") <= lit(math.floor(maxDfFrac * nDocs).toLong))
+    else dfTable0
+    val qidf = qterms.join(dfTable, "token")
       .select(col("query_id"), col("token"),
         log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))).as("idf"))
@@ -314,8 +352,12 @@ object Search {
     val dln = lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))
     val li = graft.functions.Quantize.quantize(
       col("idf") * col("tf") * lit(k1 + 1.0) / (col("tf") + dln), 6)
-    val scored = spark.table(s"${prefix}_postings")
-      .join(qidf, "token")
+    val postings = spark.table(s"${prefix}_postings")
+    val joined = if (saltChunks > 1)
+      ExplosiveJoin.explosiveBucketJoin(qidf, postings,
+        keys = Seq("token"), buildHashCol = "doc_id", chunks = saltChunks)
+    else postings.join(qidf, "token")
+    val scored = joined
       .select(col("query_id"), col("doc_id"), li.as("li"))
       .groupBy("query_id", "doc_id").agg(sum(col("li")).as("s"))
       .where(col("s") > 0L)

@@ -2567,6 +2567,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // the index probes cache their top-k frame
   }
 
+  test("bulk bm25 df cap == deleting capped terms from every query (exact equivalence)") {
+    import graft.operators.Search
+    // maxDfFrac is an EXPLICIT approximation, but an algebraically
+    // clean one: each term's idf depends only on its own df and the
+    // global nDocs, so dropping head terms from the _df side is
+    // bit-identical to deleting those terms from every query. This pin
+    // is what makes the knob safe to reach for at scale.
+    val df = corpus.toDF("doc_id", "text")
+    Search.writeBm25Index(df, "doc_id", "text", "t_dfcap_bm25", buckets = 4)
+    val queries = df.select(col("doc_id").as("query_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("terms"))
+    val n = df.count()
+    val frac = 0.5
+    val maxDf = math.floor(frac * n).toLong
+    val keep = spark.table("t_dfcap_bm25_df").where(col("df") <= maxDf)
+      .select("token").as[String].collect().sorted
+    // the cap must actually bite on this corpus, else the test is vacuous
+    val vocabSize = spark.table("t_dfcap_bm25_df").count()
+    assert(keep.length < vocabSize, s"cap dropped nothing (df<=$maxDf keeps all $vocabSize)")
+    val filteredQ = queries.select(col("query_id"),
+      array_intersect(col("terms"), lit(keep)).as("terms"))
+    def rows(d: DataFrame): Seq[(Long, Long, Long, Double)] =
+      d.select("query_id", "doc_id", "rnk", "score")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val capped = rows(Search.bm25TopKFromIndexBulk(
+      spark, "t_dfcap_bm25", queries, k = 5, maxDfFrac = frac))
+    val filtered = rows(Search.bm25TopKFromIndexBulk(
+      spark, "t_dfcap_bm25", filteredQ, k = 5))
+    assert(capped == filtered)
+    // and the default really is exact (no silent capping at 1.0)
+    val exact = rows(Search.bm25TopKFromIndexBulk(spark, "t_dfcap_bm25", queries, k = 5))
+    val driver = rows(Search.bm25TopKFromIndex(spark, "t_dfcap_bm25", queries, k = 5))
+    assert(exact == driver)
+    spark.catalog.clearCache()
+  }
+
+  test("bulk bm25 saltChunks: results bit-identical, only the exchange shape changes") {
+    import graft.operators.Search
+    // A hot token is one indivisible hash key: its df·qf join rows
+    // serialize onto one task (AQE skew-split can't split a bucketed
+    // side). saltChunks spreads each token over doc-hashed sub-keys —
+    // the pairs joined, and therefore the quantized score sums, must
+    // be EXACTLY the ones the unsalted plan produces.
+    val df = corpus.toDF("doc_id", "text")
+    Search.writeBm25Index(df, "doc_id", "text", "t_salt_bm25", buckets = 4)
+    val queries = df.select(col("doc_id").as("query_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("terms"))
+    def rows(d: DataFrame): Seq[(Long, Long, Long, Double)] =
+      d.select("query_id", "doc_id", "rnk", "score")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val plain = rows(Search.bm25TopKFromIndexBulk(spark, "t_salt_bm25", queries, k = 5))
+    val salted = rows(Search.bm25TopKFromIndexBulk(spark, "t_salt_bm25", queries, k = 5,
+      saltChunks = 8))
+    assert(salted == plain)
+    spark.catalog.clearCache()
+  }
+
   test("evalBinary: single-class frame yields null AUC, never NaN/Infinity (r9 defect pin)") {
     import graft.operators.Training
     val allPos = Seq((9000L, 1), (2000L, 1), (5000L, 1)).toDF("pq", "y")
