@@ -25,8 +25,10 @@ object GraftSession {
       // coalesces bench-scale exchanges back to ~cores tasks
       // (advisoryPartitionSizeInBytes) while scale runs keep the
       // fan-out. Explicit repartition(n, keys) pins are untouched.
+      // SPARK_GRAFT_AQE_INIT_MULT dials the multiplier (1 = the old
+      // cores-wide behavior) for A/B measurement.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * 32).toString)
+        (cores * sys.env.getOrElse("SPARK_GRAFT_AQE_INIT_MULT", "32").toInt).toString)
       // let cached plans keep AQE's coalesced output partitioning —
       // off by default, which pins tiny cached frames (LSH signature
       // tables) at the full shuffle-partition count

@@ -232,6 +232,44 @@ class BucketingSpec extends AnyFunSuite {
     assert(sel.get.group(1).toInt < 16, plan)
   }
 
+  test("bulk bm25 probe: postings side exchange-free under the bucket layout") {
+    import graft.operators.Search
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Search.writeBm25Index(docs, "doc_id", "text", "spec_bm25_bulk", 8)
+    // every doc is a query — the hard-negative-mining regime the bulk
+    // path exists for (nothing collected to the driver)
+    val queries = docs.select(col("doc_id").as("query_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("terms"))
+    val served = Search.bm25TopKFromIndexBulk(spark, "spec_bm25_bulk", queries, 5)
+    val plan = served.queryExecution.executedPlan.toString
+    // The invariant that matters at scale: the POSTINGS scan reaches
+    // its sort-merge join riding the bucket layout — never through a
+    // shuffle. (The query side's token exchanges are legitimate and
+    // their count is planner detail: under forced SMJ the qterms⋈_df
+    // output even re-aligns from shuffle.partitions to the bucket
+    // count; with broadcast on, _df broadcasts instead.) String form:
+    // wherever the postings FileScan appears (incl. re-dumps inside
+    // InMemoryRelation), no Exchange sits in the lines between it and
+    // its enclosing join — only Sort/Project shims are allowed.
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("spec_bm25_bulk_postings") => i
+    }
+    assert(scanIdx.nonEmpty, s"postings scan not found in plan:\n$plan")
+    scanIdx.foreach { i =>
+      val above = lines.slice(math.max(0, i - 3), i)
+      assert(!above.exists(_.contains("Exchange")),
+        s"postings scan at line $i reached via an Exchange:\n${above.mkString("\n")}\n$plan")
+    }
+    assert(plan.contains("Bucketed: true"), plan)
+    // and the probe actually serves: one row set, k bounded per query
+    val n = served.groupBy("query_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(n <= 5L)
+    spark.catalog.clearCache() // the bulk probe caches its top-k frame
+  }
+
   test("incremental-dedup probe reads the digest index exchange-free") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
