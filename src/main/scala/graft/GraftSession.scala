@@ -16,19 +16,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE partition sizing: start exchanges WIDE and let the
-      // coalescer shrink them by actual bytes. With only `cores`
+      // AQE partition sizing: start exchanges wider than cores and let
+      // the coalescer shrink them by actual bytes. With only `cores`
       // initial partitions, a pair-expansion aggregate at 30× the
       // bench corpus lands ~50M records on a single reduce task
       // (deep sort/agg spills — measured 1.54× per-pair cost growth
-      // sf10→sf30 on dd_minhash_lsh); starting at 32× cores, AQE
-      // coalesces bench-scale exchanges back to ~cores tasks
-      // (advisoryPartitionSizeInBytes) while scale runs keep the
-      // fan-out. Explicit repartition(n, keys) pins are untouched.
-      // SPARK_GRAFT_AQE_INIT_MULT dials the multiplier (1 = the old
-      // cores-wide behavior) for A/B measurement.
+      // sf10→sf30 on dd_minhash_lsh); but every extra initial
+      // partition also costs fixed map-segment + fetch overhead on
+      // the suite's many small exchanges. The multiplier is a
+      // measured optimum, not a guess — same-day 159-query sf0.1
+      // A/B: ×1 68.85 s, ×8 63.70 s, ×32 79.40 s (SCALE.md has the
+      // per-query breakdown; ×32 taxes the multi-exchange pair/CC
+      // family 0.6–1.6 s per query, ×1 starves the verify-join
+      // family). ×8 at local[32] = 256 initial partitions ≈ 12M
+      // records/task at the sf30 minhash shuffle — inside one
+      // task's in-memory sort budget. Explicit repartition(n, keys)
+      // pins are untouched. SPARK_GRAFT_AQE_INIT_MULT overrides
+      // (runtime-settable conf; scale tools may re-set it per run).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * sys.env.getOrElse("SPARK_GRAFT_AQE_INIT_MULT", "32").toInt).toString)
+        (cores * sys.env.getOrElse("SPARK_GRAFT_AQE_INIT_MULT", "8").toInt).toString)
       // let cached plans keep AQE's coalesced output partitioning —
       // off by default, which pins tiny cached frames (LSH signature
       // tables) at the full shuffle-partition count

@@ -27,7 +27,7 @@ object ScaleProbe {
     if (args(0) == "bm25bulk") {
       bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10,
         if (args.length > 3) args(3).toDouble else 1.0,
-        if (args.length > 4) args(4).toInt else 1); return
+        if (args.length > 4) args(4).toInt else 0); return
     }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
@@ -192,10 +192,11 @@ object ScaleProbe {
     * probed forever, so the probe number is the one that scales.
     * Optional `maxDfFrac` measures the df-capped plan (the knob for
     * the Σ df·qf head-term blowup) and `saltChunks` the doc-salted
-    * join (the knob for hot-term task serialization) — see
-    * bm25TopKFromIndexBulk. */
+    * join (the knob for hot-term task serialization; 0 = the AUTO
+    * default, which sizes the salt from the measured max df·qf) —
+    * see bm25TopKFromIndexBulk. */
   private def bm25BulkProbe(sfDir: String, k: Int, maxDfFrac: Double = 1.0,
-                            saltChunks: Int = 1): Unit = {
+                            saltChunks: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")

@@ -313,14 +313,40 @@ object Search {
     * at the price of re-shuffling the postings (the bucket layout no
     * longer covers the salted key) and ×chunks query-term fan-out.
     * RESULTS are bit-identical (same joined pairs, same quantized
-    * sums — spec-pinned); only the exchange shape changes. Default 1
-    * keeps the exchange-free bucket-riding plan — right when the
-    * vocabulary is large enough that no single term dominates. */
+    * sums — spec-pinned); only the exchange shape changes.
+    * `saltChunks = 1` pins the exchange-free bucket-riding plan —
+    * right when the vocabulary is large enough that no single term
+    * dominates. The default `saltChunks = 0` is AUTO: the engine
+    * sizes the salt itself from the measured heaviest key,
+    * `maxKeyRows = max_t df(t)·qf(t)` (one small sizing aggregate
+    * over the deduped query terms joined to the `_df` stats — ~the
+    * cost of the query-side explode, never the postings join), via
+    * [[autoSaltChunks]]. Corpora whose heaviest key fits one task's
+    * sort budget resolve to chunks = 1 — the gate corpora and any
+    * Zipfian-truncated vocabulary keep the exact bucket-riding plan
+    * with no caller intervention — while a head-term-dominated join
+    * salts exactly as wide as its skew demands. */
+  /** Salt width for a join whose heaviest key produces `maxKeyRows`
+    * pairs: enough chunks that no task sorts more than
+    * `targetPerTask` pair rows from one key, clamped to [1, 64].
+    * 4M rows ≈ 100 MB of (query, doc, contribution) pairs — inside
+    * one task's in-memory sort budget at the engine's executor
+    * sizing; 64 caps the ×chunks probe-side fan-out at the point
+    * where per-chunk overhead would rival the skew it removes. Pure
+    * (spec-pinned law); [[bm25TopKFromIndexBulk]] feeds it the
+    * measured max df·qf. */
+  def autoSaltChunks(maxKeyRows: Long,
+                     targetPerTask: Long = 4L * 1000 * 1000): Int = {
+    require(targetPerTask > 0, "targetPerTask must be positive")
+    val want = (maxKeyRows + targetPerTask - 1) / targetPerTask
+    math.min(64L, math.max(1L, want)).toInt
+  }
+
   def bm25TopKFromIndexBulk(spark: org.apache.spark.sql.SparkSession,
                             prefix: String, queries: DataFrame, k: Int,
                             k1: Double = 1.2, b: Double = 0.75,
                             maxDfFrac: Double = 1.0,
-                            saltChunks: Int = 1): DataFrame = {
+                            saltChunks: Int = 0): DataFrame = {
     val statsRow = spark.table(s"${prefix}_stats").first()
     val nDocs = statsRow.getLong(0)
     if (nDocs == 0L)
@@ -353,9 +379,26 @@ object Search {
     val li = graft.functions.Quantize.quantize(
       col("idf") * col("tf") * lit(k1 + 1.0) / (col("tf") + dln), 6)
     val postings = spark.table(s"${prefix}_postings")
-    val joined = if (saltChunks > 1)
+    val chunks = if (saltChunks == 0) {
+      // AUTO: one sizing aggregate — heaviest key's join volume.
+      // qf from the deduped query terms, df from the (capped) stats
+      // table; dropped-by-cap terms produce no join rows, so they are
+      // excluded from sizing too. Recomputes the qterms explode
+      // (cheap: ~the small side of the main join) rather than caching
+      // a potentially |Q|·|terms|-sized frame just for one scalar.
+      // factors capped at 2^31 before the product: the chunk decision
+      // saturates (64) at 256M rows anyway, and an uncapped qf·df can
+      // exceed Long.MaxValue at extreme |Q|·N, wrapping negative and
+      // silently disabling the salt exactly where it matters most.
+      val capF = lit(1L << 31)
+      val maxRow = qterms.groupBy("token").agg(count(lit(1)).as("qf"))
+        .join(dfTable.select(col("token"), col("df")), "token")
+        .agg(max(least(col("qf"), capF) * least(col("df"), capF))).first()
+      autoSaltChunks(if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0))
+    } else saltChunks
+    val joined = if (chunks > 1)
       ExplosiveJoin.explosiveBucketJoin(qidf, postings,
-        keys = Seq("token"), buildHashCol = "doc_id", chunks = saltChunks)
+        keys = Seq("token"), buildHashCol = "doc_id", chunks = chunks)
     else postings.join(qidf, "token")
     val scored = joined
       .select(col("query_id"), col("doc_id"), li.as("li"))

@@ -2621,7 +2621,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     val salted = rows(Search.bm25TopKFromIndexBulk(spark, "t_salt_bm25", queries, k = 5,
       saltChunks = 8))
     assert(salted == plain)
+    // the AUTO default (saltChunks = 0) sizes from the measured max
+    // df·qf — on a fixture whose heaviest key is tiny it must resolve
+    // to the exchange-free chunks=1 plan AND the identical rows
+    val auto = rows(Search.bm25TopKFromIndexBulk(spark, "t_salt_bm25", queries, k = 5,
+      saltChunks = 0))
+    assert(auto == plain)
     spark.catalog.clearCache()
+  }
+
+  test("autoSaltChunks: ceil-div sizing clamped to [1, 64]") {
+    import graft.operators.Search.autoSaltChunks
+    assert(autoSaltChunks(0L) == 1)            // empty join still plans
+    assert(autoSaltChunks(1L) == 1)
+    assert(autoSaltChunks(4000000L) == 1)      // exactly one task's budget
+    assert(autoSaltChunks(4000001L) == 2)      // first row past it salts
+    assert(autoSaltChunks(40000000L) == 10)
+    assert(autoSaltChunks(10000000000L) == 64) // cap: fan-out cost floor
+    // the sf0.1 bulk regime that motivated the knob: max df·qf ≈
+    // (N/2)² at N = 50k docs → 6.25e8 rows → the 64-chunk cap
+    assert(autoSaltChunks(625000000L) == 64)
+    assert(autoSaltChunks(7L, targetPerTask = 3L) == 3)
   }
 
   test("evalBinary: single-class frame yields null AUC, never NaN/Infinity (r9 defect pin)") {
