@@ -9,6 +9,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (native functions + RangePruneRule). */
 object GraftSession {
 
+  /** AQE initial-partition multiplier from SPARK_GRAFT_AQE_INIT_MULT
+    * (default 8 — a measured optimum, see the inline comment below).
+    * Validated here so a malformed or non-positive value fails with a
+    * message naming the env var, not a NumberFormatException (or a
+    * Spark conf-validation error) deep in session construction. */
+  private def aqeInitMult(): Int =
+    sys.env.get("SPARK_GRAFT_AQE_INIT_MULT") match {
+      case None => 8
+      case Some(s) =>
+        val parsed = scala.util.Try(s.trim.toInt).toOption
+        parsed.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_AQE_INIT_MULT must be an integer >= 1, got '$s'"))
+    }
+
   def build(master: String, cores: Int, appName: String = "graft"): SparkSession =
     SparkSession.builder()
       .master(master)
@@ -34,7 +48,7 @@ object GraftSession {
       // pins are untouched. SPARK_GRAFT_AQE_INIT_MULT overrides
       // (runtime-settable conf; scale tools may re-set it per run).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * sys.env.getOrElse("SPARK_GRAFT_AQE_INIT_MULT", "8").toInt).toString)
+        (cores * aqeInitMult()).toString)
       // let cached plans keep AQE's coalesced output partitioning —
       // off by default, which pins tiny cached frames (LSH signature
       // tables) at the full shuffle-partition count

@@ -188,7 +188,10 @@ object Dedup {
     // ExplosiveJoin countermeasures apply.
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("__t").as("__ta"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("__t").as("__tb"))
-    ExplosiveJoin.explosiveBucketJoin(a, b, Seq("fp"), "id_b", chunks = 4)
+    // chunks = AUTO (measured salt width; the sizing job reads the
+    // cached fp frame, so plan construction is eager — it also
+    // materializes the cache the join reuses).
+    ExplosiveJoin.explosiveBucketJoin(a, b, Seq("fp"), "id_b")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.jaccardTokenSetsNative(
@@ -230,12 +233,14 @@ object Dedup {
         (a0.join(broadcast(blocked), Seq("fp"), "left_anti"),
           b0.join(broadcast(blocked), Seq("fp"), "left_anti"))
       }
-    // Output-explosive block join -> ExplosiveJoin countermeasures;
-    // the probe/new (`left`) side is the replicated one — it is the
-    // smaller corpus in the daily-sweep use (see method scaladoc).
+    // Output-explosive block join -> ExplosiveJoin countermeasures
+    // (chunks = AUTO: measured salt width; eager sizing job over the
+    // cached fp frames); the probe/new (`left`) side is the
+    // replicated one — it is the smaller corpus in the daily-sweep
+    // use (see method scaladoc).
     // Token-set jaccard per pair in the join projection — text payload
     // instead of token arrays, same rationale as fingerprintJaccardPairs.
-    ExplosiveJoin.explosiveBucketJoin(aT, bT, Seq("fp"), "id_b", chunks = 4)
+    ExplosiveJoin.explosiveBucketJoin(aT, bT, Seq("fp"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.jaccardTokenSetsNative(
           col("__ta"), col("__tb")), 6).as("jaccard"))
@@ -327,7 +332,11 @@ object Dedup {
     * never all-pairs — and candidates are exact-cosine verified, so
     * precision is 1.0. Buckets use the LCG hyperplane derivation
     * ([[graft.functions.NativeExprs.HyperplaneBucketLcgExpr]]), exactly
-    * reproducible by the DuckDB oracle. */
+    * reproducible by the DuckDB oracle. `chunks = 0` (default) sizes
+    * the candidate join's salt width from the measured heaviest bucket
+    * ([[ExplosiveJoin.autoChunks]] — NOTE: an eager, session-memoized
+    * sizing job at plan construction); `chunks >= 1` pins it and
+    * stays lazy. */
   /** LSH hyperplane-bit sizing law: enough bits that the EXPECTED
     * bucket holds ~`targetBucket` vectors — bits = ceil(log2(n /
     * targetBucket)), clamped to [3, 48]. Computed integer-exact via
@@ -362,10 +371,10 @@ object Dedup {
                                seed: Long = 42L,
                                extraBlockCols: Seq[String] = Nil,
                                maxBucketSize: Int = Int.MaxValue,
-                               chunks: Int = 4,
+                               chunks: Int = 0,
                                corpusCount: Long = 0L): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
-    require(chunks >= 1, s"chunks=$chunks")
+    require(chunks >= 0, s"chunks=$chunks (0 = AUTO)")
     val nBits = if (bits > 0) bits
       else lshBitsFor(if (corpusCount > 0) corpusCount else df.count())
     // Vector + norm ride the bucket explode and the cosine is computed

@@ -269,15 +269,20 @@ object Similarity {
     * WindowGroupLimit: map-side partial top-k before the exchange, so
     * the shuffle carries ~k candidates per row, not every candidate.
     * Ranking orders by the 6-dp-rounded sim with id as tie-break, so
-    * ranks are deterministic cross-engine. */
+    * ranks are deterministic cross-engine.
+    *
+    * `chunks = 0` (default) sizes the candidate join's salt width
+    * from the measured heaviest bucket ([[ExplosiveJoin.autoChunks]]
+    * — NOTE: an eager, session-memoized sizing job at plan
+    * construction); pass `chunks >= 1` to pin it and stay lazy. */
   def annSelfTopK(df: DataFrame, k: Int, idCol: String = "id",
                   vecCol: String = "vec", tables: Int = 3, bits: Int = 0,
                   seed: Long = 42L,
                   maxBucketSize: Int = Int.MaxValue,
-                  chunks: Int = 4,
+                  chunks: Int = 0,
                   corpusCount: Long = 0L): DataFrame = {
     import graft.functions.NativeExprs.{dotNative, hyperplaneBucketLcgNative}
-    require(chunks >= 1, s"chunks=$chunks")
+    require(chunks >= 0, s"chunks=$chunks (0 = AUTO)")
     val nBits = if (bits > 0) bits
       else Dedup.lshBitsFor(if (corpusCount > 0) corpusCount else df.count())
     // Vectors (plus precomputed norm) RIDE THE BUCKET EXPLODE — n×tables
