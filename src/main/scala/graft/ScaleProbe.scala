@@ -19,6 +19,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <bits> [tables] [threshold]")
     if (args(0) == "fp") { fpProbe(args(1), args(2).toInt); return }
+    if (args(0) == "salt") { saltProbe(args(1)); return }
     if (args(0) == "sig") { sigProbe(args(1), args(2).toInt); return }
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
@@ -222,8 +223,78 @@ object ScaleProbe {
       .bm25TopKFromIndexBulk(spark, "t_probe_bm25", queries, k,
         maxDfFrac = maxDfFrac, saltChunks = saltChunks).count()
     spark.catalog.clearCache()
+    // Salt-plan diagnostics (mirrors the bulk path's sizing): how many
+    // terms the AUTO salt actually engages on, and at what widths —
+    // on a Zipfian corpus this must be the HEAD terms only, with the
+    // informative tail unsalted (the claim SCALE.md carries).
+    val nVocab = spark.table("t_probe_bm25_df").count()
+    val capF = lit(1L << 31)
+    val dfT0 = spark.table("t_probe_bm25_df")
+    val nDocs = spark.table("t_probe_bm25_stats").first().getLong(0)
+    val dfT = if (maxDfFrac < 1.0)
+      dfT0.where(col("df") <= lit(math.floor(maxDfFrac * nDocs).toLong))
+    else dfT0
+    val perKey = queries
+      .select(col("query_id"), explode(col("terms")).as("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("qf"))
+      .join(dfT.select(col("token"), col("df")), "token")
+      .select(org.apache.spark.sql.functions.xxhash64(col("token")).as("__kh"),
+        (least(col("qf"), capF) * least(col("df"), capF)).as("__pairs"))
+    val plan = graft.operators.ExplosiveJoin.planFromPerKey(perKey,
+      spark.sparkContext.defaultParallelism,
+      graft.operators.ExplosiveJoin.DefaultTargetPerTask)
     println(f"SCALEPROBE bm25bulk dir=$sfDir k=$k maxDfFrac=$maxDfFrac chunks=$saltChunks " +
-      f"nq=$nq build=$tBuild%.2f s probe=${math.min(ta, tb)}%.2f s rows=$rows")
+      f"nq=$nq build=$tBuild%.2f s probe=${math.min(ta, tb)}%.2f s rows=$rows " +
+      s"vocab=$nVocab saltGlobal=${plan.chunks} hotTerms=${plan.hot.size} " +
+      s"hotWidths=${plan.hot.values.toSeq.sorted.reverse.take(10).mkString(",")}")
+    spark.stop()
+  }
+
+  /** `salt <sfDir>`: the experiment that adjudicates the explosive-
+    * join salt law — the fingerprint-Jaccard pair pipeline (the
+    * engine's most per-pair-expensive explosive join) timed at pinned
+    * chunk widths (r10's fixed 4, unsalted 1) against the AUTO
+    * default, min-of-3 with cache + sizing memo cleared between
+    * variants. Records what the AUTO law resolves to and whether it
+    * matches the best fixed width (SCALE.md carries the rows). */
+  private def saltProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{ExplosiveJoin, Repartition}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      ExplosiveJoin.clearSizingMemo()
+      println(f"SCALEPROBE salt dir=$sfDir $label min=${ts.min}%.2f s " +
+        s"(${ts.map(x => f"$x%.2f").mkString(" ")})")
+    }
+    // mirrors fingerprintJaccardPairs with the chunk knob exposed
+    def fpPairs(chunks: Int): Unit = {
+      val f0 = Repartition.forCompute(docs)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.minhashFingerprint(col("text"), 8).as("fp"),
+          col("text").as("__t")).cache()
+      val f = f0.join(
+        broadcast(f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > 1000).select("fp")),
+        Seq("fp"), "left_anti")
+      val a = f.select(col("doc_id").as("id_a"), col("fp"), col("__t").as("__ta"))
+      val b = f.select(col("doc_id").as("id_b"), col("fp"), col("__t").as("__tb"))
+      ExplosiveJoin.explosiveBucketJoin(a, b, Seq("fp"), "id_b", chunks)
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.NativeExprs.jaccardTokenSetsNative(
+            col("__ta"), col("__tb")), 6).as("jaccard"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    run("fp chunks=4 (r10 fixed)")(fpPairs(4))
+    run("fp chunks=1 (unsalted)")(fpPairs(1))
+    run("fp chunks=AUTO")(fpPairs(0))
     spark.stop()
   }
 

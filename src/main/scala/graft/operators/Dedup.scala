@@ -391,10 +391,17 @@ object Dedup {
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         hyperplaneBucketLcgNative(col("v"), nBits, seed + t).as("bkt"))): _*)
+    // cache(): the norm + hyperplane-bucket derivation is the
+    // expensive part and FOUR consumers read this frame — the cap
+    // aggregate, the AUTO sizing job's two per-key counts, and the
+    // pairing join itself. Query-scoped (same contract as
+    // fingerprintJaccardPairs): long-lived sessions sweeping many
+    // corpora should spark.catalog.clearCache() between sweeps.
     val tabled = v.select(col(idCol) +: extraBlockCols.map(col) :+
       col("v") :+ col("nrm") :+ explode(buckets).as("tb"): _*)
       .select(col(idCol) +: extraBlockCols.map(col) :+ col("v") :+ col("nrm") :+
         col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
+      .cache()
     val joinKeys = Seq("tbl", "bkt") ++ extraBlockCols
     // broadcast anti-join against the oversized buckets (same rationale
     // as the fingerprint cap: buckets past the cap are few by

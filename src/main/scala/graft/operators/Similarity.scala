@@ -297,9 +297,16 @@ object Similarity {
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         hyperplaneBucketLcgNative(col("v"), nBits, seed + t).as("bkt"))): _*)
+    // cache(): the norm + hyperplane-bucket derivation is the
+    // expensive part and FOUR consumers read this frame — the cap
+    // aggregate, the AUTO sizing job's two per-key counts, and the
+    // candidate join itself. Query-scoped (same contract as
+    // fingerprintJaccardPairs): long-lived sessions sweeping many
+    // corpora should spark.catalog.clearCache() between sweeps.
     val tabled = v.select(col("id"), col("v"), col("nrm"), explode(buckets).as("tb"))
       .select(col("id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .cache()
     val capped =
       if (maxBucketSize == Int.MaxValue) tabled
       else tabled.join(

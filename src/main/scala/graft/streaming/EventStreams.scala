@@ -23,9 +23,35 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, sum_value: Double)
 
+  /** Schema version stamped into every stateful-operator state row
+    * ([[SessionState]], [[FunnelState]]). Spark's state-store encoder
+    * check catches FIELD-layout drift across a checkpoint restart, but
+    * not a SEMANTIC change under an identical layout (e.g. a field
+    * reinterpreted from seconds to ms) — the stamp turns that silent
+    * corruption into [[checkStateVersion]]'s fail-fast. History:
+    * v1 = pre-round-9 (`FunnelState` without `lastMs`, NoTimeout);
+    * v2 = round 9 (retention clock + EventTimeTimeout); v3 = round 12
+    * (this stamp — adding it is itself a state-schema break, see the
+    * checkpoint-compatibility note on [[funnelStream]]). */
+  val StateSchemaVersion: Int = 3
+
+  /** Fail fast when a restored state row carries a different schema
+    * version than this build writes: restarting from an incompatible
+    * checkpoint must surface as a clear error at the first touched
+    * key, not as silently wrong sessions/funnels. Spec-pinned message
+    * (StreamingSpec). */
+  private[graft] def checkStateVersion(ver: Int, what: String): Unit =
+    if (ver != StateSchemaVersion)
+      throw new IllegalStateException(
+        s"$what checkpoint schema version $ver is incompatible with this " +
+          s"build (expects $StateSchemaVersion): restart the query from a " +
+          "NEW checkpoint location (and replay the retained event horizon " +
+          "if continuity matters); there is no in-place state migration.")
+
   /** Per-user aggregation state (public: the state encoder's generated
     * code must be able to reach the constructor). */
-  case class SessionState(startMs: Long, lastMs: Long, cnt: Long, total: Double)
+  case class SessionState(startMs: Long, lastMs: Long, cnt: Long, total: Double,
+                          ver: Int = StateSchemaVersion)
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -99,12 +125,14 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
+            checkStateVersion(s.ver, "SessionState")
             state.remove()
             Iterator(SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.cnt, s.total))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
+            cur.foreach(s => checkStateVersion(s.ver, "SessionState"))
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -131,7 +159,8 @@ object EventStreams {
     * candidate times (ms) that could still become that step's
     * first-completion time, plus the max event time seen (the
     * retention clock). */
-  case class FunnelState(times: Seq[Seq[Long]], lastMs: Long = 0L)
+  case class FunnelState(times: Seq[Seq[Long]], lastMs: Long = 0L,
+                         ver: Int = StateSchemaVersion)
 
   /** One funnel-progress update: the user's deepest reached stage
     * (0 = not started) and the completion times (ms) of the reached
@@ -162,7 +191,11 @@ object EventStreams {
     * from NoTimeout to EventTimeTimeout. Both are incompatible with
     * checkpoints written by the pre-change operator — a restart from
     * an old checkpoint location fails on the state-encoder schema and
-    * timeout-mode check. Jobs upgrading across that boundary must
+    * timeout-mode check. Round 12 added the [[StateSchemaVersion]]
+    * stamp (`ver`, v3) — itself one more such boundary, and the
+    * reason future SEMANTIC changes under an unchanged field layout
+    * fail fast via [[checkStateVersion]] instead of corrupting
+    * silently. Jobs upgrading across any of these boundaries must
     * start a NEW checkpoint location (and, if continuity matters,
     * replay the retained event horizon into it); there is no in-place
     * state migration. */
@@ -199,11 +232,14 @@ object EventStreams {
           if (state.hasTimedOut) {
             // retention horizon passed with no new events: emit the
             // settled progress one last time and drop the state.
-            val fin = updateOf(userId, chainOf(state.get.times))
+            val s = state.get
+            checkStateVersion(s.ver, "FunnelState")
+            val fin = updateOf(userId, chainOf(s.times))
             state.remove()
             fin
           } else {
             val prevState = state.getOption
+            prevState.foreach(s => checkStateVersion(s.ver, "FunnelState"))
             val prev = prevState.map(_.times)
               .getOrElse(Seq.fill(k)(Seq.empty[Long]))
             val freshRows = rows.toSeq

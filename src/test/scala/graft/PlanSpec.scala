@@ -320,6 +320,27 @@ class PlanSpec extends AnyFunSuite {
     assert(countOccurrences(p, s"REPARTITION_BY_NUM") >= 2, p)
   }
 
+  test("ExplosiveJoin.perChunkBudget: memory ceiling, balance floor, split floor") {
+    import graft.operators.ExplosiveJoin._
+    // Balance floor engages between the split floor and the memory
+    // ceiling: 100M total pairs over 2x32 tasks -> ~1.56M/chunk.
+    assert(perChunkBudget(100e6, 32) == (100e6 / 64).toLong)
+    // The memory ceiling is HARD: a huge total never raises the
+    // budget past targetPerTask (no chunk may outgrow one task's
+    // sort budget — the 100 TB invariant).
+    assert(perChunkBudget(1e12, 32) == DefaultTargetPerTask)
+    // The split floor is hard too: tiny joins are never shredded
+    // below MinChunkPairs per chunk...
+    assert(perChunkBudget(1000.0, 32) == MinChunkPairs)
+    // ...unless the caller pins a tighter explicit memory budget,
+    // which always wins (it is a ceiling).
+    assert(perChunkBudget(1000.0, 32, targetPerTask = 10000L) == 10000L)
+    // Composition with the width law: a hot key just over the floor
+    // splits in two; at 10x it splits ~10 ways.
+    assert(saltChunksFor(MinChunkPairs + 1, perChunkBudget(0.0, 32)) == 2)
+    assert(saltChunksFor(10 * MinChunkPairs, perChunkBudget(0.0, 32)) == 10)
+  }
+
   test("explosiveBucketJoin AUTO: measured salt width, identical rows at every width") {
     import graft.operators.ExplosiveJoin
     ExplosiveJoin.clearSizingMemo()
@@ -331,11 +352,17 @@ class PlanSpec extends AnyFunSuite {
       when(col("id") < 200, lit(1L)).otherwise(col("id")).as("bk"),
       (col("id") + 10000).as("pb"))
     // The sizing law engages exactly where the ceil-div says: heaviest
-    // key volume 40k over a 10k/task budget -> 4 chunks.
+    // key volume 40k over a 10k/task budget -> 4 chunks, and the salt
+    // is SELECTIVE — exactly one hot key (bk=1) carries that width.
     assert(ExplosiveJoin.autoChunks(probe, build, Seq("bk"),
       targetPerTask = 10000L) == 4)
-    // Default budget (4M/task): 40k fits one task -> chunks = 1, and
-    // the unsalted plan carries no transient chunk column at all.
+    val plan10k = ExplosiveJoin.autoSaltPlan(probe, build, Seq("bk"),
+      targetPerTask = 10000L)
+    assert(plan10k.chunks == 4 && plan10k.hot.size == 1 &&
+      plan10k.hot.values.toSeq == Seq(4), plan10k.toString)
+    // Default budget: 40k pairs sits under the MinChunkPairs split
+    // floor (64k) -> chunks = 1, and the unsalted plan carries no
+    // transient chunk column at all.
     assert(ExplosiveJoin.autoChunks(probe, build, Seq("bk")) == 1)
     val auto1 = ExplosiveJoin.explosiveBucketJoin(probe, build, Seq("bk"), "pb")
     assert(!physical(auto1).contains("cj#"), physical(auto1))

@@ -502,4 +502,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("state schema versioning fails fast on a version mismatch (r12 pin)") {
+    // A state row restored from a checkpoint written by a different
+    // schema generation must surface as a clear restart-from-new-
+    // checkpoint error, not as silently wrong sessions/funnels. The
+    // current version stamps both state classes by default...
+    assert(EventStreams.SessionState(0L, 0L, 1L, 0.0).ver ==
+      EventStreams.StateSchemaVersion)
+    assert(EventStreams.FunnelState(Seq(Seq(1L))).ver ==
+      EventStreams.StateSchemaVersion)
+    // ...and the checker pins the message operators raise when they
+    // meet any other generation.
+    val e = intercept[IllegalStateException] {
+      EventStreams.checkStateVersion(EventStreams.StateSchemaVersion - 1,
+        "FunnelState")
+    }
+    assert(e.getMessage.contains("incompatible with this build"))
+    assert(e.getMessage.contains("NEW checkpoint location"))
+    assert(e.getMessage.contains("no in-place state migration"))
+    // same generation passes silently
+    EventStreams.checkStateVersion(EventStreams.StateSchemaVersion, "SessionState")
+  }
 }
