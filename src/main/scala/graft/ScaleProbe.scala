@@ -28,7 +28,8 @@ object ScaleProbe {
     if (args(0) == "bm25bulk") {
       bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10,
         if (args.length > 3) args(3).toDouble else 1.0,
-        if (args.length > 4) args(4).toInt else 0); return
+        if (args.length > 4) args(4).toInt else 0,
+        if (args.length > 5) args(5).toLong else 0L); return
     }
     val (sfDir, bits) = (args(0), args(1).toInt)
     val tables = if (args.length > 2) args(2).toInt else 3
@@ -197,7 +198,7 @@ object ScaleProbe {
     * default, which sizes the salt from the measured max df·qf) —
     * see bm25TopKFromIndexBulk. */
   private def bm25BulkProbe(sfDir: String, k: Int, maxDfFrac: Double = 1.0,
-                            saltChunks: Int = 0): Unit = {
+                            saltChunks: Int = 0, nQueries: Long = 0L): Unit = {
     import org.apache.spark.sql.functions._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
@@ -207,7 +208,11 @@ object ScaleProbe {
     graft.operators.Search.writeBm25Index(docs, "doc_id", "text",
       "t_probe_bm25", buckets = 16)
     val tBuild = (System.nanoTime() - t0) / 1e9
-    val queries = docs.select(col("doc_id").as("query_id"),
+    // nQueries > 0 restricts the probe to a query SHARD (deterministic
+    // doc_id prefix) — the per-job unit a production hard-negative
+    // sweep runs anyway; 0 = every doc is a query.
+    val qdocs = if (nQueries > 0) docs.where(col("doc_id") < nQueries) else docs
+    val queries = qdocs.select(col("doc_id").as("query_id"),
       array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("terms"))
     val nq = queries.count()
     def once(): Double = {

@@ -75,6 +75,18 @@ object ExplosiveJoin {
     * of keys are hot is one where most ROWS are hot). */
   val HotKeyCap: Int = 256
 
+  /** Width clamp for SELECTIVE per-key salting. Global salting caps at
+    * 64 (the whole probe side is replicated `chunks`×, so fan-out
+    * rivals the skew it removes past a handful) — but a selective
+    * width replicates only THAT key's probe rows, so the memory
+    * invariant (no chunk past one task's sort budget) may hold even
+    * for a mega-key: a Zipf head term at 2.5G pairs needs ~625 chunks
+    * to stay under 4M pairs/task, and clamping it to 64 silently
+    * reintroduced 39M-pair tasks (measured OOM at the bulk-BM25 Zipf
+    * rehearsal, SCALE.md r12). Fan-out stays bounded: hot-key probe
+    * rows × width, paid only where the quadratic work is. */
+  val SelectiveMaxChunks: Int = 1024
+
   /** Partition count pinned against AQE coalescing, for any exchange
     * feeding output-explosive work: 2× the session's shuffle
     * partitions (headroom for the expansion), floored at `floor`. */
@@ -90,10 +102,11 @@ object ExplosiveJoin {
     * feeds it measured per-key pair volumes against the balance-aware
     * budget from [[perChunkBudget]]. */
   def saltChunksFor(maxKeyRows: Long,
-                    targetPerTask: Long = DefaultTargetPerTask): Int = {
+                    targetPerTask: Long = DefaultTargetPerTask,
+                    maxChunks: Int = 64): Int = {
     require(targetPerTask > 0, "targetPerTask must be positive")
     val want = (maxKeyRows + targetPerTask - 1) / targetPerTask
-    math.min(64L, math.max(1L, want)).toInt
+    math.min(maxChunks.toLong, math.max(1L, want)).toInt
   }
 
   /** The balance-aware per-chunk pair budget (pure, spec-pinned):
@@ -174,7 +187,7 @@ object ExplosiveJoin {
     val memoKey = ("explosive",
       probe.queryExecution.analyzed.canonicalized,
       build.queryExecution.analyzed.canonicalized,
-      keys.mkString(" "), targetPerTask)
+      keys.mkString("\u0000"), targetPerTask)
     memoized[SaltPlan](memoKey) {
       val kc = keys.map(col)
       val capF = lit(1L << 31)
@@ -222,9 +235,16 @@ object ExplosiveJoin {
         val hotRows = persisted.where(col("__pairs") > budget)
           .limit(HotKeyCap + 1).collect()
         if (hotRows.length > HotKeyCap) SaltPlan(global, Map.empty)
-        else SaltPlan(global,
-          hotRows.map(r => r.getLong(0) ->
-            saltChunksFor(r.getLong(1), budget)).toMap)
+        else {
+          // per-key widths clamp at SelectiveMaxChunks, not 64: only
+          // this key's rows replicate, so the memory invariant can
+          // hold even for mega-keys (see SelectiveMaxChunks).
+          val hot = hotRows.map(r => r.getLong(0) ->
+            saltChunksFor(r.getLong(1), budget, SelectiveMaxChunks)).toMap
+          // chunks carries the WIDEST width (pinnedParts floor +
+          // the salted? signal); results identical either way.
+          SaltPlan(math.max(global, hot.values.max), hot)
+        }
       }
     } finally {
       persisted.unpersist(false); ()
