@@ -24,6 +24,7 @@ object ScaleProbe {
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
     if (args(0) == "mh") { mhProbe(args(1)); return }
+    if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
       bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10,
@@ -132,6 +133,66 @@ object ScaleProbe {
       // private[spark]); a settle pause is plenty for a dev probe.
       Thread.sleep(1500)
       println(f"SCALEPROBE shuffle dir=$sfDir q=$name wrMB=${bytes.get / 1e6}%.1f recs=${recs.get} t=$t%.2f s")
+    }
+    spark.stop()
+  }
+
+  /** `jobs <sfDir> <query>`: per-JOB wall + task-time breakdown of one
+    * warm run of a catalog query — the tool for attributing a gate's
+    * wall-clock to its constituent Spark jobs (e.g. which exchange
+    * pays the AQE initial-fan-out tax). Runs the query twice (rep 1
+    * warms caches + sizing memo), clears the listener, then times rep
+    * 2 job by job. */
+  private def jobsProbe(sfDir: String, name: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String, Int)]()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val taskN = new java.util.concurrent.atomic.AtomicLong
+    val recording = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (recording.get) {
+          val stages = js.stageInfos.map(si => s"${si.name.takeWhile(_ != ' ')}:${si.numTasks}")
+            .mkString(",")
+          jobs.put(js.jobId, (js.time, stages.take(110),
+            js.stageInfos.map(_.numTasks).sum))
+        }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (recording.get && jobs.containsKey(je.jobId)) {
+          val (t0, desc, nt) = jobs.get(je.jobId)
+          done.add((je.jobId, je.time - t0, desc, nt))
+        }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (recording.get && te.taskInfo != null) {
+          taskMs.addAndGet(te.taskInfo.duration); taskN.incrementAndGet(); ()
+        }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (recording.get) {
+          val si = sc.stageInfo
+          val ms = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b)
+            .getOrElse(-1L)
+          println(f"  stage ${si.stageId}%3d tasks=${si.numTasks}%-5d ${ms / 1e3}%6.2f s  ${si.name.take(90)}")
+        }
+    })
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm: caches + sizing memo + JIT
+    Thread.sleep(800)
+    recording.set(true)
+    val wall = once()
+    Thread.sleep(1500)
+    recording.set(false)
+    println(f"JOBSPROBE $name wall=$wall%.2f s taskTime=${taskMs.get / 1e3}%.1f s " +
+      s"tasks=${taskN.get} jobs=${done.size}")
+    done.forEach { case (id, ms, desc, nt) =>
+      println(f"  job $id%3d ${ms / 1e3}%6.2f s  plannedTasks=$nt%-5d $desc")
     }
     spark.stop()
   }

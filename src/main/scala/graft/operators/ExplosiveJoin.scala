@@ -88,10 +88,21 @@ object ExplosiveJoin {
   val SelectiveMaxChunks: Int = 1024
 
   /** Partition count pinned against AQE coalescing, for any exchange
-    * feeding output-explosive work: 2× the session's shuffle
-    * partitions (headroom for the expansion), floored at `floor`. */
+    * feeding output-explosive work: 2× the session's CONFIGURED
+    * shuffle partitions (headroom for the expansion), floored at
+    * `floor`. `defaultNumShufflePartitions` (the raw
+    * spark.sql.shuffle.partitions), NOT `numShufflePartitions` —
+    * under AQE the latter silently reports
+    * `coalescePartitions.initialPartitionNum`, so at the engine's ×8
+    * initial-fan-out default the "pinned 2×32 = 64" was really
+    * 2×256 = 512: every explosive join ran 8×-finer exchanges AND
+    * cached its pair frame at 512 partitions, taxing every downstream
+    * action (collect, CC, anti-join) ~450 extra task launches per job
+    * (measured: dd_clusters 21 s cpu/1.3 s wall at 512 vs 4 s/0.7 s at
+    * 64). The pin exists to fix the exchange shape explicitly — it
+    * must not inherit AQE's speculative width. */
   def pinnedParts(df: DataFrame, floor: Int = 1): Int =
-    math.max(df.sparkSession.sessionState.conf.numShufflePartitions * 2, floor)
+    math.max(df.sparkSession.sessionState.conf.defaultNumShufflePartitions * 2, floor)
 
   /** Salt width for a join key that produces `maxKeyRows` pairs:
     * enough chunks that no task sorts more than `targetPerTask` pair
