@@ -172,26 +172,34 @@ object Dedup {
     val f0 = Repartition.forCompute(df)
       .select(col(idCol), minhashFingerprint(col(textCol), shingleK).as("fp"),
         col(textCol).as("__t")).cache()
-    // Cap as a broadcast ANTI-join against the OVERSIZED blocks: blocks
-    // past the cap are few by construction (only degenerate boilerplate
-    // exceeds it), so the blocked-fp list is broadcastable at any
-    // corpus size — the big table is never shuffled for the cap, and
-    // the count aggregate is map-side-combined on 16-byte fps.
+    // ONE block-size histogram serves BOTH the oversized-block cap and
+    // the salt sizing (map-side-combined on 16-byte fps, reads the
+    // cached frame). Cap as a broadcast ANTI-join against the OVERSIZED
+    // blocks: blocks past the cap are few by construction (only
+    // degenerate boilerplate exceeds it), so the blocked-fp list is
+    // broadcastable at any corpus size — the big table is never
+    // shuffled for the cap.
+    val sizes = f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
     val f =
       if (maxBlockSize == Int.MaxValue) f0
       else f0.join(
-        broadcast(f0.groupBy("fp").agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") > maxBlockSize).select("fp")),
+        broadcast(sizes.where(col("bsz") > maxBlockSize).select("fp")),
         Seq("fp"), "left_anti")
     // The block join is OUTPUT-EXPLOSIVE (input = corpus rows, output =
     // sum-of-block-size² pairs with two text payloads) — the
-    // ExplosiveJoin countermeasures apply.
+    // ExplosiveJoin countermeasures apply. The salt plan derives from
+    // the histogram above (per-block pairs = bsz², capped blocks
+    // excluded — they produce no join rows), NOT from autoSaltPlan's
+    // two-sided re-aggregation: at 100 TB sizing must ride stats the
+    // plan computes anyway, never a second corpus scan.
     val a = f.select(col(idCol).as("id_a"), col("fp"), col("__t").as("__ta"))
     val b = f.select(col(idCol).as("id_b"), col("fp"), col("__t").as("__tb"))
-    // chunks = AUTO (measured salt width; the sizing job reads the
-    // cached fp frame, so plan construction is eager — it also
-    // materializes the cache the join reuses).
-    ExplosiveJoin.explosiveBucketJoin(a, b, Seq("fp"), "id_b")
+    val plan = ExplosiveJoin.selfJoinPlanFromSizes(
+      ("fpJaccard", f0.queryExecution.analyzed.canonicalized, maxBlockSize),
+      if (maxBlockSize == Int.MaxValue) sizes
+      else sizes.where(col("bsz") <= maxBlockSize),
+      Seq("fp"), "bsz", df.sparkSession.sparkContext.defaultParallelism)
+    ExplosiveJoin.saltedJoin(a, b, Seq("fp"), "id_b", plan)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.jaccardTokenSetsNative(
@@ -333,10 +341,12 @@ object Dedup {
     * precision is 1.0. Buckets use the LCG hyperplane derivation
     * ([[graft.functions.NativeExprs.HyperplaneBucketLcgExpr]]), exactly
     * reproducible by the DuckDB oracle. `chunks = 0` (default) sizes
-    * the candidate join's salt width from the measured heaviest bucket
-    * ([[ExplosiveJoin.autoChunks]] — NOTE: an eager, session-memoized
-    * sizing job at plan construction); `chunks >= 1` pins it and
-    * stays lazy. */
+    * the candidate join's salt width from the bucket-size histogram
+    * the cap filter already computes
+    * ([[ExplosiveJoin.selfJoinPlanFromSizes]] — one aggregate over the
+    * cached bucket frame, session-memoized, never a second corpus
+    * scan; still eager at plan construction); `chunks >= 1` pins it
+    * and stays lazy. */
   /** LSH hyperplane-bit sizing law: enough bits that the EXPECTED
     * bucket holds ~`targetBucket` vectors — bits = ceil(log2(n /
     * targetBucket)), clamped to [3, 48]. Computed integer-exact via
@@ -403,22 +413,33 @@ object Dedup {
         col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
       .cache()
     val joinKeys = Seq("tbl", "bkt") ++ extraBlockCols
-    // broadcast anti-join against the oversized buckets (same rationale
-    // as the fingerprint cap: buckets past the cap are few by
-    // construction, so their key list broadcasts at any scale)
+    // ONE bucket-size histogram serves the cap AND the salt sizing.
+    // Cap as a broadcast anti-join against the oversized buckets (same
+    // rationale as the fingerprint cap: buckets past the cap are few
+    // by construction, so their key list broadcasts at any scale).
+    val sizes = tabled.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("bsz"))
     val capped =
       if (maxBucketSize == Int.MaxValue) tabled
       else tabled.join(
-        broadcast(tabled.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") > maxBucketSize).select(joinKeys.map(col): _*)),
+        broadcast(sizes.where(col("bsz") > maxBucketSize)
+          .select(joinKeys.map(col): _*)),
         joinKeys, "left_anti")
     // The pairing join is OUTPUT-EXPLOSIVE (input n×tables rows, output
-    // sum-of-bucket-size²) -> ExplosiveJoin countermeasures.
+    // sum-of-bucket-size²) -> ExplosiveJoin countermeasures. AUTO salt
+    // derives from the histogram above (pairs = bsz², capped buckets
+    // excluded) — stats the plan computes anyway, never autoSaltPlan's
+    // two-sided re-aggregation (the 100 TB sizing contract).
     val a = capped.withColumnRenamed(idCol, "id_a")
       .withColumnRenamed("v", "va").withColumnRenamed("nrm", "na")
     val b = capped.withColumnRenamed(idCol, "id_b")
       .withColumnRenamed("v", "vb").withColumnRenamed("nrm", "nb")
-    ExplosiveJoin.explosiveBucketJoin(a, b, joinKeys, "id_b", chunks)
+    val plan = if (chunks == 0) ExplosiveJoin.selfJoinPlanFromSizes(
+        ("annPairs", tabled.queryExecution.analyzed.canonicalized, maxBucketSize),
+        if (maxBucketSize == Int.MaxValue) sizes
+        else sizes.where(col("bsz") <= maxBucketSize),
+        joinKeys, "bsz", df.sparkSession.sparkContext.defaultParallelism)
+      else ExplosiveJoin.SaltPlan(chunks, Map.empty)
+    ExplosiveJoin.saltedJoin(a, b, joinKeys, "id_b", plan)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)

@@ -262,6 +262,30 @@ object ExplosiveJoin {
     }
   }
 
+  /** [[SaltPlan]] for a SELF-join on `keys`, derived from the
+    * block-size histogram `sizes` (the key columns + `bszCol`) — the
+    * derive-from-already-computed-stats path for the engine's
+    * blocked self-join family (fingerprint blocks, LSH buckets): the
+    * oversized-block cap computes this exact histogram anyway, so
+    * sizing adds ZERO extra corpus scans where [[autoSaltPlan]]
+    * would re-aggregate both join sides. Per-key pair volume is
+    * bsz·bsz (ordered pairs — the same measure autoSaltPlan takes
+    * for a self-join; factors capped at 2^31 pre-product against
+    * Long wraparound). `keys` must be passed in the SAME order the
+    * join uses — the hot map is consulted by `xxhash64(keys…)` at
+    * row level in [[saltedJoin]]. Memoized on `memoKey`. */
+  private[graft] def selfJoinPlanFromSizes(memoKey: Any, sizes: => DataFrame,
+                                           keys: Seq[String], bszCol: String,
+                                           parallelism: Int,
+                                           targetPerTask: Long = DefaultTargetPerTask): SaltPlan =
+    memoized[SaltPlan](memoKey) {
+      val capF = lit(1L << 31)
+      val perKey = sizes.select(
+        xxhash64(keys.map(col): _*).as("__kh"),
+        (least(col(bszCol), capF) * least(col(bszCol), capF)).as("__pairs"))
+      planFromPerKey(perKey, parallelism, targetPerTask)
+    }
+
   /** The measured GLOBAL salt width for `probe` ⋈ `build` on `keys` —
     * the heaviest key's width under the balance-aware budget (see
     * [[autoSaltPlan]], which this delegates to and shares a memo

@@ -272,9 +272,11 @@ object Similarity {
     * ranks are deterministic cross-engine.
     *
     * `chunks = 0` (default) sizes the candidate join's salt width
-    * from the measured heaviest bucket ([[ExplosiveJoin.autoChunks]]
-    * — NOTE: an eager, session-memoized sizing job at plan
-    * construction); pass `chunks >= 1` to pin it and stay lazy. */
+    * from the bucket-size histogram the cap filter already computes
+    * ([[ExplosiveJoin.selfJoinPlanFromSizes]] — one aggregate over
+    * the cached bucket frame, session-memoized, NEVER a second
+    * corpus scan; still eager at plan construction); pass
+    * `chunks >= 1` to pin it and stay lazy. */
   def annSelfTopK(df: DataFrame, k: Int, idCol: String = "id",
                   vecCol: String = "vec", tables: Int = 3, bits: Int = 0,
                   seed: Long = 42L,
@@ -307,11 +309,13 @@ object Similarity {
       .select(col("id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .cache()
+    // ONE bucket-size histogram serves the cap AND the salt sizing
+    // (the derive-from-stats path — sizing never re-scans the corpus).
+    val sizes = tabled.groupBy("tbl", "bkt").agg(count(lit(1)).as("bsz"))
     val capped =
       if (maxBucketSize == Int.MaxValue) tabled
       else tabled.join(
-        broadcast(tabled.groupBy("tbl", "bkt").agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") > maxBucketSize).select("tbl", "bkt")),
+        broadcast(sizes.where(col("bsz") > maxBucketSize).select("tbl", "bkt")),
         Seq("tbl", "bkt"), "left_anti")
     // This join is OUTPUT-EXPLOSIVE: its shuffle input is n×tables
     // payload rows but its output is sum-of-bucket-size² candidates —
@@ -332,8 +336,14 @@ object Similarity {
     // explicit pre-rank groupBy(qid, nid) dedup measured 2-3x slower:
     // a corpus-of-candidates-sized hash aggregation for copies the
     // rank collapses for free.)
+    val plan = if (chunks == 0) graft.operators.ExplosiveJoin.selfJoinPlanFromSizes(
+        ("annSelfTopK", tabled.queryExecution.analyzed.canonicalized, maxBucketSize),
+        if (maxBucketSize == Int.MaxValue) sizes
+        else sizes.where(col("bsz") <= maxBucketSize),
+        Seq("tbl", "bkt"), "bsz", df.sparkSession.sparkContext.defaultParallelism)
+      else graft.operators.ExplosiveJoin.SaltPlan(chunks, Map.empty)
     val scored = graft.operators.ExplosiveJoin
-      .explosiveBucketJoin(a, b, Seq("tbl", "bkt"), "nid", chunks)
+      .saltedJoin(a, b, Seq("tbl", "bkt"), "nid", plan)
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
