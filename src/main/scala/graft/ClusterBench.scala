@@ -25,7 +25,13 @@ object ClusterBench {
     "pmr_sum_large", "txt_chunks",
     // round-7 third wave: the trainer's integer-gradient law and the
     // span-hash shuffle must survive real cross-JVM serialization
-    "txt_lr_train", "dd_span_overlap", "emb_moments", "q_funnel")
+    "txt_lr_train", "dd_span_overlap", "emb_moments", "q_funnel",
+    // round-12 fourth wave: the SELECTIVE salt ships a typedLit
+    // hot-key map inside the join expressions and the CC survivors
+    // path collects edges to the driver — both must survive real
+    // cross-JVM task serialization, not just local[32]'s
+    // short-circuit
+    "dd_fp_jaccard", "dd_survivors", "knn_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -172,9 +172,18 @@ object ExplosiveJoin {
   private[graft] def memoizedChunks(key: Any)(compute: => Int): Int =
     memoized[Integer](key)(Int.box(compute)).intValue
 
+  /** Drop every memoized sizing result. PUBLIC on purpose: the memo
+    * is keyed by canonicalized plans, so a long-lived session that
+    * REWRITES a table under an identical plan (daily sweep over the
+    * same path) would keep reusing the stale salt widths — results
+    * stay correct (the salt only shapes the exchange) but a
+    * yesterday-sized width can under-split today's hot key. Call
+    * between sweeps, alongside `spark.catalog.clearCache()`. */
+  def invalidateSizing(): Unit = sizingMemo.clear()
+
   /** Test hook: drop memoized sizing results (e.g. after rewriting a
     * table a memoized plan reads). */
-  private[graft] def clearSizingMemo(): Unit = sizingMemo.clear()
+  private[graft] def clearSizingMemo(): Unit = invalidateSizing()
 
   /** MEASURED salt plan for joining `probe` ⋈ `build` on `keys`: one
     * sizing aggregate (two map-side-combined per-key counts + their
