@@ -81,6 +81,13 @@ object Clustering {
   private def trainCentroids(e: DataFrame, k: Int, iters: Int,
                              trainCap: Long): IndexedSeq[Array[Double]] = {
     require(k > 0 && iters > 0, "k and iters must be positive")
+    // NOT forCompute-spread (unlike ProductQuant's trainer): plain
+    // Lloyd's per-iteration work is k dots/row — light enough that at
+    // the sampled sizes a 32-task round costs more scheduling than the
+    // serial compute (measured +0.4 s on emb_kmeans at sf0.1 when
+    // spread; PQ's joint-subspace rounds are m× heavier and win). At
+    // scale the hash-sample filter inherits the corpus's partitioning,
+    // so the loop is parallel exactly when the input was.
     val train = Sampling.hashSampleToCap(e, "id", trainCap).cache()
     var centroids: IndexedSeq[Array[Double]] =
       train.orderBy("id").limit(k).collect()

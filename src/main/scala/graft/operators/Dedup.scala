@@ -523,7 +523,12 @@ object Dedup {
       ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
     val segs = transform(sequence(lit(0), nseg - 1),
       i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
-    df.select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+    // forCompute: the split+slice explode is the CPU-dense stage of
+    // every segment operator; a single-file read would otherwise run
+    // it on one core (no-op whenever the input already has
+    // ≥ parallelism partitions).
+    Repartition.forCompute(df)
+      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
   }
 
   /** Physical shuffle key for a segment: (xxhash64, crc32) — 96

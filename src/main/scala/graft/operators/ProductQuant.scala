@@ -56,10 +56,15 @@ object ProductQuant {
                      trainCap: Long = Clustering.DefaultTrainCap)
       : IndexedSeq[IndexedSeq[Array[Double]]] = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
-    val e = Sampling.hashSampleToCap(
+    // forCompute before caching: the sample drives `iters` CPU-dense
+    // joint-subspace argmin/mean rounds; without the spread a small or
+    // single-file input serializes every round onto one core (no-op at
+    // scale; the 1e-6 snap absorbs sum-order noise — see Clustering's
+    // determinism contract).
+    val e = Repartition.forCompute(Sampling.hashSampleToCap(
       embs.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v")),
-      "id", trainCap).cache()
+      "id", trainCap)).cache()
     val seeds = e.orderBy("id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     require(seeds.length == k, s"training sample has fewer than k=$k vectors")
