@@ -386,4 +386,36 @@ class PlanSpec extends AnyFunSuite {
     } == 7)
     ExplosiveJoin.clearSizingMemo()
   }
+
+  test("ExplosiveJoin.selfJoinPlanFromSizes == autoSaltPlan on the same self-join") {
+    // The derive-from-stats path (per-key pairs = bsz² of the block
+    // histogram) must produce the SAME SaltPlan the measured two-sided
+    // aggregation would — it is the 100 TB replacement for it, not an
+    // approximation. Hot key: 300 rows (90k ordered pairs), tail 1s.
+    import graft.operators.ExplosiveJoin
+    ExplosiveJoin.clearSizingMemo()
+    val side = spark.range(500).select(
+      when(col("id") < 300, lit(7L)).otherwise(col("id")).as("bk"),
+      col("id").as("payload"))
+    val sizes = side.groupBy("bk").agg(count(lit(1)).as("bsz"))
+    val fromStats = ExplosiveJoin.selfJoinPlanFromSizes(
+      ("spec-stats", 1), sizes, Seq("bk"), "bsz",
+      parallelism = 32, targetPerTask = 10000L)
+    val measured = ExplosiveJoin.autoSaltPlan(
+      side.select("bk"), side.select("bk"), Seq("bk"),
+      targetPerTask = 10000L)
+    assert(fromStats == measured, s"stats=$fromStats measured=$measured")
+    // 90k pairs over a 10k budget -> 9 chunks, selective on bk=7 only.
+    assert(fromStats.chunks == 9 && fromStats.hot.size == 1, fromStats.toString)
+    // And the salted join under the stats plan is row-identical to the
+    // plain join (the invariant every plan shape must keep).
+    val a = side.select(col("bk"), col("payload").as("pa"))
+    val b = side.select(col("bk"), col("payload").as("pb"))
+    val got = ExplosiveJoin.saltedJoin(a, b, Seq("bk"), "pb", fromStats)
+      .agg(count(lit(1)), sum(col("pa") + col("pb"))).collect()(0)
+    val want = a.join(b, Seq("bk"))
+      .agg(count(lit(1)), sum(col("pa") + col("pb"))).collect()(0)
+    assert(got == want, s"got=$got want=$want")
+    ExplosiveJoin.clearSizingMemo()
+  }
 }
