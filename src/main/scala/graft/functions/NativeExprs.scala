@@ -1275,22 +1275,56 @@ object NativeExprs {
   case class JaccardTokenSetsExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    def compute(a: Any, b: Any): Double = {
-      val ta = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .trim().toString.split("\\s+", -1)
-      val tb = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .trim().toString.split("\\s+", -1)
-      val sa = new java.util.HashSet[String]()
-      var i = 0
-      while (i < ta.length) { sa.add(ta(i)); i += 1 }
-      val sb = new java.util.HashSet[String]()
-      var inter = 0
-      var j = 0
-      while (j < tb.length) {
-        val s = tb(j)
-        if (sb.add(s) && sa.contains(s)) inter += 1
-        j += 1
+    // Per-THREAD memo text → distinct-token set. The expression sits
+    // in the projection of pair-verify joins, where one task streams
+    // sum-of-block-size² pairs: the streamed side's text repeats
+    // consecutively and every buffered-side text replays once per
+    // streamed row — tokenizing per PAIR made the verify quadratic in
+    // tokenization work, not just in pair count (the per-pair cost
+    // was ~µs of regex split + HashSet build on ~300-byte texts).
+    // With the memo each block text tokenizes ~once per task and the
+    // pair projection collapses to a set intersection. ThreadLocal,
+    // NOT instance state: the same reference object is invoked from
+    // every task thread of a local[n] executor. Keys are CLONED
+    // UTF8Strings (join rows hand out views over reused buffers);
+    // 512-entry LRU bounds memory (~1 MB/thread at capped blocks).
+    @transient private lazy val tokenMemo =
+      new ThreadLocal[java.util.LinkedHashMap[
+          org.apache.spark.unsafe.types.UTF8String, java.util.HashSet[String]]] {
+        override def initialValue() =
+          new java.util.LinkedHashMap[
+              org.apache.spark.unsafe.types.UTF8String, java.util.HashSet[String]](
+              64, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[org.apache.spark.unsafe.types.UTF8String,
+                                       java.util.HashSet[String]]): Boolean =
+              size() > 512
+          }
       }
+    private def tokenSet(u: org.apache.spark.unsafe.types.UTF8String)
+        : java.util.HashSet[String] = {
+      val m = tokenMemo.get()
+      val hit = m.get(u)
+      if (hit != null) hit
+      else {
+        val toks = u.trim().toString.split("\\s+", -1)
+        val s = new java.util.HashSet[String](toks.length * 2)
+        var i = 0
+        while (i < toks.length) { s.add(toks(i)); i += 1 }
+        m.put(u.clone(), s)
+        s
+      }
+    }
+    def compute(a: Any, b: Any): Double = {
+      val sa = tokenSet(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val sb = tokenSet(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      // sets are shared via the memo — read-only from here. Intersect
+      // by scanning the smaller side (identical count to the old
+      // build-sb-while-probing-sa loop).
+      val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+      var inter = 0
+      val it = small.iterator()
+      while (it.hasNext) { if (big.contains(it.next())) inter += 1 }
       val union = sa.size + sb.size - inter
       if (union == 0) 0.0 else inter.toDouble / union
     }
