@@ -1207,43 +1207,102 @@ object NativeExprs {
     private def packable(s: org.apache.spark.unsafe.types.UTF8String,
                          bytes: Array[Byte]): Boolean =
       k <= 8 && bytes.length == s.numChars()
+    // Per-THREAD 2-slot cache text → distinct-window set (+ a values
+    // array so the pair projection can scan the smaller side). The
+    // verify join streams sum-of-bucket-size² pairs per task with the
+    // STREAMED side's text repeating consecutively (one run per
+    // buffered-block replay) — a 2-slot cache captures that run
+    // exactly, halving the per-pair build work, while being immune to
+    // the LRU cycle-thrash a bounded map suffers when the BUFFERED
+    // side's block outgrows the capacity (every buffered text then
+    // misses every cycle and pays clone + map overhead on top of the
+    // build — measured +26% on a big-bucket corpus with a 512-LRU).
+    // Window sets are ~10 KB each, so a cycle-proof capacity
+    // (≥ block cap × threads) is not affordable the way the token
+    // memo's 2 KB entries are. ThreadLocal (the reference object is
+    // shared across task threads); keys cloned (join rows reuse
+    // buffers).
+    private final class WinSlot {
+      var key: org.apache.spark.unsafe.types.UTF8String = null
+      var packed: (PackedWindowSet, Array[Long]) = null
+      var strs: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = null
+    }
+    @transient private lazy val slots = new ThreadLocal[(WinSlot, WinSlot)] {
+      override def initialValue() = (new WinSlot, new WinSlot)
+    }
+    // Returns the slot holding `u` (filling it if absent), evicting
+    // the slot that is NOT `other` — so a pair's two texts never evict
+    // each other within one compute().
+    private def slotFor(u: org.apache.spark.unsafe.types.UTF8String,
+                        other: WinSlot): WinSlot = {
+      val (s1, s2) = slots.get()
+      if (s1.key != null && s1.key.equals(u)) s1
+      else if (s2.key != null && s2.key.equals(u)) s2
+      else {
+        val victim = if (s1 eq other) s2 else s1
+        victim.key = u.clone()
+        victim.packed = null
+        victim.strs = null
+        victim
+      }
+    }
+    private def packedSet(slot: WinSlot): (PackedWindowSet, Array[Long]) = {
+      if (slot.packed == null) {
+        val bytes = slot.key.getBytes
+        val w = math.max(1, bytes.length - k + 1)
+        val set = new PackedWindowSet(w)
+        val vals = new Array[Long](w)
+        var n = 0
+        var i = 0
+        while (i < w) {
+          val v = pack(bytes, i)
+          if (set.add(v)) { vals(n) = v; n += 1 }
+          i += 1
+        }
+        slot.packed = (set, java.util.Arrays.copyOf(vals, n))
+      }
+      slot.packed
+    }
+    private def strSet(slot: WinSlot)
+        : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+      if (slot.strs == null) {
+        val owned = slot.key // already a clone — windows may alias it
+        val n = owned.numChars()
+        val w = math.max(1, n - k + 1)
+        val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](w * 2)
+        var i = 0
+        while (i < w) { set.add(owned.substring(i, math.min(i + k, n))); i += 1 }
+        slot.strs = set
+      }
+      slot.strs
+    }
     def compute(a: Any, b: Any): Double = {
       val ua = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       val ub = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       val ba = ua.getBytes
       val bb = ub.getBytes
+      val slotA = slotFor(ua, null)
+      val slotB = slotFor(ub, slotA)
       if (packable(ua, ba) && packable(ub, bb)) {
-        val wa = math.max(1, ba.length - k + 1)
-        val wb = math.max(1, bb.length - k + 1)
-        val sa = new PackedWindowSet(wa)
-        var i = 0
-        while (i < wa) { sa.add(pack(ba, i)); i += 1 }
-        val sb = new PackedWindowSet(wb)
+        val (seta, valsa) = packedSet(slotA)
+        val (setb, valsb) = packedSet(slotB)
+        val (smallVals, big) =
+          if (seta.size <= setb.size) (valsa, setb) else (valsb, seta)
         var inter = 0
-        var j = 0
-        while (j < wb) {
-          val v = pack(bb, j)
-          if (sb.add(v) && sa.contains(v)) inter += 1
-          j += 1
+        var i = 0
+        while (i < smallVals.length) {
+          if (big.contains(smallVals(i))) inter += 1
+          i += 1
         }
-        val union = sa.size + sb.size - inter
+        val union = seta.size + setb.size - inter
         if (union == 0) 0.0 else inter.toDouble / union
       } else {
-        val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-        val na = ua.numChars()
-        var i = 0
-        val wa = math.max(1, na - k + 1)
-        while (i < wa) { sa.add(ua.substring(i, math.min(i + k, na))); i += 1 }
-        val sb = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-        val nb = ub.numChars()
+        val sa = strSet(slotA)
+        val sb = strSet(slotB)
+        val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
         var inter = 0
-        var j = 0
-        val wb = math.max(1, nb - k + 1)
-        while (j < wb) {
-          val s = ub.substring(j, math.min(j + k, nb))
-          if (sb.add(s) && sa.contains(s)) inter += 1
-          j += 1
-        }
+        val it = small.iterator()
+        while (it.hasNext) { if (big.contains(it.next())) inter += 1 }
         val union = sa.size + sb.size - inter
         if (union == 0) 0.0 else inter.toDouble / union
       }
@@ -1287,7 +1346,12 @@ object NativeExprs {
     // NOT instance state: the same reference object is invoked from
     // every task thread of a local[n] executor. Keys are CLONED
     // UTF8Strings (join rows hand out views over reused buffers);
-    // 512-entry LRU bounds memory (~1 MB/thread at capped blocks).
+    // Capacity 2048 > the dedup family's 1000-row block caps: an
+    // access-order LRU smaller than the BUFFERED side's replay cycle
+    // degrades to 100% misses plus map overhead (cycle thrash — see
+    // JaccardTextsExpr, whose ~10 KB window sets get a 2-slot cache
+    // instead for exactly this reason). Token sets are ~2 KB each,
+    // so covering a full capped block costs ~4 MB/thread.
     @transient private lazy val tokenMemo =
       new ThreadLocal[java.util.LinkedHashMap[
           org.apache.spark.unsafe.types.UTF8String, java.util.HashSet[String]]] {
@@ -1298,7 +1362,7 @@ object NativeExprs {
             override def removeEldestEntry(
                 e: java.util.Map.Entry[org.apache.spark.unsafe.types.UTF8String,
                                        java.util.HashSet[String]]): Boolean =
-              size() > 512
+              size() > 2048
           }
       }
     private def tokenSet(u: org.apache.spark.unsafe.types.UTF8String)
