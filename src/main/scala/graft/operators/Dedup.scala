@@ -232,23 +232,44 @@ object Dedup {
         col(textCol).as(s"__t$side"))
     val a0 = prep(left, "a").cache()
     val b0 = prep(right, "b").cache()
+    // ONE joint per-side histogram (two map-side-combined aggregates
+    // on 16-byte fps, full-outer joined) serves BOTH the combined
+    // block-size cap (ca + cb > maxBlockSize, exactly the union count
+    // the cap is defined on) and the salt sizing (per-key pairs =
+    // ca·cb, capped keys and one-sided keys excluded — neither
+    // produces join rows). This replaces what was a union-histogram
+    // pass for the cap PLUS autoSaltPlan's two-sided re-aggregation
+    // for the salt: at 100 TB sizing must ride stats the plan computes
+    // anyway, never a second corpus scan.
+    val joint = a0.groupBy("fp").agg(count(lit(1)).as("__ca"))
+      .join(b0.groupBy("fp").agg(count(lit(1)).as("__cb")), Seq("fp"), "full_outer")
+      .select(col("fp"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val capped =
+      if (maxBlockSize == Int.MaxValue) joint
+      else joint.where(col("__ca") + col("__cb") <= maxBlockSize)
     val (aT, bT) =
       if (maxBlockSize == Int.MaxValue) (a0, b0)
       else {
-        val blocked = a0.select("fp").unionAll(b0.select("fp"))
-          .groupBy("fp").agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") > maxBlockSize).select("fp")
+        // Cap as a broadcast ANTI-join against the few OVERSIZED keys
+        // (degenerate boilerplate only) — the corpora are never
+        // shuffled for the cap.
+        val blocked = joint.where(col("__ca") + col("__cb") > maxBlockSize)
+          .select("fp")
         (a0.join(broadcast(blocked), Seq("fp"), "left_anti"),
           b0.join(broadcast(blocked), Seq("fp"), "left_anti"))
       }
-    // Output-explosive block join -> ExplosiveJoin countermeasures
-    // (chunks = AUTO: measured salt width; eager sizing job over the
-    // cached fp frames); the probe/new (`left`) side is the
-    // replicated one — it is the smaller corpus in the daily-sweep
-    // use (see method scaladoc).
+    // Output-explosive block join -> ExplosiveJoin countermeasures;
+    // the probe/new (`left`) side is the replicated one — it is the
+    // smaller corpus in the daily-sweep use (see method scaladoc).
     // Token-set jaccard per pair in the join projection — text payload
     // instead of token arrays, same rationale as fingerprintJaccardPairs.
-    ExplosiveJoin.explosiveBucketJoin(aT, bT, Seq("fp"), "id_b")
+    val plan = ExplosiveJoin.crossJoinPlanFromSizes(
+      ("crossCorpus", a0.queryExecution.analyzed.canonicalized,
+        b0.queryExecution.analyzed.canonicalized, maxBlockSize),
+      capped, Seq("fp"), "__ca", "__cb",
+      left.sparkSession.sparkContext.defaultParallelism)
+    ExplosiveJoin.saltedJoin(aT, bT, Seq("fp"), "id_b", plan)
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.jaccardTokenSetsNative(
           col("__ta"), col("__tb")), 6).as("jaccard"))

@@ -295,6 +295,35 @@ object ExplosiveJoin {
       planFromPerKey(perKey, parallelism, targetPerTask)
     }
 
+  /** [[SaltPlan]] for a CROSS-corpus (two-sided) join on `keys`,
+    * derived from a joint per-key histogram `sizes` carrying BOTH
+    * sides' row counts (`caCol` = probe-side count, `cbCol` =
+    * build-side count; zero on either side → the key produces no
+    * pairs and is skipped) — the derive-from-already-computed-stats
+    * path for asymmetric sweeps (today's crawl ⋈ the standing
+    * corpus), where the combined-block-size cap computes the same
+    * histograms anyway: sizing adds ZERO extra corpus scans where
+    * [[autoSaltPlan]] would re-aggregate both join sides. Per-key
+    * pair volume is ca·cb (factors capped at 2^31 pre-product
+    * against Long wraparound — same law as autoSaltPlan). `keys`
+    * must be passed in the SAME order the join uses (row-level
+    * `xxhash64(keys…)` hot-map lookup in [[saltedJoin]]). Memoized
+    * on `memoKey`. */
+  private[graft] def crossJoinPlanFromSizes(memoKey: Any, sizes: => DataFrame,
+                                            keys: Seq[String],
+                                            caCol: String, cbCol: String,
+                                            parallelism: Int,
+                                            targetPerTask: Long = DefaultTargetPerTask): SaltPlan =
+    memoized[SaltPlan](memoKey) {
+      val capF = lit(1L << 31)
+      val perKey = sizes
+        .where(col(caCol) > 0 && col(cbCol) > 0)
+        .select(
+          xxhash64(keys.map(col): _*).as("__kh"),
+          (least(col(caCol), capF) * least(col(cbCol), capF)).as("__pairs"))
+      planFromPerKey(perKey, parallelism, targetPerTask)
+    }
+
   /** The measured GLOBAL salt width for `probe` ⋈ `build` on `keys` —
     * the heaviest key's width under the balance-aware budget (see
     * [[autoSaltPlan]], which this delegates to and shares a memo

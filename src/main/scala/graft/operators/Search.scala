@@ -418,18 +418,12 @@ object Search {
       // FACTOR, not the product — a capped head term with bulk-regime
       // qf (≈|Q|) still yields df·qf ≫ one task's budget, so the
       // measurement stays.
-      ExplosiveJoin.memoized[ExplosiveJoin.SaltPlan](
+      ExplosiveJoin.crossJoinPlanFromSizes(
         ("bm25bulk", prefix, maxDfFrac,
-          queries.queryExecution.analyzed.canonicalized)) {
-        val capF = lit(1L << 31)
-        val perKey = qterms.groupBy("token").agg(count(lit(1)).as("qf"))
-          .join(dfTable.select(col("token"), col("df")), "token")
-          .select(xxhash64(col("token")).as("__kh"),
-            (least(col("qf"), capF) * least(col("df"), capF)).as("__pairs"))
-        ExplosiveJoin.planFromPerKey(perKey,
-          spark.sparkContext.defaultParallelism,
-          ExplosiveJoin.DefaultTargetPerTask)
-      }
+          queries.queryExecution.analyzed.canonicalized),
+        qterms.groupBy("token").agg(count(lit(1)).as("qf"))
+          .join(dfTable.select(col("token"), col("df")), "token"),
+        Seq("token"), "qf", "df", spark.sparkContext.defaultParallelism)
     } else ExplosiveJoin.SaltPlan(saltChunks, Map.empty)
     val joined = if (plan.chunks > 1)
       ExplosiveJoin.saltedJoin(qidf, postings,

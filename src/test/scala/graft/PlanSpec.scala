@@ -418,4 +418,41 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
     ExplosiveJoin.clearSizingMemo()
   }
+
+  test("ExplosiveJoin.crossJoinPlanFromSizes == autoSaltPlan on the same cross join") {
+    // The two-sided derive-from-stats path (per-key pairs = ca·cb of
+    // the joint histogram) must produce the SAME SaltPlan the measured
+    // aggregation would — it replaces autoSaltPlan's corpus re-scan in
+    // the cross-corpus sweep, not approximates it. Hot key 5: 60 probe
+    // × 400 build = 24k pairs; key 6 is probe-only (no pairs — must
+    // not size); tail 1×1.
+    import graft.operators.ExplosiveJoin
+    ExplosiveJoin.clearSizingMemo()
+    val probe = spark.range(100).select(
+      when(col("id") < 60, lit(5L))
+        .otherwise(when(col("id") < 80, lit(6L)).otherwise(col("id"))).as("bk"),
+      col("id").as("pa"))
+    val build = spark.range(500).select(
+      when(col("id") < 400, lit(5L)).otherwise(col("id") + 1000).as("bk"),
+      col("id").as("pb"))
+    val joint = probe.groupBy("bk").agg(count(lit(1)).as("__ca"))
+      .join(build.groupBy("bk").agg(count(lit(1)).as("__cb")), Seq("bk"), "full_outer")
+      .select(col("bk"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val fromStats = ExplosiveJoin.crossJoinPlanFromSizes(
+      ("spec-cross-stats", 1), joint, Seq("bk"), "__ca", "__cb",
+      parallelism = 32, targetPerTask = 10000L)
+    val measured = ExplosiveJoin.autoSaltPlan(probe.select("bk"),
+      build.select("bk"), Seq("bk"), targetPerTask = 10000L)
+    assert(fromStats == measured, s"stats=$fromStats measured=$measured")
+    // 24k pairs over a 10k budget -> 3 chunks, selective on bk=5 only.
+    assert(fromStats.chunks == 3 && fromStats.hot.size == 1, fromStats.toString)
+    // Row-identity of the salted join under the stats plan.
+    val got = ExplosiveJoin.saltedJoin(probe, build, Seq("bk"), "pb", fromStats)
+      .agg(count(lit(1)), sum(col("pa") + col("pb"))).collect()(0)
+    val want = probe.join(build, Seq("bk"))
+      .agg(count(lit(1)), sum(col("pa") + col("pb"))).collect()(0)
+    assert(got == want, s"got=$got want=$want")
+    ExplosiveJoin.clearSizingMemo()
+  }
 }

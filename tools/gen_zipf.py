@@ -12,9 +12,20 @@ df ≈ N, and a long tail of informative terms with tiny df. This
 corpus makes that distribution real:
 
   - 50,000 docs (sf1-equivalent count), 80-200 words each
-  - vocabulary: 50,000 distinct tokens ("w000000".."w049999")
-  - token frequencies ~ Zipf, exponent s = 1.1 (bounded inverse-CDF
-    over ranks, not np.random.zipf's unbounded tail)
+  - vocabulary: 50,000 distinct tokens, token frequencies ~ Zipf,
+    exponent s = 1.1 (bounded inverse-CDF over ranks, not
+    np.random.zipf's unbounded tail)
+  - surface forms are SYLLABLE words, not "wNNNNNN": each vocab id maps
+    injectively to a consonant-vowel syllable string (mixed-radix
+    decode of the id over 100 CV syllables), so rank-0 head words are
+    SHORT (2-4 chars, like real stopwords) and the character-level
+    n-gram entropy is prose-like. The first corpus revision used
+    zero-padded "w012345" names whose shared "w0..." prefixes made
+    8-char shingles collide far beyond real text — the minhash probe
+    measured band-collision pathology, not corpus scale (recorded as a
+    caveat in SCALE.md r12; this revision removes it). Token-level
+    stats (df, qf, Zipf shares) are IDENTICAL in distribution — only
+    the spelling of each token changed.
 
 Expected shape the probe must show: the AUTO salt engages ONLY on the
 head terms (df·qf above the balance budget), the tail stays unsalted,
@@ -32,12 +43,33 @@ S = 1.1
 SEED = 20260815
 
 
+CONSONANTS = "bcdfghjklmnpqrstvwxz"  # 20
+VOWELS = "aeiou"                     # 5
+SYLLABLES = [c + v for c in CONSONANTS for v in VOWELS]  # 100
+
+
+def syllable_word(i):
+    """Injective id -> syllable word: mixed-radix digits of i over the
+    100 CV syllables (most-significant first), minimum one syllable.
+    Distinct ids yield distinct words (no-leading-zero ambiguity is
+    avoided by offsetting each extra digit: this is bijective base-100
+    numeration)."""
+    parts = []
+    i += 1
+    while i > 0:
+        i -= 1
+        parts.append(SYLLABLES[i % 100])
+        i //= 100
+    return "".join(reversed(parts))
+
+
 def main():
     rng = np.random.default_rng(SEED)
     ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
     p = ranks ** -S
     p /= p.sum()
-    words = np.array([f"w{i:06d}" for i in range(VOCAB)])
+    words = np.array([syllable_word(i) for i in range(VOCAB)])
+    assert len(set(words)) == VOCAB
     lengths = rng.integers(80, 201, size=N_DOCS)
     # one bulk draw of all tokens, then split per doc (fast + identical
     # distribution to per-doc draws)
