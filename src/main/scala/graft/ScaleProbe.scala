@@ -19,6 +19,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <bits> [tables] [threshold]")
     if (args(0) == "fp") { fpProbe(args(1), args(2).toInt); return }
+    if (args(0) == "ed") {
+      edProbe(args(1), args(2).toInt, args(3).toInt,
+        if (args.length > 4) args(4).toInt else 64); return
+    }
     if (args(0) == "salt") { saltProbe(args(1)); return }
     if (args(0) == "sig") { sigProbe(args(1), args(2).toInt); return }
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
@@ -375,6 +379,32 @@ object ScaleProbe {
       docs, "doc_id", "text", 8, maxBlockSize = cap).count()
     val t = (System.nanoTime() - t0) / 1e9
     println(f"SCALEPROBE fp dir=$sfDir cap=$cap pairs=$n t=$t%.2f s")
+    spark.stop()
+  }
+
+  /** Edit-distance join probe: `editDistancePairs` over the leading
+    * `width` chars of every document — cold (cache cleared, sizing
+    * memo cleared between reps), min-of-2, reports matched pairs.
+    * Turns the SCALE.md selectivity simulation into executed numbers:
+    * `ed <dir> <k> <q> [width]`. */
+  private def edProbe(sfDir: String, k: Int, q: Int, width: Int): Unit = {
+    import org.apache.spark.sql.functions.substring
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val titles = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, width).as("title"))
+    var pairs = 0L
+    val ts = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      graft.operators.ExplosiveJoin.invalidateSizing()
+      val t0 = System.nanoTime()
+      pairs = graft.operators.Dedup.editDistancePairs(
+        titles, "doc_id", "title", maxDist = k, q = q).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"SCALEPROBE ed dir=$sfDir k=$k q=$q width=$width pairs=$pairs " +
+      f"min=${ts.min}%.2f s (${ts.map(x => f"$x%.2f").mkString(" ")})")
     spark.stop()
   }
 }

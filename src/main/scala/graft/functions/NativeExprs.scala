@@ -465,6 +465,50 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** All positional q-gram TOKENS of a string as 64-bit hashes, for
+    * the edit-distance join's count/prefix filter
+    * ([[graft.operators.Dedup.editDistancePairs]]). The c-th
+    * occurrence (0-based) of gram g maps to `mix64(fnv64(g) + c)` —
+    * occurrence numbering turns the q-gram MULTISET into a set, so
+    * the ED-Join count-filter bound (one edit destroys at most q
+    * grams, hence at most q tokens) transfers to plain set
+    * intersection, and hash collisions can only MERGE tokens
+    * consistently across strings (candidates grow, never shrink —
+    * completeness is preserved; see the operator's scaladoc for the
+    * bound). Grams are code-point windows (`UTF8String.substring`),
+    * matching the code-point edit model of `levenshtein`. Strings
+    * shorter than q yield an empty array. */
+  case class PosQGramTokensExpr(child: Expression, q: Int)
+      extends UnaryExpression {
+    require(q >= 1, s"q=$q")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val nChars = text.numChars()
+      if (nChars < q) return new GenericArrayData(Array.empty[Any])
+      val nTok = nChars - q + 1
+      val occ = new java.util.HashMap[java.lang.Long, Integer](nTok * 2)
+      val out = new Array[Any](nTok)
+      var i = 0
+      while (i < nTok) {
+        val g = java.lang.Long.valueOf(fnv64(text.substring(i, i + q).getBytes))
+        val c = occ.merge(g, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        out(i) = mix64(g.longValue + (c.intValue - 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("posQGramTokensExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PosQGramTokensExpr =
+      copy(child = newChild)
+  }
+
   /** Exact long margin of the hashed-feature model in ONE tokenize
     * pass: `w(dim) + Σ_tokens w(bucket(tok))` over micro-unit long
     * weights (`weights.length = dim + 1`, last slot = intercept,
@@ -1511,6 +1555,9 @@ object NativeExprs {
 
   def spanHashesNative(text: Column, n: Int): Column =
     ColumnBridge.column(SpanHashesExpr(ColumnBridge.expression(text), n))
+
+  def posQGramTokensNative(text: Column, q: Int): Column =
+    ColumnBridge.column(PosQGramTokensExpr(ColumnBridge.expression(text), q))
 
   def hashedMarginsNative(text: Column, weights: Array[Array[Long]]): Column =
     ColumnBridge.column(HashedMarginsExpr(ColumnBridge.expression(text), weights))

@@ -430,6 +430,17 @@ object PipelineQueries {
       Dedup.fingerprintJaccardPairs(docs(s, dir), "doc_id", "text", 8,
         maxBlockSize = 1000)),
 
+    // Edit-distance similarity join on a short derived field (the
+    // leading 64 chars as a title surrogate): ED-Join prefix q-gram
+    // filtering + banded-levenshtein verify, exact distances out.
+    // Complete (no cap) — the oracle is the brute-force length-banded
+    // levenshtein self-join.
+    "dd_edit_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        docs(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 64).as("title")),
+        "doc_id", "title", maxDist = 4, q = 2)),
+
     // Sequence packing (concat-then-chunk): per-language shard-local
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
@@ -1819,6 +1830,15 @@ object PipelineQueries {
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dd_edit_join" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS title FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS ed
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.title) - length(b.title)) <= 4
+        |WHERE levenshtein(a.title, b.title) <= 4
         |ORDER BY 1, 2""".stripMargin,
 
     "q_dataset_split" ->

@@ -2665,4 +2665,82 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
     assert(got == Seq((1, "signup", 0L), (2, "click", 0L), (3, "purchase", 0L)))
   }
+
+  // ---- editDistancePairs: brute-force completeness oracle ---------------
+
+  private def serialLevenshtein(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(sub, math.min(prev(j) + 1, cur(j - 1) + 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Adversarial string set for the prefix-filter machinery: empty and
+    * sub-q strings (sentinel block), heavy gram repetition (occurrence
+    * numbering — "aaaa…" variants defeat set-of-grams schemes), planted
+    * mutations at every distance 0..6, plus random strings over a tiny
+    * alphabet so gram df values collide hard. */
+  private lazy val editCorpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abc"
+    def rs(n: Int): String = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val p = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur.substring(0, p) + alpha(rnd.nextInt(alpha.length)) + cur.substring(p)
+          case _ if cur.nonEmpty => cur.substring(0, p) + cur.substring(math.min(p + 1, cur.length))
+          case _ => cur + alpha(rnd.nextInt(alpha.length))
+        }
+      }
+      cur
+    }
+    val base = Seq("", "a", "ab", "aaaa", "aaaaaaaaaaaa", "abababab",
+      rs(6), rs(10), rs(15), rs(20), rs(20), rs(30))
+    val mutants = base.zipWithIndex.flatMap { case (s, i) =>
+      (0 to 6).map(e => mutate(s, e))
+    }
+    (base ++ mutants ++ Seq.fill(20)(rs(8 + rnd.nextInt(12))))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  test("editDistancePairs == brute-force banded levenshtein (completeness incl. short/sentinel + repeated-gram paths)") {
+    val df = editCorpus.toDF("id", "s")
+    for ((k, q) <- Seq((2, 2), (4, 2), (1, 3), (0, 2))) {
+      val want = (for {
+        (ia, sa) <- editCorpus; (ib, sb) <- editCorpus
+        if ia < ib && math.abs(sa.length - sb.length) <= k
+        d = serialLevenshtein(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = k, q = q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"k=$k q=$q: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("editDistancePairs: maxBlockSize caps degenerate prefixes (recall-lossy, subset of exact)") {
+    val df = editCorpus.toDF("id", "s")
+    val exact = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.editDistancePairs(df, "id", "s", maxDist = 2,
+        maxBlockSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+  }
 }
