@@ -31,7 +31,11 @@ object ClusterBench {
     // path collects edges to the driver — both must survive real
     // cross-JVM task serialization, not just local[32]'s
     // short-circuit
-    "dd_fp_jaccard", "dd_survivors", "knn_ivf")
+    "dd_fp_jaccard", "dd_survivors", "knn_ivf",
+    // round-12 fifth wave: the edit-distance join's PosQGramTokensExpr
+    // reference object + prefix collect_list sort + banded levenshtein
+    // across real executor JVMs
+    "dd_edit_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
