@@ -51,9 +51,16 @@ object Training {
   def trainLogRegWeights(docs: DataFrame, textCol: String, label: Column,
                          dim: Int = 32, iters: Int = 3,
                          lr: Double = 0.2): Array[Long] = {
-    val base = docs.select(
+    // forCompute: each iteration's gradient job runs the CPU-dense
+    // fused margin/bucket pass on the scan's own splits — a
+    // single-file corpus otherwise serializes it into ONE map task
+    // per iteration (the dominant stage of the txt_lr_*/txt_softmax_*
+    // gates by the jobs probe); the narrow (text, y) exchange is far
+    // cheaper. Multi-split at scale → no-op. Gradient integers are
+    // partitioning-independent, so results are bit-identical.
+    val base = Repartition.forCompute(docs.select(
       coalesce(col(textCol), lit("")).as("t"),
-      coalesce(label.cast("long"), lit(0L)).as("y"))
+      coalesce(label.cast("long"), lit(0L)).as("y")))
     var n = 0L // derived from the first iteration's intercept count
     val w = Array.fill(dim + 1)(0L)
     var it = 0
@@ -133,9 +140,10 @@ object Training {
                           iters: Int = 2,
                           lr: Double = 0.2): Array[Array[Long]] = {
     require(k >= 2, s"k=$k")
-    val base = docs.select(
+    // forCompute: same single-map-task law as trainLogRegWeights.
+    val base = Repartition.forCompute(docs.select(
       coalesce(col(textCol), lit("")).as("t"),
-      coalesce(labelIdx.cast("long"), lit(0L)).as("y"))
+      coalesce(labelIdx.cast("long"), lit(0L)).as("y")))
     var n = 0L
     val w = Array.fill(k, dim + 1)(0L)
     var it = 0
