@@ -384,6 +384,87 @@ object Dedup {
     * collision just adds candidates (verified away), never drops one. */
   private val EditJoinShortSentinel: Long = 0x5f70454a4f494e21L
 
+  /** Cross-corpus [[editDistancePairs]]: every (left, right) pair
+    * within `levenshtein <= maxDist` — the incremental-ingest form
+    * (today's crawl ⋈ the standing corpus) of the ED-Join, mirroring
+    * [[crossCorpusJaccardPairs]]. Only cross pairs are generated, so
+    * a daily fuzzy-dedup sweep costs O(delta × collision rate), never
+    * another full self-join.
+    *
+    * The prefix rarity order is ONE shared df table over the UNION of
+    * both sides' tokens — the two sides must rank tokens identically
+    * or the prefix lemma's shared-token witness can fall outside one
+    * side's prefix (any consistent total order is complete; union df
+    * is the selectivity-optimal one, and at scale it is dominated by
+    * the standing corpus's stats, which a production sweep would
+    * persist alongside the corpus). Cap + salt both derive from ONE
+    * joint per-side prefix-membership histogram
+    * ([[ExplosiveJoin.crossJoinPlanFromSizes]] — zero extra corpus
+    * scans). `left` is the replicated probe side of the explosive
+    * join — pass the SMALLER corpus (the delta) as `left`. The
+    * `maxBlockSize` cap counts the COMBINED (left + right) membership
+    * and is recall-lossy here, exactly as in [[editDistancePairs]]. */
+  def crossCorpusEditPairs(left: DataFrame, right: DataFrame,
+                           idCol: String, textCol: String,
+                           maxDist: Int, q: Int = 2,
+                           maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist")
+    val pfx = maxDist * q + 1
+    def prep(df: DataFrame): DataFrame =
+      Repartition.forCompute(df).select(
+        col(idCol), col(textCol).as("__s"),
+        graft.functions.NativeExprs.posQGramTokensNative(col(textCol), q)
+          .as("__tok")).cache()
+    val a0 = prep(left)
+    val b0 = prep(right)
+    def toks(df: DataFrame): DataFrame =
+      df.select(col(idCol), explode(col("__tok")).as("tok"))
+    val dfTab = toks(a0).unionByName(toks(b0))
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    def prefix(base: DataFrame): DataFrame =
+      toks(base).join(dfTab, "tok")
+        .groupBy(idCol)
+        .agg(slice(array_sort(collect_list(struct(col("__df"), col("tok")))),
+          1, pfx).as("__p"))
+        .select(col(idCol), explode(col("__p")).as("__pe"))
+        .select(col(idCol), col("__pe.tok").as("tok"))
+        .unionByName(base.where(size(col("__tok")) < pfx)
+          .select(col(idCol), lit(EditJoinShortSentinel).as("tok")))
+    val pa = prefix(a0)
+    val pb = prefix(b0)
+    val joint = pa.groupBy("tok").agg(count(lit(1)).as("__ca"))
+      .join(pb.groupBy("tok").agg(count(lit(1)).as("__cb")),
+        Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val capped =
+      if (maxBlockSize == Int.MaxValue) joint
+      else joint.where(col("__ca") + col("__cb") <= maxBlockSize)
+    val (paT, pbT) =
+      if (maxBlockSize == Int.MaxValue) (pa, pb)
+      else {
+        val blocked = joint.where(col("__ca") + col("__cb") > maxBlockSize)
+          .select("tok")
+        (pa.join(broadcast(blocked), Seq("tok"), "left_anti"),
+          pb.join(broadcast(blocked), Seq("tok"), "left_anti"))
+      }
+    val plan = ExplosiveJoin.crossJoinPlanFromSizes(
+      ("editCross", a0.queryExecution.analyzed.canonicalized,
+        b0.queryExecution.analyzed.canonicalized, pfx, maxBlockSize),
+      capped, Seq("tok"), "__ca", "__cb",
+      left.sparkSession.sparkContext.defaultParallelism)
+    val aj = paT.join(a0.select(col(idCol), col("__s")), Seq(idCol))
+      .select(col(idCol).as("id_a"), col("tok"), col("__s").as("__sa"))
+    val bj = pbT.join(b0.select(col(idCol), col("__s")), Seq(idCol))
+      .select(col(idCol).as("id_b"), col("tok"), col("__s").as("__sb"))
+    ExplosiveJoin.saltedJoin(aj, bj, Seq("tok"), "id_b", plan)
+      .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long").as("ed"))
+      .where(col("ed") >= 0)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Pigeonhole blocking: split the 64-bit hash into 4 16-bit chunks —
     * any pair within Hamming <= 3 MUST share at least one exact chunk

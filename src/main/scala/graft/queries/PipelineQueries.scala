@@ -441,6 +441,17 @@ object PipelineQueries {
           substring(col("text"), 1, 64).as("title")),
         "doc_id", "title", maxDist = 4, q = 2)),
 
+    // Cross-corpus (delta vs standing corpus) edit-distance pairs —
+    // the incremental-ingest form of the ED-Join, same 250-id split
+    // as dd_cross_corpus.
+    "dd_edit_cross" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 64).as("title"))
+      Dedup.crossCorpusEditPairs(
+        t.where(col("doc_id") < 250), t.where(col("doc_id") >= 250),
+        "doc_id", "title", maxDist = 4, q = 2)
+    }),
+
     // Sequence packing (concat-then-chunk): per-language shard-local
     // packing into 2048-token training sequences — each doc gets the
     // sequence index and offset of its first token. packBy is the
@@ -1837,6 +1848,15 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS ed
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.title) - length(b.title)) <= 4
+        |WHERE levenshtein(a.title, b.title) <= 4
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dd_edit_cross" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS title FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS ed
+        |FROM t a JOIN t b ON a.doc_id < 250 AND b.doc_id >= 250
         |  AND abs(length(a.title) - length(b.title)) <= 4
         |WHERE levenshtein(a.title, b.title) <= 4
         |ORDER BY 1, 2""".stripMargin,

@@ -2734,6 +2734,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossCorpusEditPairs == brute-force cross levenshtein (shared union-df rarity order)") {
+    val (l, r) = editCorpus.partition(_._1 % 2 == 0)
+    val ldf = l.toDF("id", "s")
+    val rdf = r.toDF("id", "s")
+    for ((k, q) <- Seq((2, 2), (4, 2), (1, 3))) {
+      val want = (for {
+        (ia, sa) <- l; (ib, sb) <- r
+        if math.abs(sa.length - sb.length) <= k
+        d = serialLevenshtein(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      val got = Dedup.crossCorpusEditPairs(ldf, rdf, "id", "s",
+          maxDist = k, q = q)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == want,
+        s"k=$k q=$q: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("editDistancePairs: maxBlockSize caps degenerate prefixes (recall-lossy, subset of exact)") {
     val df = editCorpus.toDF("id", "s")
     val exact = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
