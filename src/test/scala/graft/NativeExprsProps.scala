@@ -157,4 +157,26 @@ object NativeExprsProps extends Properties("NativeExprs") {
           } &&
           (got.last._2 + got.last._3 == dl) // tail reached exactly
     }
+
+  private val edString: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString.take(40))
+
+  property("posQGramTokens: count = max(0, len-q+1), all distinct, deterministic, edit destroys <= q tokens") =
+    forAll(edString, Gen.chooseNum(1, 4), Gen.chooseNum(0, 39)) { (s, q, p0) =>
+      def toks(x: String): Seq[Long] =
+        spark.range(1).select(NativeExprs.posQGramTokensNative(lit(x), q))
+          .collect().head.getSeq[Long](0)
+      val t1 = toks(s)
+      // one substitution at a valid position (identity when s is short)
+      val mutated =
+        if (s.isEmpty) s
+        else { val p = p0 % s.length; s.updated(p, if (s(p) == 'a') 'b' else 'a') }
+      val t2 = toks(mutated)
+      t1.length == math.max(0, s.length - q + 1) &&
+        t1.distinct.length == t1.length && // occurrence numbering: no dups
+        t1 == toks(s) &&                   // deterministic
+        // the count-filter law the ED-Join prefix rests on: one edit
+        // removes at most q multiset tokens
+        (t1.toSet -- t2.toSet).size <= q
+    }
 }
