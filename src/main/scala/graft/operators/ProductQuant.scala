@@ -114,7 +114,13 @@ object ProductQuant {
       }
       array_min(array(scored: _*)).getField("cid").as(s"code$s")
     }
-    embs.select(col(idCol).as("id") +: codeCols: _*)
+    // forCompute: code assignment is m·k dot products per row and
+    // rides the scan's partitioning — a single-file corpus serializes
+    // it into one task (jobs probe: the dominant 0.4 s single-task
+    // stage of knn_pq); the narrow (id, vec) exchange is cheaper.
+    // Row-wise map → results identical; multi-split at scale → no-op.
+    Repartition.forCompute(embs.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id") +: codeCols: _*)
   }
 
   /** ADC top-k: probes are driver-side (few by contract, like the
