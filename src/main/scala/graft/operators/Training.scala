@@ -58,44 +58,54 @@ object Training {
     // gates by the jobs probe); the narrow (text, y) exchange is far
     // cheaper. Multi-split at scale → no-op. Gradient integers are
     // partitioning-independent, so results are bit-identical.
+    // persist: the trainer is EAGER (one collect per iteration), so
+    // the scan+exchange would otherwise re-run every iteration; the
+    // narrow projection is cached for the loop and dropped before
+    // returning (spill-safe at corpus scale — the standard iterative-
+    // trainer layout, same as Spark ML's caching contract).
     val base = Repartition.forCompute(docs.select(
       coalesce(col(textCol), lit("")).as("t"),
       coalesce(label.cast("long"), lit(0L)).as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var n = 0L // derived from the first iteration's intercept count
     val w = Array.fill(dim + 1)(0L)
-    var it = 0
-    while (it < iters) {
-      // SPARSE gradient: gs_d = (pq_d − y_d·1e4)·100 once per TOKEN
-      // occurrence of bucket j (plus one intercept row per doc) sums
-      // to exactly Σ_d gs_d·x_dj — identical integers to the dense
-      // Σ gs·count formulation by distributivity, but gradient rows
-      // scale with tokens-per-doc, never with dim: a 262k-bucket
-      // fastText-sized model trains with the same shuffle as dim=32.
-      // Both the margin and the bucket list ride native one-pass
-      // expressions whose weight array is a reference object, not a
-      // plan literal (w.clone: the driver mutates w after collect).
-      val grads = base
-        .select(
-          gradScale(NativeExprs.hashedMarginNative(col("t"), w.clone()),
-            col("y")).as("gs"),
-          concat(NativeExprs.hashedBucketsNative(col("t"), dim),
-            array(lit(dim.toLong))).as("bk"))
-        .select(col("gs"), explode(col("bk")).as("j"))
-        .groupBy("j").agg(sum(col("gs")).as("g"), count(lit(1)).as("c"))
-        .collect()
-      if (grads.isEmpty) return w // empty corpus
-      // n rides the gradient aggregate (the intercept bucket appears
-      // exactly once per document) — no dedicated count scan.
-      if (it == 0)
-        n = grads.find(_.getLong(0) == dim.toLong).map(_.getLong(2)).getOrElse(0L)
-      if (n == 0L) return w
-      grads.foreach { r =>
-        val j = r.getLong(0).toInt
-        w(j) -= math.floor(lr * r.getLong(1) / n + 0.5).toLong
+    try {
+      var it = 0
+      while (it < iters) {
+        // SPARSE gradient: gs_d = (pq_d − y_d·1e4)·100 once per TOKEN
+        // occurrence of bucket j (plus one intercept row per doc) sums
+        // to exactly Σ_d gs_d·x_dj — identical integers to the dense
+        // Σ gs·count formulation by distributivity, but gradient rows
+        // scale with tokens-per-doc, never with dim: a 262k-bucket
+        // fastText-sized model trains with the same shuffle as dim=32.
+        // Both the margin and the bucket list ride native one-pass
+        // expressions whose weight array is a reference object, not a
+        // plan literal (w.clone: the driver mutates w after collect).
+        val grads = base
+          .select(
+            gradScale(NativeExprs.hashedMarginNative(col("t"), w.clone()),
+              col("y")).as("gs"),
+            concat(NativeExprs.hashedBucketsNative(col("t"), dim),
+              array(lit(dim.toLong))).as("bk"))
+          .select(col("gs"), explode(col("bk")).as("j"))
+          .groupBy("j").agg(sum(col("gs")).as("g"), count(lit(1)).as("c"))
+          .collect()
+        if (grads.isEmpty) return w // empty corpus
+        // n rides the gradient aggregate (the intercept bucket appears
+        // exactly once per document) — no dedicated count scan.
+        if (it == 0)
+          n = grads.find(_.getLong(0) == dim.toLong).map(_.getLong(2)).getOrElse(0L)
+        if (n == 0L) return w
+        grads.foreach { r =>
+          val j = r.getLong(0).toInt
+          w(j) -= math.floor(lr * r.getLong(1) / n + 0.5).toLong
+        }
+        it += 1
       }
-      it += 1
+      w
+    } finally {
+      base.unpersist(false); ()
     }
-    w
   }
 
   /** `(pq − y·1e4)·100` where `pq = ⌊σ(m/1e6)·1e4 + 0.5⌋` — the
@@ -140,12 +150,16 @@ object Training {
                           iters: Int = 2,
                           lr: Double = 0.2): Array[Array[Long]] = {
     require(k >= 2, s"k=$k")
-    // forCompute: same single-map-task law as trainLogRegWeights.
+    // forCompute + loop-scoped persist: same laws as
+    // trainLogRegWeights (spread the dense map stage; scan+exchange
+    // once, not once per iteration; dropped before returning).
     val base = Repartition.forCompute(docs.select(
       coalesce(col(textCol), lit("")).as("t"),
       coalesce(labelIdx.cast("long"), lit(0L)).as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var n = 0L
     val w = Array.fill(k, dim + 1)(0L)
+    try {
     var it = 0
     while (it < iters) {
       val margins = NativeExprs.hashedMarginsNative(col("t"),
@@ -190,6 +204,9 @@ object Training {
       it += 1
     }
     w
+    } finally {
+      base.unpersist(false); ()
+    }
   }
 
   /** The trained softmax model as data: `(k, bucket, w_micro)`. */
