@@ -765,7 +765,11 @@ object Dedup {
     val keepPos = survivors.groupBy(idCol)
       .agg(array_sort(collect_list(col("pos"))).as("keep_pos"))
     val words = split(trim(col(textCol)), "\\s+")
-    df.join(keepPos, Seq(idCol), "left")
+    // forCompute: with keepPos broadcast, the re-split + per-position
+    // slice/join rebuild runs on the scan's partitioning — one task
+    // on a single-file corpus (the 0.4 s serial stage of
+    // dd_boilerplate by the jobs probe). No-op on multi-split scans.
+    Repartition.forCompute(df).join(keepPos, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(
           array_join(transform(col("keep_pos"),
