@@ -34,7 +34,13 @@ object Profile {
           min(col(c)).cast("double").as(s"_min_$c"),
           max(col(c)).cast("double").as(s"_max_$c"))
       }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // forCompute on the pruned projection: the countDistinct expand +
+    // partial aggregate is the dense map stage and otherwise runs on
+    // the scan's partitioning (one task on a single-file table by the
+    // jobs probe); the narrow typed columns exchange cheaply. No-op on
+    // multi-split scans.
+    val wide = Repartition.forCompute(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>
       struct(lit(c).as("col_name"), col("_n").as("n"),
         col(s"_null_$c").as("n_null"), col(s"_nd_$c").as("n_distinct"),

@@ -244,7 +244,10 @@ object PipelineQueries {
     "txt_bpe_roundtrip" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.functions.TextFunctions.bpeTrainMerges(d, "text", nMerges = 50)
-      d.select(col("doc_id"),
+      // forCompute: the per-doc BPE encode is the dense stage and
+      // otherwise rides the single-file scan on one task (0.7 s
+      // serial by the jobs probe).
+      graft.operators.Repartition.forCompute(d).select(col("doc_id"),
         rtrim(regexp_replace(
           concat_ws("", graft.functions.TextFunctions.bpeEncode(col("text"), merges)),
           "</w>", " ")).as("rejoined"))
