@@ -113,7 +113,12 @@ object Search {
     * `(query_id, doc_id, rnk)`. */
   def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame, k: Int): DataFrame = {
-    val scored = docs
+    // forCompute: the tokenize + per-query array_intersect is the
+    // dense map stage (|Q|× replicated by the broadcast cross join)
+    // and otherwise rides a single-file scan on one task (0.48 s
+    // serial inside srch_rrf by the jobs probe). No-op on multi-split
+    // scans.
+    val scored = Repartition.forCompute(docs)
       .select(col(idCol),
         array_distinct(TextFunctions.tokens(col(textCol))).as("ts"))
       .crossJoin(broadcast(queries.select(col("query_id"), col("terms"))))
