@@ -972,4 +972,93 @@ object Dedup {
       .join(index, Seq("digest"), "left_anti")
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Persist a MinHash LSH band index over the standing corpus — the
+    * NEAR-dup analogue of [[writeDigestIndex]], closing the
+    * incremental-sweep family: exact dedup probes the digest index,
+    * fuzzy dedup probes this one. One row per (band, bucket, id) from
+    * the same fused text→band-buckets pass as [[minhashNearDupPairs]]
+    * (bit-identical buckets, so a probe batch hashed with the same
+    * parameters collides exactly where a self-join would), written
+    * BUCKETED by (band, bucket) so every future probe join reads it
+    * exchange-free.
+    *
+    * Each row also carries its bucket's member count `bsz`,
+    * denormalized at write time: the degenerate-bucket cap at probe
+    * time becomes a scan-local pushed filter (`bsz <= cap`) instead of
+    * an aggregate — the daily sweep never re-scans the index to
+    * re-learn which boilerplate buckets to skip, and the cap rides
+    * parquet min/max skipping within each bucket file. Cost: 8
+    * bytes/row on a 3-long row, paid once at write.
+    *
+    * Scale: the index is `bands`× the corpus row count but 4 longs
+    * wide — at 100 TB of text it is ~3 orders of magnitude smaller
+    * than the corpus. `buckets` (the table's bucket count) is the
+    * probe join's parallelism, fixed at write time — size it to the
+    * sweep cluster (hundreds+), not to the writer. */
+  def writeMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+                        table: String, buckets: Int,
+                        numHashes: Int = 128, bands: Int = 32,
+                        rowsPerBand: Int = 4, shingleK: Int = 8): Unit = {
+    val banded = Repartition.forCompute(df).select(col(idCol).as("id"),
+      posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
+        col(textCol), shingleK, numHashes, bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    graft.sources.Sinks.writeBucketed(
+      banded.withColumn("bsz", count(lit(1)).over(w)),
+      table, buckets, Seq("band", "bucket"))
+  }
+
+  /** Near-dup pairs of a delta batch vs a persisted
+    * [[writeMinHashIndex]] table: every (delta, base) pair with exact
+    * shingle Jaccard >= `threshold`, found through the index's band
+    * buckets — the incremental-ingest form of [[minhashNearDupPairs]],
+    * costing O(delta × collision rate) per sweep instead of another
+    * full-corpus self-join. Recall is the banding S-curve of the
+    * index's parameters (pass the SAME `numHashes`/`bands`/
+    * `rowsPerBand`/`shingleK` the index was written with — the probe
+    * must hash into the index's bucket space); precision is 1.0
+    * (exact verification).
+    *
+    * Plan, and why each stage stays 100 TB-shaped:
+    *  1. ONE fused native pass bands the DELTA (delta-sized, small by
+    *     definition of a sweep).
+    *  2. The candidate join probes the index on (band, bucket): the
+    *     index side is exchange-free under its bucket layout, only
+    *     delta band rows shuffle. The degenerate-bucket cap is the
+    *     pushed filter `bsz <= maxBucketSize` on the index scan —
+    *     write-time stats, zero probe-time aggregation — bounding any
+    *     one bucket's expansion at (delta-in-bucket × cap).
+    *  3. Candidates distinct on (id_a, id_b) — candidate-sized, the
+    *     irreducible LSH cost (a pair collides in ≤ `bands` buckets).
+    *  4. Exact verify joins the TEXTS back by id: the delta side is
+    *     delta-sized; the base side is an id-equijoin against the
+    *     standing corpus — persist the corpus bucketed by id and the
+    *     sweep's only corpus-sized exchange disappears too.
+    *
+    * Output: `(id_a, id_b, jaccard)` with `id_a` from the delta and
+    * `id_b` from the indexed base corpus. */
+  def incrementalNearDupPairs(delta: DataFrame, idCol: String, textCol: String,
+                              index: DataFrame, base: DataFrame,
+                              threshold: Double, numHashes: Int = 128,
+                              bands: Int = 32, rowsPerBand: Int = 4,
+                              shingleK: Int = 8,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    val d = Repartition.forCompute(delta).select(col(idCol).as("id_a"),
+      posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
+        col(textCol), shingleK, numHashes, bands, rowsPerBand)))
+      .select(col("id_a"), col("pos").as("band"), col("col").as("bucket"))
+    val idx = index.where(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = d.join(idx, Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val ta = delta.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    cands.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"), round(
+        graft.functions.NativeExprs.jaccardTextsNative(
+          col("__ta"), col("__tb"), shingleK), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

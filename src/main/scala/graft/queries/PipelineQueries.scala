@@ -539,6 +539,23 @@ object PipelineQueries {
         .select(col("keep_id").as("doc_id"), col("digest"), col("n"))
     }),
 
+    // Incremental FUZZY dedup: the near-dup analogue of
+    // dd_incremental — the 80% "standing corpus" is persisted as a
+    // MinHash band-bucket index (bucketed by (band, bucket), per-row
+    // bucket counts for the scan-local cap), and the 20% "delta"
+    // probes it: index side exchange-free, exact-Jaccard verified.
+    // Same recall argument as dd_minhash_lsh (32×4 bands at j >= 0.9
+    // true pairs: miss ~1e-15), so the gate provably equals the
+    // brute-force cross-Jaccard the DuckDB oracle computes.
+    "dd_incr_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+      Dedup.writeMinHashIndex(d.where(bkt < 800), "doc_id", "text",
+        "g_mh_idx", 8)
+      Dedup.incrementalNearDupPairs(d.where(bkt >= 800), "doc_id", "text",
+        s.table("g_mh_idx"), d.where(bkt < 800), threshold = 0.7)
+    }),
+
     // BM25 top-5 retrieval: 5 deterministic 3-term queries drawn from
     // the corpus's own top-15 vocabulary (rank order, so the query set
     // is oracle-reproducible). Corpus is never shuffled for scoring —
@@ -2045,6 +2062,33 @@ object PipelineQueries {
         |SELECT min(doc_id) AS doc_id, digest, count(*) AS n
         |FROM delta WHERE digest NOT IN (SELECT digest FROM base)
         |GROUP BY digest ORDER BY doc_id""".stripMargin,
+
+    // Brute-force cross-Jaccard between the hash-split delta (>= 800)
+    // and base (< 800) — the same split law as dd_incremental and the
+    // same shingle/length-band arithmetic as dd_minhash_lsh.
+    "dd_incr_fuzzy" ->
+      """WITH bkt AS (
+        |  SELECT doc_id, text,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, bkt,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                 i -> substr(text, i, 8))) AS s
+        |  FROM bkt),
+        |sz AS (SELECT doc_id, bkt, s, len(s) AS ns FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sz a JOIN sz b
+        |  ON a.bkt >= 800 AND b.bkt < 800
+        | AND least(a.ns, b.ns) * 100 >= 69 * greatest(a.ns, b.ns)
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |ORDER BY 1, 2""".stripMargin,
 
     "srch_bm25" -> srchBm25Oracle,
     "srch_bm25_idx" -> srchBm25Oracle,

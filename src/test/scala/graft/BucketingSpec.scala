@@ -301,4 +301,33 @@ class BucketingSpec extends AnyFunSuite {
       .groupBy(_._2).map(_._2.map(_._1).min).toSet
     assert(got == want)
   }
+
+  test("incremental fuzzy probe reads the minhash index exchange-free") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.writeMinHashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", "spec_mh_idx", 4)
+    val probe = Dedup.incrementalNearDupPairs(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+      spark.table("spec_mh_idx"), docs.where(col("doc_id") % 2 === 0),
+      threshold = 0.7)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the candidate join must be sort-merge on (band, bucket) with the
+    // INDEX side exchange-free under its bucket layout — exactly ONE
+    // (band, bucket) exchange, the delta's. A second one would mean
+    // the bucketed index was reshuffled to be probed, defeating it.
+    val bbExchanges = "Exchange hashpartitioning\\(band#\\d+".r
+      .findAllIn(plan).size
+    assert(bbExchanges == 1, s"expected 1 (band,bucket) exchange, got $bbExchanges:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    // the degenerate-bucket cap is a PUSHED scan filter on the index's
+    // denormalized bsz column, not a post-scan aggregate
+    assert(plan.contains("PushedFilters: [IsNotNull(bsz), LessThanOrEqual(bsz,1000)"), plan)
+    // and the probe is sane: every emitted pair is cross-parity
+    val rows = probe.collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1 && r.getLong(1) % 2 == 0, r.toString)
+    }
+  }
 }

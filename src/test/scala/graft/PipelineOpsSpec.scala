@@ -73,6 +73,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(planted.subsetOf(got), s"missed planted dups: ${planted.diff(got)}")
   }
 
+  test("incremental fuzzy dedup: minhash-index probe equals brute-force cross-Jaccard") {
+    val threshold = 0.5
+    // originals (ids < 100) play the standing corpus; the planted
+    // near-dups + the exact dup (ids >= 100) play the daily delta.
+    val baseDf = docsDF.where(col("doc_id") < 100)
+    val deltaDf = docsDF.where(col("doc_id") >= 100)
+    Dedup.writeMinHashIndex(baseDf, "doc_id", "text", "t_mh_idx", 4)
+    val got = Dedup.incrementalNearDupPairs(deltaDf, "doc_id", "text",
+      spark.table("t_mh_idx"), baseDf, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = (for {
+      (ia, ta) <- corpus if ia >= 100L
+      (ib, tb) <- corpus if ib < 100L
+      j = jac(shingleSet(ta, 8), shingleSet(tb, 8)) if j >= threshold
+    } yield (ia, ib) -> j).toMap
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    // exact verification: got ⊆ want always, with exact jaccards
+    assert(gotPairs.subsetOf(want.keySet), s"false positives: ${gotPairs.diff(want.keySet)}")
+    got.foreach { case (a, b, j) =>
+      assert(math.abs(j - want((a, b))) < 1e-6, s"pair ($a,$b): $j vs ${want((a, b))}")
+    }
+    // recall: every planted partner sits at j >= 0.9 (one word of
+    // 60+ changed, or identical) — banding miss ~1e-15, so all strong
+    // cross pairs must be found through the index.
+    val strong = want.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty && strong.subsetOf(gotPairs),
+      s"missed strong pairs: ${strong.diff(gotPairs)}")
+  }
+
   test("simhash pairs are a superset of strong near-dups and verified by hamming") {
     val got = Dedup.simhashNearDupPairs(docsDF, "doc_id", "text", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
