@@ -28,6 +28,7 @@ object ScaleProbe {
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
     if (args(0) == "mh") { mhProbe(args(1)); return }
+    if (args(0) == "mhidx") { mhIdxProbe(args(1)); return }
     if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
@@ -215,6 +216,39 @@ object ScaleProbe {
       docs, "doc_id", "text", threshold = 0.7).count()
     val t = (System.nanoTime() - t0) / 1e9
     println(f"SCALEPROBE mh dir=$sfDir pairs=$n t=$t%.2f s usPerPair=${t * 1e6 / math.max(1, n)}%.2f")
+    spark.stop()
+  }
+
+  /** `mhidx <sfDir>`: the incremental fuzzy-dedup sweep decomposed —
+    * index WRITE (once per corpus in production) vs delta PROBE (the
+    * daily cost), on the same 80/20 hash split as the dd_incr_fuzzy
+    * gate. Probe is warm min-of-3 (the gate's A/B measure conflates
+    * the two; production amortizes the write). */
+  private def mhIdxProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val base = docs.where(bkt < 800)
+    val delta = docs.where(bkt >= 800)
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.writeMinHashIndex(base, "doc_id", "text",
+      "probe_mh_idx", 8)
+    val tWrite = (System.nanoTime() - t0) / 1e9
+    val idxRows = spark.table("probe_mh_idx").count()
+    def onceProbe(): (Double, Long) = {
+      val t1 = System.nanoTime()
+      val n = graft.operators.Dedup.incrementalNearDupPairs(
+        delta, "doc_id", "text", spark.table("probe_mh_idx"), base,
+        threshold = 0.7).count()
+      ((System.nanoTime() - t1) / 1e9, n)
+    }
+    val runs = (1 to 3).map(_ => onceProbe())
+    require(runs.map(_._2).distinct.size == 1)
+    println(f"SCALEPROBE mhidx dir=$sfDir idxRows=$idxRows write=$tWrite%.2f s " +
+      f"probeMin=${runs.map(_._1).min}%.2f s pairs=${runs.head._2}")
     spark.stop()
   }
 
