@@ -35,7 +35,11 @@ object ClusterBench {
     // round-12 fifth wave: the edit-distance join's PosQGramTokensExpr
     // reference object + prefix collect_list sort + banded levenshtein
     // across real executor JVMs
-    "dd_edit_join")
+    "dd_edit_join",
+    // round-12 sixth wave: the fuzzy-index sweep — bucketed index
+    // WRITE from one set of executor JVMs, then the probe's
+    // exchange-free bucketed read + pushed bsz filter from others
+    "dd_incr_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
