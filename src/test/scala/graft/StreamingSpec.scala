@@ -397,6 +397,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy dedup: foreachBatch over the persisted minhash index equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+
+    // standing corpus with planted near-dup partners for the stream
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def doc(): String =
+      Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val baseRows = (0L until 30L).map(i => (i, doc()))
+    val baseDf = baseRows.toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(baseDf, "doc_id", "text", "t_stream_mh", 4)
+
+    // stream = near-copies of base docs 0-5 (one word changed) plus
+    // one novel doc with no partner
+    val deltaRows = (0L until 6L).map { i =>
+      val words = baseRows(i.toInt)._2.split(" ")
+      words(3) = "zulu"
+      StreamDoc(100L + i, ts(i), words.mkString(" "))
+    } :+ StreamDoc(200L, ts(9), doc())
+    val input = MemoryStream[StreamDoc]
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    // fuzzy candidate generation needs a distinct over candidate pairs
+    // (not stream-native in append mode), so the production shape is
+    // foreachBatch running the BATCH probe against the static index —
+    // per-micro-batch delta semantics are exactly what a continuous
+    // crawl wants, and appending to the index between batches tightens
+    // the sweep without restarting the query
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Dedup.incrementalNearDupPairs(batch, "doc_id", "text",
+              spark.table("t_stream_mh"), baseDf, threshold = 0.5)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(deltaRows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(deltaRows.drop(3): _*)
+      q.processAllAvailable()
+      val want = Dedup.incrementalNearDupPairs(
+          deltaRows.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", spark.table("t_stream_mh"), baseDf,
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // every planted partner found (j ~ 0.9+ >> 0.5), novel doc clean
+      assert(want.map(_._1) == (100L until 106L).toSet)
+      assert(got.toSet == want)
+    } finally q.stop()
+  }
+
   test("streaming ANN serve: foreachBatch over the persisted IVF index equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
