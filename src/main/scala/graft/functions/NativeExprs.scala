@@ -656,6 +656,124 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Hashed word n-gram buckets: ONE tokenize pass emits the md5
+    * bucket of every n consecutive tokens joined by a single space —
+    * the n-gram generalization of [[HashedBucketsExpr]] (n = 1 is
+    * bucket-identical to it). Bucket law is the family's md5 law on
+    * the JOINED gram string (`conv(substr(md5(gram),1,15),16,10) %
+    * dim` — the high 60 bits of digest bytes 0–7), so the DuckDB
+    * oracle form is `CAST(concat('0x', substr(md5(concat(t1, ' ',
+    * t2)), 1, 15)) AS BIGINT) % dim`. Docs with fewer than n tokens
+    * emit an empty array. Feature side of the DSIR importance-weight
+    * family ([[graft.operators.Curation.dsirLogWeights]]). */
+  case class NgramBucketsExpr(child: Expression, n: Int, dim: Int)
+      extends UnaryExpression {
+    require(n > 0, s"n=$n")
+    require(dim > 0, s"dim=$dim")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      val md = md5Digest()
+      val len = s.length
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) toks.add(s.substring(start, i))
+      }
+      val nt = toks.size
+      val out = new java.util.ArrayList[Any](math.max(0, nt - n + 1))
+      var g = 0
+      while (g + n <= nt) {
+        val sb = new java.lang.StringBuilder(toks.get(g))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks.get(g + j)); j += 1 }
+        val dig = md.digest(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        v >>>= 4
+        out.add(java.lang.Long.valueOf(v % dim))
+        g += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramBucketsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NgramBucketsExpr =
+      copy(child = newChild)
+  }
+
+  /** Per-document n-gram weight sum: the SCORING side of the DSIR
+    * family — [[NgramBucketsExpr]]'s tokenize → gram → md5-bucket
+    * pass fused with an integer weight fold, the bucket weights
+    * carried as ONE reference object (`lamMicro.length` = dim longs,
+    * broadcast with the task closure — 512 KiB at dim 65536). Output
+    * is the raw integer micro-unit sum (order-independent,
+    * cross-engine stable; no length normalization — a log-likelihood
+    * ratio is a sum, not a mean). Docs with fewer than n tokens score
+    * 0. */
+  case class NgramWeightSumExpr(child: Expression, n: Int,
+                                lamMicro: Array[Long])
+      extends UnaryExpression {
+    require(n > 0, s"n=$n")
+    require(lamMicro.nonEmpty, "lamMicro must be non-empty")
+    override def dataType: DataType = LongType
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val s = text.toString
+      val dim = lamMicro.length
+      val md = md5Digest()
+      val len = s.length
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) toks.add(s.substring(start, i))
+      }
+      val nt = toks.size
+      var sum = 0L
+      var g = 0
+      while (g + n <= nt) {
+        val sb = new java.lang.StringBuilder(toks.get(g))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks.get(g + j)); j += 1 }
+        val dig = md.digest(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        v >>>= 4
+        sum += lamMicro((v % dim).toInt)
+        g += 1
+      }
+      sum
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramWeightSumExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NgramWeightSumExpr =
+      copy(child = newChild)
+  }
+
   /** Fused BM25 scoring: ONE tokenize pass per document scores EVERY
     * query — tf counting for all query terms rides a single hash-map
     * lookup per token, then per query the quantized contribution sum
@@ -1570,6 +1688,12 @@ object NativeExprs {
 
   def hashedCountsNative(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedCountsExpr(ColumnBridge.expression(text), dim))
+
+  def ngramBucketsNative(text: Column, n: Int, dim: Int): Column =
+    ColumnBridge.column(NgramBucketsExpr(ColumnBridge.expression(text), n, dim))
+
+  def ngramWeightSumNative(text: Column, n: Int, lamMicro: Array[Long]): Column =
+    ColumnBridge.column(NgramWeightSumExpr(ColumnBridge.expression(text), n, lamMicro))
 
   def weightedLinearScoreNative(text: Column, weights: Array[Int]): Column =
     ColumnBridge.column(WeightedLinearScoreExpr(ColumnBridge.expression(text), weights))

@@ -79,4 +79,64 @@ object Curation {
           .when(col("bits_per_token") >= col("t_hi"), lit("tail"))
           .otherwise(lit("middle")).as("bucket"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * `raw` document by the log-likelihood ratio of its hashed word
+    * n-grams under the TARGET distribution vs the RAW distribution —
+    * the standard lever for tilting a web-scale corpus toward a
+    * curated target domain before sampling. Both distributions are
+    * add-1-smoothed bag-of-hashed-n-gram models over `dim` buckets
+    * (the hashing trick; the paper's uni+bigram features are `n = 1`
+    * and `n = 2` runs of this — compose by summing the two scores).
+    *
+    * Output: `(idCol, dsir_micro)` — the raw integer micro-nat sum
+    * `Σ_g round(1e6 · (ln p_target(g) − ln p_raw(g)))`, quantized
+    * PER BUCKET (once, driver-side, HALF_UP — the engine's
+    * [[graft.functions.Quantize]] law) so the per-document sum is
+    * order-independent integer arithmetic, cross-engine stable, and
+    * exactly reproducible by the DuckDB oracle. Docs with fewer than
+    * `n` tokens score 0. Resampling composes downstream: rank by
+    * `dsir_micro` (ties to id) or feed it to [[Sampling]]'s weighted
+    * draw.
+    *
+    * Scale shape (the 100 TB contract): TWO corpus scans total — one
+    * map-side-combined bucket-count aggregate per corpus, each
+    * emitting ≤ `dim` rows (the ONLY shuffles, both dim-bounded);
+    * the λ table is built on the driver from those ≤ 2·dim rows
+    * (bounded by construction, the centroids-≤-k collect rule) and
+    * ships as ONE reference-object long array (512 KiB at the 65536
+    * default) inside a fused tokenize→gram→bucket→integer-fold native
+    * pass ([[graft.functions.NativeExprs.NgramWeightSumExpr]]) — the
+    * scoring job is a pure map with zero joins and zero shuffles,
+    * the same serve shape as the trained-classifier family. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame,
+                     idCol: String, textCol: String,
+                     dim: Int = 65536, n: Int = 2): DataFrame = {
+    require(n > 0, s"n=$n")
+    require(dim > 0 && dim <= (1 << 24), s"dim=$dim (driver builds a dim-long array)")
+    def counts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(graft.functions.NativeExprs.ngramBucketsNative(
+          col(textCol), n, dim)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cr = counts(raw)
+    val ct = counts(target)
+    val nr = cr.valuesIterator.sum
+    val nt = ct.valuesIterator.sum
+    // λ[b] in micro-nats, quantized HALF_UP per bucket (the Quantize
+    // law). ln(x) − ln(y), NOT ln(x/y): two libm calls whose oracle
+    // twins (DuckDB ln) agree far inside the 1e-6 grid, and the
+    // subtraction is exact IEEE on same-magnitude logs.
+    val denT = (nt + dim).toDouble
+    val denR = (nr + dim).toDouble
+    val lam = Array.tabulate(dim) { b =>
+      graft.functions.Quantize.quantizeDouble(
+        math.log((ct.getOrElse(b.toLong, 0L) + 1.0) / denT) -
+          math.log((cr.getOrElse(b.toLong, 0L) + 1.0) / denR), 6)
+    }
+    raw.select(col(idCol),
+      graft.functions.NativeExprs.ngramWeightSumNative(
+        col(textCol), n, lam).as("dsir_micro"))
+  }
 }

@@ -72,6 +72,21 @@ object PipelineQueries {
         TextFunctions.hashedLinearScore(col("text"), 262144).as("clf_score"))
         .withColumn("clf_keep", (col("clf_score") >= 0.0).cast("int"))),
 
+    // DSIR importance weights (Xie et al. 2023): every doc scored by
+    // the hashed-bigram log-likelihood ratio of the English subset
+    // (the "target domain") vs the whole corpus. Per-bucket λ is
+    // quantized once to integer micro-nats, so the per-doc sums are
+    // order-independent and the DuckDB oracle reproduces them
+    // bit-for-bit. Scoring is one pure map pass (λ array rides the
+    // task closure); the only shuffles are the two dim-bounded
+    // bucket-count aggregates.
+    "txt_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.dsirLogWeights(
+        d, d.where(col("lang") === "en"), "doc_id", "text",
+        dim = 65536, n = 2)
+    }),
+
     // Distributed classifier TRAINING (full-batch logistic regression,
     // 3 GD steps over 32 hashed buckets + intercept, label = lang=en):
     // every gradient sum is exact-integer micro-units so the trained
@@ -1540,6 +1555,38 @@ object PipelineQueries {
         |         ELSE 0.0 END AS clf_score
         |  FROM s)
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR: hashed-bigram counts per corpus, add-1-smoothed log ratio
+    // quantized to micro-nats per bucket, integer-summed per doc —
+    // the same md5 bucket law as txt_classifier, on the gram string.
+    "txt_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |        i -> CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1])), 1, 15)) AS BIGINT) % 65536)
+        |      ELSE CAST([] AS BIGINT[]) END) AS b
+        |  FROM tok),
+        |cr AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+        |ct AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
+        |               (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
+        |lam AS (
+        |  SELECT cr.b,
+        |    round((ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 65536))
+        |         - ln((cr.c + 1.0) / (tot.nr + 65536))) * 1e6) AS lm
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
+        |sc AS (
+        |  SELECT g.doc_id, CAST(SUM(lam.lm) AS BIGINT) AS dsir_micro
+        |  FROM g JOIN lam ON g.b = lam.b GROUP BY g.doc_id)
+        |SELECT d.doc_id, COALESCE(sc.dsir_micro, 0) AS dsir_micro
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality_filter" ->
       """WITH q AS (

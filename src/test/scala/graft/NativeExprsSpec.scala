@@ -203,11 +203,65 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1))
   }
 
+  test("ngramBucketsNative == the builtin tokenize->gram->md5-bucket Column chain") {
+    val dim = 4096
+    val fixtures = Seq("", "one", "one two", "one two three four five",
+      "  leading   and trailing  ", "tab\tand\nnewline mix", "a b a b a",
+      "unicode façade café tokens here") ++
+      (0 until 40).map(_ => Seq.fill(rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" "))
+    for (n <- Seq(1, 2, 3)) {
+      // the oracle-form Column chain: filtered tokens, grams joined by
+      // one space, md5 high-60-bit bucket — the family law
+      val toks = filter(split(trim(col("t")), "\\s+"), x => length(x) > 0)
+      val want = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(toks, i, lit(n)))), 1, 15), 16, 10)
+            .cast("long") % dim))
+        .otherwise(array().cast("array<long>"))
+      val rows = fixtures.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("i", "t")
+        .select(col("i"), NativeExprs.ngramBucketsNative(col("t"), n, dim).as("g"),
+          want.as("w"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n text=${fixtures(r.getInt(0))}")
+      }
+    }
+    // n=1 reduces to the unigram family law (hashedBucketsNative)
+    val uni = fixtures.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      .select(NativeExprs.ngramBucketsNative(col("t"), 1, dim).as("a"),
+        NativeExprs.hashedBucketsNative(col("t"), dim).as("b"))
+      .collect()
+    uni.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("ngramWeightSumNative == integer fold of element_at over ngramBucketsNative") {
+    val dim = 512
+    val lam = Array.tabulate(dim)(i => (i * 2654435761L) % 4001 - 2000)
+    val fixtures = Seq("", "solo", "two words", "a b c d e f g") ++
+      (0 until 30).map(_ => Seq.fill(rnd.nextInt(20))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" "))
+    for (n <- Seq(1, 2)) {
+      val lamLit = typedLit(lam.toSeq)
+      val want = aggregate(
+        transform(NativeExprs.ngramBucketsNative(col("t"), n, dim),
+          b => element_at(lamLit, (b + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      val rows = fixtures.toDF("t")
+        .select(NativeExprs.ngramWeightSumNative(col("t"), n, lam).as("g"),
+          want.as("w")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("jaccardTextsNative == jaccard(charShingles) exactly (ascii fast path, unicode fallback, edges)") {
     import graft.functions.TextFunctions.charShingles
     val texts = Seq("", "a", "ab", "abcdefgh", "abcdefghi", "aaaaaaaaaaaa",
       "the quick brown fox jumps", "àéîõü unicode façade", "😀😀 emoji ab",
-      "tab\tand\nnewline", "nul byte ascii") ++
+      "tab\tand\nnewline", "nul\u0000byte ascii") ++
       (0 until 60).map(_ => rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
     val pairs = for (i <- texts.indices; j <- texts.indices if (i + j) % 3 == 0)
       yield (texts(i), texts(j))

@@ -73,6 +73,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(planted.subsetOf(got), s"missed planted dups: ${planted.diff(got)}")
   }
 
+  test("DSIR importance weights match a serial hashed-bigram log-ratio oracle") {
+    import graft.operators.Curation
+    val dim = 4096
+    val n = 2
+    // target = the first 20 originals; raw = the whole corpus (the
+    // planted near-dups of docs 0-7 should tilt positive — their
+    // bigrams are target bigrams)
+    val target = docsDF.where(col("doc_id") < 20)
+    val got = Curation.dsirLogWeights(docsDF, target, "doc_id", "text", dim, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // serial oracle: same md5 high-60-bit bucket law, add-1 smoothing,
+    // per-bucket HALF_UP micro-quantization, integer doc sums
+    def toks(t: String): Array[String] = t.trim.split("\\s+").filter(_.nonEmpty)
+    def bucket(g: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      for (b <- 0 until 8) v = (v << 8) | (dig(b) & 0xffL)
+      (v >>> 4) % dim
+    }
+    def grams(t: String): Seq[Long] = {
+      val w = toks(t)
+      (0 to w.length - n).map(i => bucket(w.slice(i, i + n).mkString(" ")))
+    }
+    val rawG = corpus.flatMap { case (_, t) => grams(t) }
+    val tgtG = corpus.filter(_._1 < 20L).flatMap { case (_, t) => grams(t) }
+    val cr = rawG.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tgtG.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (rawG.size.toLong, tgtG.size.toLong)
+    def lam(b: Long): Long = graft.functions.Quantize.quantizeDouble(
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + dim)) -
+        math.log((cr.getOrElse(b, 0L) + 1.0) / (nr + dim)), 6)
+    val want = corpus.map { case (id, t) => id -> grams(t).map(lam).sum }.toMap
+    assert(got == want)
+    // direction: target docs and their planted near-dups score above
+    // the non-target originals on average
+    def avg(ids: Iterable[Long]): Double =
+      ids.map(got).sum.toDouble / ids.size
+    val inTgt = corpus.map(_._1).filter(i => i < 20L || (i >= 100L && i < 106L))
+    val outTgt = corpus.map(_._1).filter(i => i >= 20L && i < 40L)
+    assert(avg(inTgt) > avg(outTgt))
+  }
+
   test("incremental fuzzy dedup: minhash-index probe equals brute-force cross-Jaccard") {
     val threshold = 0.5
     // originals (ids < 100) play the standing corpus; the planted
@@ -1750,7 +1794,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the fused native pass must be bit-identical to the explicit
     // Column formulation (the same default-weight law built from
     // split/md5/conv/aggregate builtins), incl. odd whitespace.
-    val wsTexts = (texts ++ Seq(6L -> "a\tb\nc d\r", 7L -> " \t ")).toDF("doc_id", "text")
+    val wsTexts = (texts ++ Seq(6L -> "a\tb\nc\u000b d\r", 7L -> " \t ")).toDF("doc_id", "text")
     val columnForm = wsTexts.select(col("doc_id"),
       TextFunctions.hashedLinearScore(col("text"), dim,
         (b: org.apache.spark.sql.Column) => b % 2001 - 1000).as("s"))
