@@ -107,6 +107,39 @@ object Sampling {
     df.where(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Deterministic Gumbel-top-k: EXACTLY `k` rows sampled WITHOUT
+    * replacement with P ∝ exp(weightMicro / 1e6) — the resampling
+    * half of DSIR (Xie et al. 2023: importance weights from
+    * [[Curation.dsirLogWeights]], then Gumbel-top-k draws the
+    * training subset; Gumbel-max is the exact, parallelizable way to
+    * sample ∝ softmax without normalizing). Divide `weightMicro` by a
+    * temperature BEFORE passing it to sharpen/flatten the draw.
+    *
+    * The Gumbel noise derives from md5(key), not an RNG — the same
+    * determinism contract as every sampler here (reproducible,
+    * partitioning-invariant, join-stable): `u = (md5₆₀(key) mod 2⁵³
+    * + 0.5) / 2⁵³` (strictly inside (0,1), so the double log never
+    * hits ±∞), `g = −ln(−ln u)` quantized to integer micro-units (the
+    * [[graft.functions.Quantize]] law) so the ranking key
+    * `weightMicro + g_micro` is integer and the selection totally
+    * ordered by (key desc, id asc) — ANSI-SQL-reproducible.
+    *
+    * Scale shape: one stateless map pass + global top-k, which Spark
+    * plans as TakeOrdered (per-partition heaps + driver merge of k) —
+    * never a global sort. Output: the selected rows + `samp_micro`. */
+  def gumbelTopK(df: DataFrame, keyCol: String, weightMicro: Column,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val two53 = 9007199254740992.0 // 2^53: exact in a double
+    val v = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val u = (pmod(v, lit(9007199254740992L)).cast("double") + 0.5) / lit(two53)
+    val gMicro = graft.functions.Quantize.quantize(-log(-log(u)), 6)
+    df.withColumn("samp_micro", weightMicro.cast("long") + gMicro)
+      .orderBy(col("samp_micro").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Token-budget mixing — [[stratifiedHashSample]] with the rates
     * DERIVED from the data: stratum `s` with a budget samples at
     * per-mille ⌊budgetₛ·1000 / tokensₛ⌋ (its expected kept-token count

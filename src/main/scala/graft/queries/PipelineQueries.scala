@@ -1025,6 +1025,20 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))),
 
+    // DSIR end-to-end: importance weights toward the English target
+    // (txt_dsir's law) then Gumbel-top-k resampling — EXACTLY 200
+    // docs drawn without replacement ∝ exp(weight), noise derived
+    // from md5(doc_id) so the draw is deterministic and the oracle
+    // replays it. Selection is TakeOrdered (per-partition heaps),
+    // never a global sort.
+    "q_dsir_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.operators.Curation.dsirLogWeights(
+        d, d.where(col("lang") === "en"), "doc_id", "text",
+        dim = 65536, n = 2)
+      graft.operators.Sampling.gumbelTopK(w, "doc_id", col("dsir_micro"), 200)
+    }),
+
     // Int8 embedding quantization: per-vector scale + quantized values
     // + cosine between original and reconstruction (rounding is
     // floor(x+0.5) in both engines, so every output is deterministic).
@@ -1587,6 +1601,45 @@ object PipelineQueries {
         |SELECT d.doc_id, COALESCE(sc.dsir_micro, 0) AS dsir_micro
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // txt_dsir's weight law + deterministic Gumbel noise from
+    // md5(doc_id), integer sampling key, top-200 by (key desc, id).
+    "q_dsir_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |        i -> CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1])), 1, 15)) AS BIGINT) % 65536)
+        |      ELSE CAST([] AS BIGINT[]) END) AS b
+        |  FROM tok),
+        |cr AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+        |ct AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
+        |               (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
+        |lam AS (
+        |  SELECT cr.b,
+        |    round((ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 65536))
+        |         - ln((cr.c + 1.0) / (tot.nr + 65536))) * 1e6) AS lm
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
+        |sc AS (
+        |  SELECT g.doc_id, CAST(SUM(lam.lm) AS BIGINT) AS dsir_micro
+        |  FROM g JOIN lam ON g.b = lam.b GROUP BY g.doc_id),
+        |w AS (
+        |  SELECT d.doc_id, COALESCE(sc.dsir_micro, 0) AS dsir_micro
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |sel AS (
+        |  SELECT doc_id, dsir_micro,
+        |    dsir_micro + CAST(round(-ln(-ln(
+        |      ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 9007199254740992) + 0.5) / 9007199254740992)) * 1e6) AS BIGINT) AS samp_micro
+        |  FROM w)
+        |SELECT doc_id, dsir_micro, samp_micro FROM sel
+        |ORDER BY samp_micro DESC, doc_id LIMIT 200""".stripMargin,
 
     "q_quality_filter" ->
       """WITH q AS (

@@ -117,6 +117,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(avg(inTgt) > avg(outTgt))
   }
 
+  test("gumbelTopK matches the serial md5-Gumbel draw; exactly k; weight dominance") {
+    import graft.operators.Sampling
+    val rows = (0L until 300L).map(i => (i, (i * 37 % 101) * 1000L))
+    val df = rows.toDF("doc_id", "w")
+    val k = 40
+    val got = Sampling.gumbelTopK(df, "doc_id", col("w"), k)
+      .select("doc_id", "samp_micro").as[(Long, Long)].collect()
+    assert(got.length == k)
+    // serial oracle: same md5-60bit -> (0,1) -> -ln(-ln u) -> micro law
+    def gumbelMicro(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      for (b <- 0 until 8) v = (v << 8) | (dig(b) & 0xffL)
+      val u = ((v >>> 4) % 9007199254740992L + 0.5) / 9007199254740992.0
+      graft.functions.Quantize.quantizeDouble(-math.log(-math.log(u)), 6)
+    }
+    val want = rows.map { case (id, w) => (id, w + gumbelMicro(id)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq == want)
+    // dominance: an overwhelming weight is always drawn (gumbel noise
+    // spans a few dozen micro-millions; 1e12 dwarfs it)
+    val dom = Sampling.gumbelTopK(
+      df.withColumn("w", when(col("doc_id") === 250L, lit(1000000000000L))
+        .otherwise(col("w"))), "doc_id", col("w"), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dom.contains(250L))
+  }
+
   test("incremental fuzzy dedup: minhash-index probe equals brute-force cross-Jaccard") {
     val threshold = 0.5
     // originals (ids < 100) play the standing corpus; the planted
