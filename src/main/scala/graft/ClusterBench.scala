@@ -39,7 +39,12 @@ object ClusterBench {
     // round-12 sixth wave: the fuzzy-index sweep — bucketed index
     // WRITE from one set of executor JVMs, then the probe's
     // exchange-free bucketed read + pushed bsz filter from others
-    "dd_incr_fuzzy")
+    "dd_incr_fuzzy",
+    // round-12 seventh wave: the DSIR pair — the 65536-long λ array
+    // rides task closures as a reference object inside the fused
+    // scoring expression, and the Gumbel draw's TakeOrdered merges
+    // per-partition heaps across real executors
+    "txt_dsir", "q_dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
