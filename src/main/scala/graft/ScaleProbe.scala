@@ -28,7 +28,9 @@ object ScaleProbe {
     if (args(0) == "knn") { knnProbe(args(1), args(2).toInt); return }
     if (args(0) == "shuffle") { shuffleProbe(args(1), args.drop(2)); return }
     if (args(0) == "mh") { mhProbe(args(1)); return }
-    if (args(0) == "mhidx") { mhIdxProbe(args(1)); return }
+    if (args(0) == "mhidx") {
+      mhIdxProbe(args(1), if (args.length > 2) args(2).toInt else 200); return
+    }
     if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
@@ -219,20 +221,24 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** `mhidx <sfDir>`: the incremental fuzzy-dedup sweep decomposed —
-    * index WRITE (once per corpus in production) vs delta PROBE (the
-    * daily cost), on the same 80/20 hash split as the dd_incr_fuzzy
-    * gate. Probe is warm min-of-3 (the gate's A/B measure conflates
-    * the two; production amortizes the write). */
-  private def mhIdxProbe(sfDir: String): Unit = {
+  /** `mhidx <sfDir> [deltaPermille]`: the incremental fuzzy-dedup
+    * sweep decomposed — index WRITE (once per corpus in production)
+    * vs delta PROBE (the daily cost). Default split is the
+    * dd_incr_fuzzy gate's 80/20; pass a small `deltaPermille` (e.g.
+    * 10 = 1%) for the production daily-delta shape. Probe is warm
+    * min-of-3 (the gate's A/B measure conflates the two; production
+    * amortizes the write). */
+  private def mhIdxProbe(sfDir: String, deltaPermille: Int = 200): Unit = {
     import org.apache.spark.sql.functions._
+    require(deltaPermille > 0 && deltaPermille < 1000, s"deltaPermille=$deltaPermille")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
-    val base = docs.where(bkt < 800)
-    val delta = docs.where(bkt >= 800)
+    val cut = 1000 - deltaPermille
+    val base = docs.where(bkt < cut)
+    val delta = docs.where(bkt >= cut)
     val t0 = System.nanoTime()
     graft.operators.Dedup.writeMinHashIndex(base, "doc_id", "text",
       "probe_mh_idx", 8)
