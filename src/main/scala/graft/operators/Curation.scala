@@ -135,8 +135,10 @@ object Curation {
         math.log((ct.getOrElse(b.toLong, 0L) + 1.0) / denT) -
           math.log((cr.getOrElse(b.toLong, 0L) + 1.0) / denR), 6)
     }
+    // coalesce: a NULL text scores 0, like a doc with < n tokens —
+    // the documented "no grams" rule, not SQL null propagation.
     raw.select(col(idCol),
-      graft.functions.NativeExprs.ngramWeightSumNative(
-        col(textCol), n, lam).as("dsir_micro"))
+      coalesce(graft.functions.NativeExprs.ngramWeightSumNative(
+        col(textCol), n, lam), lit(0L)).as("dsir_micro"))
   }
 }

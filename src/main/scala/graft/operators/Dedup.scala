@@ -1038,7 +1038,13 @@ object Dedup {
     *     sweep's only corpus-sized exchange disappears too.
     *
     * Output: `(id_a, id_b, jaccard)` with `id_a` from the delta and
-    * `id_b` from the indexed base corpus. */
+    * `id_b` from the indexed base corpus. Ids are CALLER-scoped: the
+    * two sides are assumed disjoint corpora (the incremental
+    * contract — the delta is not yet in the index); if a delta doc
+    * was already appended, its self-pair comes back at jaccard 1.0
+    * like any other near-dup, which is NOT filtered here because an
+    * id collision across genuinely different corpora must not drop a
+    * real pair. */
   def incrementalNearDupPairs(delta: DataFrame, idCol: String, textCol: String,
                               index: DataFrame, base: DataFrame,
                               threshold: Double, numHashes: Int = 128,

@@ -81,8 +81,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // planted near-dups of docs 0-7 should tilt positive — their
     // bigrams are target bigrams)
     val target = docsDF.where(col("doc_id") < 20)
-    val got = Curation.dsirLogWeights(docsDF, target, "doc_id", "text", dim, n)
+    // null and sub-n texts take the documented "no grams -> 0" rule,
+    // never SQL null propagation
+    val raw = docsDF.unionByName(
+      Seq((900L, Option.empty[String]), (901L, Some("solo")), (902L, Some("")))
+        .toDF("doc_id", "text"))
+    val got = Curation.dsirLogWeights(raw, target, "doc_id", "text", dim, n)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(900L) == 0L && got(901L) == 0L && got(902L) == 0L)
 
     // serial oracle: same md5 high-60-bit bucket law, add-1 smoothing,
     // per-bucket HALF_UP micro-quantization, integer doc sums
@@ -107,7 +113,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + dim)) -
         math.log((cr.getOrElse(b, 0L) + 1.0) / (nr + dim)), 6)
     val want = corpus.map { case (id, t) => id -> grams(t).map(lam).sum }.toMap
-    assert(got == want)
+    assert(got.view.filterKeys(want.contains).toMap == want)
     // direction: target docs and their planted near-dups score above
     // the non-target originals on average
     def avg(ids: Iterable[Long]): Double =
