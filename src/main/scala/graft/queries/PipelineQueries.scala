@@ -571,6 +571,34 @@ object PipelineQueries {
         s.table("g_mh_idx"), d.where(bkt < 800), threshold = 0.7)
     }),
 
+    // The production daily sweep end-to-end: cross-dedup the delta
+    // against the persisted fuzzy index, then fuzzy-dedup WITHIN the
+    // cleaned delta (LSH self-join) and fold clusters to min-id
+    // survivors — the exact doc set an appender would add to the
+    // corpus. Every stage is the scale path: exchange-free index
+    // probe, banded self-join on the (small) delta only, CC on
+    // output-sized pair edges.
+    "pipe_incr_sweep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+      val base = d.where(bkt < 800)
+      val delta = d.where(bkt >= 800)
+      Dedup.writeMinHashIndex(base, "doc_id", "text", "g_mh_idx2", 8)
+      val crossDup = Dedup.incrementalNearDupPairs(delta, "doc_id", "text",
+          s.table("g_mh_idx2"), base, threshold = 0.7)
+        .select(col("id_a").as("doc_id")).distinct()
+      // cache(): fresh feeds the within-delta banding, the verify
+      // text joins, and the survivor anti-join — uncached, each
+      // re-executes the whole cross-probe chain (index read + verify
+      // + anti-join). Query-scoped, same policy as the dedup family.
+      val fresh = delta.join(crossDup, Seq("doc_id"), "left_anti").cache()
+      val within = Dedup.minhashNearDupPairs(fresh, "doc_id", "text",
+        threshold = 0.7)
+      graft.operators.ConnectedComponents
+        .dropNearDuplicates(fresh, "doc_id", within)
+        .select("doc_id")
+    }),
+
     // BM25 top-5 retrieval: 5 deterministic 3-term queries drawn from
     // the corpus's own top-15 vocabulary (rank order, so the query set
     // is oracle-reproducible). Corpus is never shuffled for scoring —
@@ -2798,6 +2826,54 @@ object PipelineQueries {
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7
         |ORDER BY 1, 2""".stripMargin,
+
+    // The daily sweep replayed serially: brute-force cross-Jaccard
+    // drops delta docs with a base near-dup, brute-force within-delta
+    // Jaccard builds the remaining pair graph, recursive-CTE
+    // components fold to the min-id survivor — the dd_incr_fuzzy +
+    // dd_minhash_lsh + dd_survivors laws composed.
+    "pipe_incr_sweep" ->
+      """WITH RECURSIVE bkt AS (
+        |  SELECT doc_id, text,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, bkt,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                                 i -> substr(text, i, 8))) AS s
+        |  FROM bkt),
+        |sz AS (SELECT doc_id, bkt, s, len(s) AS ns FROM sh),
+        |crossdup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sz a JOIN sz b
+        |    ON a.bkt >= 800 AND b.bkt < 800
+        |   AND least(a.ns, b.ns) * 100 >= 69 * greatest(a.ns, b.ns)
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7),
+        |fresh AS (
+        |  SELECT doc_id, s, ns FROM sz
+        |  WHERE bkt >= 800 AND doc_id NOT IN (SELECT doc_id FROM crossdup)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fresh a JOIN fresh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(a.ns, b.ns) * 100 >= 69 * greatest(a.ns, b.ns)
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT f.doc_id FROM fresh f
+        |WHERE f.doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
+        |ORDER BY 1""".stripMargin,
 
     // bit b of an md5 hex string: bit 3-(b%4) of hex digit b/4 — the
     // same big-endian numbering SimHashMd5Expr reads from digest bytes.
