@@ -1299,6 +1299,40 @@ object PipelineQueries {
     * counts (the classifier md5 bucket law), long dot products,
     * 1e-4-quantized sigmoid, micro-unit gradient sums, floor(x+0.5)
     * weight updates. `spine` keeps buckets no token hashes to. */
+  /** The DSIR weight chain, shared by txt_dsir and q_dsir_sample:
+    * hashed-bigram counts per corpus, add-1-smoothed log ratio
+    * quantized to micro-nats per bucket, integer-summed per doc —
+    * the classifier md5 bucket law on the gram string. Ends at the
+    * per-doc weight CTE `w`. */
+  private val dsirWeightCtes: String =
+    """tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    unnest(CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)),
+      |        i -> CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1])), 1, 15)) AS BIGINT) % 65536)
+      |      ELSE CAST([] AS BIGINT[]) END) AS b
+      |  FROM tok),
+      |cr AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+      |ct AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
+      |               (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
+      |lam AS (
+      |  SELECT cr.b,
+      |    round((ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 65536))
+      |         - ln((cr.c + 1.0) / (tot.nr + 65536))) * 1e6) AS lm
+      |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
+      |sc AS (
+      |  SELECT g.doc_id, CAST(SUM(lam.lm) AS BIGINT) AS dsir_micro
+      |  FROM g JOIN lam ON g.b = lam.b GROUP BY g.doc_id),
+      |w AS (
+      |  SELECT d.doc_id, COALESCE(sc.dsir_micro, 0) AS dsir_micro
+      |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
+
   private val lrChainSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -1598,68 +1632,16 @@ object PipelineQueries {
         |  FROM s)
         |ORDER BY doc_id""".stripMargin,
 
-    // DSIR: hashed-bigram counts per corpus, add-1-smoothed log ratio
-    // quantized to micro-nats per bucket, integer-summed per doc —
-    // the same md5 bucket law as txt_classifier, on the gram string.
+    // The shared DSIR weight chain (dsirWeightCtes), read out per doc.
     "txt_dsir" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                t -> length(t) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    unnest(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)),
-        |        i -> CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1])), 1, 15)) AS BIGINT) % 65536)
-        |      ELSE CAST([] AS BIGINT[]) END) AS b
-        |  FROM tok),
-        |cr AS (SELECT b, count(*) AS c FROM g GROUP BY b),
-        |ct AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
-        |               (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
-        |lam AS (
-        |  SELECT cr.b,
-        |    round((ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 65536))
-        |         - ln((cr.c + 1.0) / (tot.nr + 65536))) * 1e6) AS lm
-        |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
-        |sc AS (
-        |  SELECT g.doc_id, CAST(SUM(lam.lm) AS BIGINT) AS dsir_micro
-        |  FROM g JOIN lam ON g.b = lam.b GROUP BY g.doc_id)
-        |SELECT d.doc_id, COALESCE(sc.dsir_micro, 0) AS dsir_micro
-        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $dsirWeightCtes
+        |SELECT doc_id, dsir_micro FROM w
+        |ORDER BY doc_id""".stripMargin,
 
-    // txt_dsir's weight law + deterministic Gumbel noise from
-    // md5(doc_id), integer sampling key, top-200 by (key desc, id).
+    // The weight chain + deterministic Gumbel noise from md5(doc_id),
+    // integer sampling key, top-200 by (key desc, id).
     "q_dsir_sample" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                t -> length(t) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    unnest(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)),
-        |        i -> CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i+1])), 1, 15)) AS BIGINT) % 65536)
-        |      ELSE CAST([] AS BIGINT[]) END) AS b
-        |  FROM tok),
-        |cr AS (SELECT b, count(*) AS c FROM g GROUP BY b),
-        |ct AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
-        |               (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
-        |lam AS (
-        |  SELECT cr.b,
-        |    round((ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 65536))
-        |         - ln((cr.c + 1.0) / (tot.nr + 65536))) * 1e6) AS lm
-        |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
-        |sc AS (
-        |  SELECT g.doc_id, CAST(SUM(lam.lm) AS BIGINT) AS dsir_micro
-        |  FROM g JOIN lam ON g.b = lam.b GROUP BY g.doc_id),
-        |w AS (
-        |  SELECT d.doc_id, COALESCE(sc.dsir_micro, 0) AS dsir_micro
-        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+      s"""WITH $dsirWeightCtes,
         |sel AS (
         |  SELECT doc_id, dsir_micro,
         |    dsir_micro + CAST(round(-ln(-ln(
