@@ -179,4 +179,36 @@ object NativeExprsProps extends Properties("NativeExprs") {
         // removes at most q multiset tokens
         (t1.toSet -- t2.toSet).size <= q
     }
+
+  private val docGen: Gen[String] =
+    Gen.listOf(Gen.frequency(5 -> token, 2 -> Gen.const(" "), 1 -> Gen.const("\t")))
+      .map(_.mkString(" ").take(200))
+
+  property("ngramBuckets: count = max(0, tokens-n+1), bounded by dim, ws-normalization invariant") =
+    forAll(docGen, Gen.chooseNum(1, 4), Gen.oneOf(64, 4096)) { (s, n, dim) =>
+      def buckets(x: String): Seq[Long] =
+        spark.range(1).select(NativeExprs.ngramBucketsNative(lit(x), n, dim))
+          .collect().head.getSeq[Long](0)
+      val b = buckets(s)
+      val nTok = s.trim.split("\\s+").count(_.nonEmpty)
+      // the gram is built from TOKENS joined by one space, so any
+      // whitespace shape with the same token sequence hashes identically
+      val renormed = s.trim.split("\\s+").filter(_.nonEmpty).mkString("  \t ")
+      b.length == math.max(0, nTok - n + 1) &&
+        b.forall(v => v >= 0 && v < dim) &&
+        buckets(renormed) == b
+    }
+
+  property("ngramWeightSum = sum of lam over ngramBuckets; zero-weight array scores 0") =
+    forAll(docGen, Gen.chooseNum(1, 3)) { (s, n) =>
+      val dim = 512
+      val lam = Array.tabulate(dim)(i => (i * 31L) % 997 - 498)
+      val row = spark.range(1).select(
+        NativeExprs.ngramWeightSumNative(lit(s), n, lam).as("w"),
+        NativeExprs.ngramWeightSumNative(lit(s), n, new Array[Long](dim)).as("z"),
+        NativeExprs.ngramBucketsNative(lit(s), n, dim).as("b"))
+        .collect().head
+      row.getLong(0) == row.getSeq[Long](2).map(b => lam(b.toInt)).sum &&
+        row.getLong(1) == 0L
+    }
 }
