@@ -31,6 +31,7 @@ object ScaleProbe {
     if (args(0) == "mhidx") {
       mhIdxProbe(args(1), if (args.length > 2) args(2).toInt else 200); return
     }
+    if (args(0) == "dsir") { dsirProbe(args(1)); return }
     if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
@@ -255,6 +256,32 @@ object ScaleProbe {
     require(runs.map(_._2).distinct.size == 1)
     println(f"SCALEPROBE mhidx dir=$sfDir idxRows=$idxRows write=$tWrite%.2f s " +
       f"probeMin=${runs.map(_._1).min}%.2f s pairs=${runs.head._2}")
+    spark.stop()
+  }
+
+  /** `dsir <sfDir>`: DSIR weight computation under both bucket laws
+    * (md5 = the oracle face, xxhash64 = the perf path) — warm
+    * min-of-3 each, counts + score re-run per rep (3 corpus passes),
+    * target = the lang='en' subset as in the txt_dsir gate. */
+  private def dsirProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val target = docs.where(col("lang") === "en")
+    for (fast <- Seq(false, true)) {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Curation.dsirLogWeights(docs, target,
+            "doc_id", "text", dim = 65536, n = 2, fastHash = fast)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = (1 to 3).map(_ => once())
+      println(f"SCALEPROBE dsir dir=$sfDir fastHash=$fast " +
+        f"min=${ts.min}%.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+    }
     spark.stop()
   }
 

@@ -665,44 +665,26 @@ object NativeExprs {
     * oracle form is `CAST(concat('0x', substr(md5(concat(t1, ' ',
     * t2)), 1, 15)) AS BIGINT) % dim`. Docs with fewer than n tokens
     * emit an empty array. Feature side of the DSIR importance-weight
-    * family ([[graft.operators.Curation.dsirLogWeights]]). */
-  case class NgramBucketsExpr(child: Expression, n: Int, dim: Int)
+    * family ([[graft.operators.Curation.dsirLogWeights]]).
+    *
+    * `fastHash = true` swaps the md5 law for
+    * `pmod(xxhash64(gram), dim)` (seed 42, the builtin's law —
+    * spec-pinned against the Column chain): ~an order of magnitude
+    * less per-gram hash work, for production sweeps that don't need
+    * an ANSI-SQL-reproducible bucket. Same family convention as
+    * simhash's `md5Hash` flag — md5 stays the oracle face. */
+  case class NgramBucketsExpr(child: Expression, n: Int, dim: Int,
+                              fastHash: Boolean = false)
       extends UnaryExpression {
     require(n > 0, s"n=$n")
     require(dim > 0, s"dim=$dim")
     override def dataType: DataType =
       ArrayType(LongType, containsNull = false)
-    @inline private def isWs(c: Char): Boolean =
-      c == ' ' || (c >= '\t' && c <= '\r')
     /** Public for generated code (reference-object call from doGenCode). */
     def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val s = text.toString
-      val md = md5Digest()
-      val len = s.length
-      val toks = new java.util.ArrayList[String]()
-      var i = 0
-      while (i < len) {
-        while (i < len && isWs(s.charAt(i))) i += 1
-        val start = i
-        while (i < len && !isWs(s.charAt(i))) i += 1
-        if (i > start) toks.add(s.substring(start, i))
-      }
-      val nt = toks.size
-      val out = new java.util.ArrayList[Any](math.max(0, nt - n + 1))
-      var g = 0
-      while (g + n <= nt) {
-        val sb = new java.lang.StringBuilder(toks.get(g))
-        var j = 1
-        while (j < n) { sb.append(' ').append(toks.get(g + j)); j += 1 }
-        val dig = md.digest(sb.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var v = 0L
-        var b = 0
-        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-        v >>>= 4
-        out.add(java.lang.Long.valueOf(v % dim))
-        g += 1
-      }
+      val out = new java.util.ArrayList[Any]()
+      foreachNgramBucket(text.toString, n, dim, fastHash)(b =>
+        out.add(java.lang.Long.valueOf(b)))
       new GenericArrayData(out.toArray)
     }
     override protected def nullSafeEval(input: Any): Any =
@@ -715,6 +697,48 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Shared tokenize→gram→bucket walk for the n-gram family
+    * ([[NgramBucketsExpr]], [[NgramWeightSumExpr]]): whitespace-run
+    * tokens, n consecutive tokens joined by ONE space, bucket under
+    * the md5 family law or (fastHash) `pmod(xxhash64(gram), dim)`. */
+  private def foreachNgramBucket(s: String, n: Int, dim: Int,
+                                 fastHash: Boolean)(emit: Long => Unit): Unit = {
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    val md = if (fastHash) null else md5Digest()
+    val len = s.length
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val nt = toks.size
+    var g = 0
+    while (g + n <= nt) {
+      val sb = new java.lang.StringBuilder(toks.get(g))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks.get(g + j)); j += 1 }
+      val bucket =
+        if (fastHash) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L)
+          ((h % dim) + dim) % dim
+        } else {
+          val dig = md.digest(sb.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          (v >>> 4) % dim
+        }
+      emit(bucket)
+      g += 1
+    }
+  }
+
   /** Per-document n-gram weight sum: the SCORING side of the DSIR
     * family — [[NgramBucketsExpr]]'s tokenize → gram → md5-bucket
     * pass fused with an integer weight fold, the bucket weights
@@ -723,45 +747,20 @@ object NativeExprs {
     * is the raw integer micro-unit sum (order-independent,
     * cross-engine stable; no length normalization — a log-likelihood
     * ratio is a sum, not a mean). Docs with fewer than n tokens score
-    * 0. */
+    * 0. `fastHash` selects the xxhash64 bucket law (must match the
+    * law the weights were counted under — see [[NgramBucketsExpr]]). */
   case class NgramWeightSumExpr(child: Expression, n: Int,
-                                lamMicro: Array[Long])
+                                lamMicro: Array[Long],
+                                fastHash: Boolean = false)
       extends UnaryExpression {
     require(n > 0, s"n=$n")
     require(lamMicro.nonEmpty, "lamMicro must be non-empty")
     override def dataType: DataType = LongType
-    @inline private def isWs(c: Char): Boolean =
-      c == ' ' || (c >= '\t' && c <= '\r')
     /** Public for generated code (reference-object call from doGenCode). */
     def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
-      val s = text.toString
-      val dim = lamMicro.length
-      val md = md5Digest()
-      val len = s.length
-      val toks = new java.util.ArrayList[String]()
-      var i = 0
-      while (i < len) {
-        while (i < len && isWs(s.charAt(i))) i += 1
-        val start = i
-        while (i < len && !isWs(s.charAt(i))) i += 1
-        if (i > start) toks.add(s.substring(start, i))
-      }
-      val nt = toks.size
       var sum = 0L
-      var g = 0
-      while (g + n <= nt) {
-        val sb = new java.lang.StringBuilder(toks.get(g))
-        var j = 1
-        while (j < n) { sb.append(' ').append(toks.get(g + j)); j += 1 }
-        val dig = md.digest(sb.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var v = 0L
-        var b = 0
-        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-        v >>>= 4
-        sum += lamMicro((v % dim).toInt)
-        g += 1
-      }
+      foreachNgramBucket(text.toString, n, lamMicro.length, fastHash)(b =>
+        sum += lamMicro(b.toInt))
       sum
     }
     override protected def nullSafeEval(input: Any): Any =
@@ -1689,11 +1688,13 @@ object NativeExprs {
   def hashedCountsNative(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedCountsExpr(ColumnBridge.expression(text), dim))
 
-  def ngramBucketsNative(text: Column, n: Int, dim: Int): Column =
-    ColumnBridge.column(NgramBucketsExpr(ColumnBridge.expression(text), n, dim))
+  def ngramBucketsNative(text: Column, n: Int, dim: Int,
+                         fastHash: Boolean = false): Column =
+    ColumnBridge.column(NgramBucketsExpr(ColumnBridge.expression(text), n, dim, fastHash))
 
-  def ngramWeightSumNative(text: Column, n: Int, lamMicro: Array[Long]): Column =
-    ColumnBridge.column(NgramWeightSumExpr(ColumnBridge.expression(text), n, lamMicro))
+  def ngramWeightSumNative(text: Column, n: Int, lamMicro: Array[Long],
+                           fastHash: Boolean = false): Column =
+    ColumnBridge.column(NgramWeightSumExpr(ColumnBridge.expression(text), n, lamMicro, fastHash))
 
   def weightedLinearScoreNative(text: Column, weights: Array[Int]): Column =
     ColumnBridge.column(WeightedLinearScoreExpr(ColumnBridge.expression(text), weights))

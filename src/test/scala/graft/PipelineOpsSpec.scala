@@ -121,6 +121,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val inTgt = corpus.map(_._1).filter(i => i < 20L || (i >= 100L && i < 106L))
     val outTgt = corpus.map(_._1).filter(i => i >= 20L && i < 40L)
     assert(avg(inTgt) > avg(outTgt))
+    // fastHash variant: same schema and the target==raw identity law
+    // (λ[b] = 0 for every bucket regardless of hash law), plus the
+    // same dominance direction under the xxhash buckets
+    val fastSelf = Curation.dsirLogWeights(docsDF, docsDF, "doc_id", "text",
+      dim, n, fastHash = true).collect()
+    assert(fastSelf.forall(_.getLong(1) == 0L))
+    val fast = Curation.dsirLogWeights(docsDF, target, "doc_id", "text",
+      dim, n, fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def avgF(ids: Iterable[Long]): Double =
+      ids.map(fast).sum.toDouble / ids.size
+    assert(avgF(inTgt) > avgF(outTgt))
   }
 
   test("gumbelTopK matches the serial md5-Gumbel draw; exactly k; weight dominance") {
