@@ -44,60 +44,90 @@ object Bench {
     val RddPathReps = 6
     def repsFor(name: String): Int =
       if (name.startsWith("pmr_") || name == "ps_rank_stats") RddPathReps else Reps
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Per-gate executor CPU task-time next to wall (TaskTimeMeter):
+    // wall on a shared box has a multi-second noise floor and in r12
+    // inflated four un-flagged gates 2.4-6.5x; CPU time does not
+    // accrue while descheduled, so on frozen code it is the
+    // contention-invariant signal. The noisy flag therefore fires on
+    // TASK-time A/B divergence (a real plan/code difference), and a
+    // separate `contended` list records gates whose wall diverged
+    // while task-time agreed — box noise, ignore their wall readings.
+    val meter = new TaskTimeMeter(spark.sparkContext)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = meter.snapshotSec()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, meter.snapshotSec() - c0)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Self-validating A/B: each query runs TWO back-to-back min-of-reps
     // passes (caches cleared between passes, so B re-pays query-scoped
     // caches exactly as A did after its cold rep). On frozen code the
-    // two minima measure the same plan — so their divergence IS the
-    // box-noise floor for that query, recorded in bench.json per query
-    // and summarized as a `noisy` list (>25% A/B divergence above a
-    // 0.2 s absolute floor; sub-floor rows jitter wildly in relative
-    // terms but cannot move the total). A cross-round regression on a
-    // query that its own A/B flags as noisy is noise, not signal.
+    // two minima measure the same plan — so their divergence IS that
+    // query's noise floor, recorded in bench.json per query and
+    // summarized as a `noisy` list (>25% A/B divergence of the TASK
+    // minima above a 0.2 s absolute floor; sub-floor rows jitter
+    // wildly in relative terms but cannot move the total). A
+    // cross-round regression on a query that its own A/B flags as
+    // noisy is noise, not signal.
     val NoisyPct = 25.0
     val NoisyFloorSec = 0.2
+    case class Gate(n: String, wall: Double, task: Double,
+                    aW: Double, bW: Double, aT: Double, bT: Double)
     val results = ordered.map { case (n, f) =>
       val r = repsFor(n)
-      val a = (1 to r).map(_ => once(n, f)).min
+      val a = (1 to r).map(_ => once(n, f))
       // Drop caches between passes and queries: operators cache
       // query-scoped frames (sigs, candidates) that a fresh cluster
       // job wouldn't carry over; letting 108x2x3 of them pile up
       // measures GC pressure, not plans.
       spark.catalog.clearCache()
-      val b = (1 to r).map(_ => once(n, f)).min
+      val b = (1 to r).map(_ => once(n, f))
       spark.catalog.clearCache()
-      (n, math.min(a, b), a, b)
+      val (aW, aT) = (a.map(_._1).min, a.map(_._2).min)
+      val (bW, bT) = (b.map(_._1).min, b.map(_._2).min)
+      Gate(n, math.min(aW, bW), math.min(aT, bT), aW, bW, aT, bT)
     }
     // 2-decimal seconds: 10 ms granularity is far below the
     // run-to-run noise.
     def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val mins = results.map { case (n, t, _, _) => n -> t }
-    val total = mins.map(_._2).sum
-    def entry(k: String, v: Double): String = "\"" + k + "\":" + f3(v)
+    val total = results.map(_.wall).sum
+    val taskTotal = results.map(_.task).sum
     def deltaPct(a: Double, b: Double): Double =
       if (math.min(a, b) <= 0) 0.0
       else (math.max(a, b) - math.min(a, b)) / math.min(a, b) * 100.0
+    // noisy = TASK-time A/B divergence (a real difference between the
+    // two passes of the same code: plan instability, cache behavior);
+    // contended = wall diverged but task agreed (box noise — trust the
+    // task number, distrust the wall).
     val noisy = results.collect {
-      case (n, t, a, b) if t >= NoisyFloorSec && deltaPct(a, b) > NoisyPct => n
+      case g if g.task >= NoisyFloorSec && deltaPct(g.aT, g.bT) > NoisyPct => g.n
     }
-    // Full record (all queries + both A/B minima + divergence) to file.
-    val fullQs = mins.map((entry _).tupled).mkString("{", ",", "}")
-    val abQs = results.map { case (n, _, a, b) =>
-      "\"" + n + "\":{\"a\":" + f3(a) + ",\"b\":" + f3(b) +
-        ",\"delta_pct\":" + f3(deltaPct(a, b)) + "}"
+    val contended = results.collect {
+      case g if g.wall >= NoisyFloorSec && deltaPct(g.aW, g.bW) > NoisyPct &&
+        !(g.task >= NoisyFloorSec && deltaPct(g.aT, g.bT) > NoisyPct) => g.n
+    }
+    // Full record (all queries, wall + task, both A/B minima) to file.
+    val fullQs = results.map(g => "\"" + g.n + "\":" + f3(g.wall))
+      .mkString("{", ",", "}")
+    val taskQs = results.map(g => "\"" + g.n + "\":" + f3(g.task))
+      .mkString("{", ",", "}")
+    val abQs = results.map { g =>
+      "\"" + g.n + "\":{\"a\":" + f3(g.aW) + ",\"b\":" + f3(g.bW) +
+        ",\"a_task\":" + f3(g.aT) + ",\"b_task\":" + f3(g.bT) +
+        ",\"delta_pct\":" + f3(deltaPct(g.aW, g.bW)) +
+        ",\"task_delta_pct\":" + f3(deltaPct(g.aT, g.bT)) + "}"
     }.mkString("{", ",", "}")
     val noisyArr = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedArr = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,""" +
-        s""""ab":$abQs,"noisy":$noisyArr,"noisy_rule":"A/B min divergence > ${f3(NoisyPct)}% at >= ${f3(NoisyFloorSec)}s","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","task_total":${f3(taskTotal)},"queries":$fullQs,""" +
+        s""""task":$taskQs,"ab":$abQs,"noisy":$noisyArr,"contended":$contendedArr,""" +
+        s""""noisy_rule":"task-time A/B min divergence > ${f3(NoisyPct)}% at >= ${f3(NoisyFloorSec)}s task; contended = wall-only divergence","sf":"$sfDir"}"""
     // The STDOUT line must fit the round harness's tail window: it
     // keeps only the last 2000 bytes of stdout, and the 120-query
     // record is ~2.4 KB — r5/r6 both landed `parsed: null` because
@@ -108,19 +138,23 @@ object Bench {
     // seconds are recorded so the line is still self-consistent).
     // sbt's trailing "[success] Total time ..." line (~80 B) shares
     // the window, hence 1800 not 2000.
+    // Budgeted per-query entries are `"name":[wall,task]` pairs
+    // (declared by the `fmt` field) — the compact form that fits the
+    // most gates' task-time into the tail window.
     val BudgetBytes = 1800
-    val byTime = mins.sortBy { case (k, v) => (-v, k) }
-    def lineWith(kept: Seq[(String, Double)]): String = {
-      val omitted = mins.size - kept.size
-      val omittedSec = total - kept.map(_._2).sum
-      val qs = kept.map((entry _).tupled).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${mins.size},""" +
-        s""""noisy":$noisyArr,"omitted":$omitted,"omitted_sec":${f3(omittedSec)},"queries":$qs,"sf":"$sfDir"}"""
+    val byTime = results.sortBy(g => (-g.wall, g.n))
+    def lineWith(kept: Seq[Gate]): String = {
+      val omitted = results.size - kept.size
+      val omittedSec = total - kept.map(_.wall).sum
+      val qs = kept.map(g => "\"" + g.n + "\":[" + f3(g.wall) + "," + f3(g.task) + "]")
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","task_total":${f3(taskTotal)},"n_queries":${results.size},""" +
+        s""""fmt":"[wall,task]","noisy":$noisyArr,"contended_n":${contended.size},"omitted":$omitted,"omitted_sec":${f3(omittedSec)},"queries":$qs,"sf":"$sfDir"}"""
     }
-    val keptCount = (mins.size to 0 by -1)
+    val keptCount = (results.size to 0 by -1)
       .find(n => lineWith(byTime.take(n)).length <= BudgetBytes)
       .getOrElse(0)
-    val line = lineWith(byTime.take(keptCount).sortBy(_._1))
+    val line = lineWith(byTime.take(keptCount).sortBy(_.n))
     // The metric line must survive as DATA: inside `sbt run` stdout it
     // gets buried under [info] prefixes, so also write the full record
     // to a file ($SPARK_GRAFT_OUT/bench.json, or ./bench.json) and

@@ -14,16 +14,19 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench-one")
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new TaskTimeMeter(spark.sparkContext)
     args.drop(1).foreach { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val c0 = meter.snapshotSec()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, meter.snapshotSec() - c0)
       }
       val ts = (1 to 3).map(_ => once())
       spark.catalog.clearCache()
-      println(f"BENCHONE $name%-20s min=${ts.min}%.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+      println(f"BENCHONE $name%-20s min=${ts.map(_._1).min}%.2f s  task=${ts.map(_._2).min}%.2f s" +
+        f"  (wall ${ts.map(t => f"${t._1}%.2f").mkString(" ")} | task ${ts.map(t => f"${t._2}%.2f").mkString(" ")})")
     }
     spark.stop()
   }

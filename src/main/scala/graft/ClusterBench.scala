@@ -44,7 +44,12 @@ object ClusterBench {
     // rides task closures as a reference object inside the fused
     // scoring expression, and the Gumbel draw's TakeOrdered merges
     // per-partition heaps across real executors
-    "txt_dsir", "q_dsir_sample")
+    "txt_dsir", "q_dsir_sample",
+    // round-13 wave: image dHash dedup — the mapPartitions fingerprint
+    // closure (ImageIO decode + pooled-grid fallback) deserializes in
+    // real executor JVMs, then the chunked Hamming join shuffles the
+    // fingerprints across them
+    "mm_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

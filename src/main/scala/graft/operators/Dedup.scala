@@ -326,23 +326,7 @@ object Dedup {
       col(idCol), col(textCol).as("__s"),
       graft.functions.NativeExprs.posQGramTokensNative(col(textCol), q).as("__tok"))
       .cache()
-    val toks = base.select(col(idCol), explode(col("__tok")).as("tok"))
-    // Global rarity order: corpus df per token (map-side-combined on
-    // longs), then each string keeps its pfx rarest tokens. The
-    // groupBy/collect_list+array_sort form beats a row_number window:
-    // per-string lists are length-bounded and partial-aggregate.
-    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
-    val pref = toks.join(dfTab, "tok")
-      .groupBy(idCol)
-      .agg(slice(array_sort(collect_list(struct(col("__df"), col("tok")))),
-        1, pfx).as("__p"))
-      .select(col(idCol), explode(col("__p")).as("__pe"))
-      .select(col(idCol), col("__pe.tok").as("tok"))
-    // Sentinel block: strings with < pfx tokens (prefix = all tokens)
-    // are exactly those the count bound can't pair with each other.
-    val sentinel = base.where(size(col("__tok")) < pfx)
-      .select(col(idCol), lit(EditJoinShortSentinel).as("tok"))
-    val prefix = pref.unionByName(sentinel)
+    val prefix = editPrefixes(base, idCol, pfx)
     // ONE prefix-membership histogram serves BOTH the (recall-lossy,
     // off-by-default) block cap and the salt sizing.
     val sizes = prefix.groupBy("tok").agg(count(lit(1)).as("bsz"))
@@ -376,6 +360,38 @@ object Dedup {
         levenshtein(col("__sa"), col("__sb"), maxDist).cast("long").as("ed"))
       .where(col("ed") >= 0) // banded levenshtein: -1 = above maxDist
       .distinct()
+  }
+
+  /** The ED-join's prefix membership (id, tok): each string's `pfx`
+    * RAREST positional q-grams under the global rarity order (corpus
+    * df per token, map-side-combined on longs), plus the sentinel
+    * block for strings with fewer than `pfx` tokens (whose prefix is
+    * all tokens — exactly those the count bound can't pair with each
+    * other). The groupBy/collect_list+array_sort form beats a
+    * row_number window: per-string lists are length-bounded and
+    * partial-aggregate. `base` must carry (idCol, __tok) from the
+    * fused q-gram pass.
+    *
+    * Package-visible so PipelineOpsSpec can pin the SELECTIVITY LAW —
+    * Σ C(bsz,2) over this frame's token histogram is the candidate
+    * count the block join generates, and on Zipfian text it must be a
+    * small fraction of all-pairs (rarest-first is what makes the
+    * ED-join subquadratic; the driver gate corpus saturates the
+    * filter, so without the spec a rarity-order regression would pass
+    * every gate). */
+  private[graft] def editPrefixes(base: DataFrame, idCol: String,
+                                  pfx: Int): DataFrame = {
+    val toks = base.select(col(idCol), explode(col("__tok")).as("tok"))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val pref = toks.join(dfTab, "tok")
+      .groupBy(idCol)
+      .agg(slice(array_sort(collect_list(struct(col("__df"), col("tok")))),
+        1, pfx).as("__p"))
+      .select(col(idCol), explode(col("__p")).as("__pe"))
+      .select(col(idCol), col("__pe.tok").as("tok"))
+    val sentinel = base.where(size(col("__tok")) < pfx)
+      .select(col(idCol), lit(EditJoinShortSentinel).as("tok"))
+    pref.unionByName(sentinel)
   }
 
   /** Sentinel token for [[editDistancePairs]]'s short-string block:
@@ -483,20 +499,58 @@ object Dedup {
       else graft.functions.NativeExprs.simhash64Native
     val h = Repartition.forCompute(df)
       .select(col(idCol), hashFn(tokens(col(textCol))).as("sh"))
-    val chunked = h.select(col(idCol), col("sh"),
+    hammingPairs64(h, idCol, "sh", maxHamming)
+  }
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column within Hamming
+    * distance <= `maxHamming` — the pigeonhole chunk blocking
+    * [[simhashNearDupPairs]] uses, factored so every modality shares
+    * one engine: text simhash and image dHash
+    * ([[imageNearDupPairs]]) differ only in how the fingerprint is
+    * computed. Split the 64-bit fingerprint into 4 exact 16-bit
+    * chunks; any pair within Hamming <= 3 shares at least one chunk
+    * (guaranteed recall), 4-15 is best-effort. Four equijoins on
+    * chunk value generate candidates; exact `bit_count(xor)`
+    * verification filters. Scale shape: candidates are
+    * chunk-collision-bounded (64-bit fingerprints collide on a 16-bit
+    * chunk at ~2^-16 per chunk for unrelated inputs), the distinct
+    * runs on candidate pairs carrying only (id, fp) longs, and no
+    * payload bytes enter the join. */
+  def hammingPairs64(fps: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
+    val chunked = fps.select(col(idCol), col(fpCol).as("__fp"),
       explode(transform(sequence(lit(0), lit(3)), i =>
         struct(i.cast("int").as("chunk"),
-          call_function("shiftright", col("sh"), i * 16)
+          call_function("shiftright", col(fpCol), i * 16)
             .bitwiseAND(lit(0xFFFFL)).as("v")))).as("c"))
-      .select(col(idCol), col("sh"), col("c.chunk").as("chunk"), col("c.v").as("v"))
-    val a = chunked.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("chunk"), col("v"))
-    val b = chunked.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("chunk"), col("v"))
+      .select(col(idCol), col("__fp"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    val a = chunked.select(col(idCol).as("id_a"), col("__fp").as("sh_a"), col("chunk"), col("v"))
+    val b = chunked.select(col(idCol).as("id_b"), col("__fp").as("sh_b"), col("chunk"), col("v"))
     a.join(b, Seq("chunk", "v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Image near-dup pairs — the missing dedup modality: perceptual
+    * dHash fingerprints ([[Multimodal.dhashFingerprints]]: 9×8
+    * average-pooled grayscale grid, 64 horizontal gradient-sign bits)
+    * into the SAME pigeonhole Hamming join as the text simhash
+    * family. Two images whose pooled brightness gradients agree in
+    * all but `maxHamming` of 64 cells pair up — robust to
+    * recompression, mild resizing, and uniform brightness shifts
+    * (gradient SIGNS survive all three), the classic image near-dup
+    * transforms. Output `(id_a, id_b, hamming)`.
+    *
+    * 100 TB shape: one pure-map fingerprint pass over the blobs (the
+    * only stage that touches payload bytes), then the join runs on an
+    * 8-byte-per-image table. Guaranteed recall at `maxHamming` <= 3
+    * (the pigeonhole bound), exact verification always. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs64(Multimodal.dhashFingerprints(media),
+      "media_id", "dhash", maxHamming)
 
   /** Benchmark-contamination check: corpus documents sharing at least
     * `minOverlap` distinct k-gram shingles with any probe document
@@ -991,6 +1045,27 @@ object Dedup {
     * parquet min/max skipping within each bucket file. Cost: 8
     * bytes/row on a 3-long row, paid once at write.
     *
+    * `bsz` is derived by a map-side-combined (band, bucket) count
+    * aggregate broadcast-joined back — NOT a window — so the write
+    * path shuffles the index-sized row set exactly once (the bucketed
+    * write's own clustering; a window's hash partitioning would be a
+    * second full exchange of the band table). Only COLLIDING buckets
+    * (count >= 2) ride the broadcast — singleton buckets coalesce to
+    * bsz = 1 — so the broadcast is bounded by the number of buckets
+    * that hold a candidate pair at all, the same set the probe join
+    * materializes; a corpus where that set is too big to broadcast is
+    * a corpus where dedup output itself is corpus-sized.
+    *
+    * `bsz` is WRITE-SCOPED: it counts members of this write's corpus
+    * only. The index contract is rewrite-on-compaction — to fold a
+    * delta in, re-run writeMinHashIndex over the merged corpus.
+    * APPENDING band rows to the table would leave every bucket's
+    * `bsz` counting only its own batch, so a bucket crossing the cap
+    * across appends gets PARTIALLY filtered (old rows kept, new
+    * dropped, or vice versa) — a shape no probe oracle models.
+    * Between rewrites, sweep deltas against the standing index
+    * ([[incrementalNearDupPairs]]) and against each other.
+    *
     * Scale: the index is `bands`× the corpus row count but 4 longs
     * wide — at 100 TB of text it is ~3 orders of magnitude smaller
     * than the corpus. `buckets` (the table's bucket count) is the
@@ -999,15 +1074,34 @@ object Dedup {
   def writeMinHashIndex(df: DataFrame, idCol: String, textCol: String,
                         table: String, buckets: Int,
                         numHashes: Int = 128, bands: Int = 32,
-                        rowsPerBand: Int = 4, shingleK: Int = 8): Unit = {
+                        rowsPerBand: Int = 4, shingleK: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(
+      minhashIndexFrame(df, idCol, textCol, numHashes, bands, rowsPerBand,
+        shingleK),
+      table, buckets, Seq("band", "bucket"))
+
+  /** The frame [[writeMinHashIndex]] writes — exposed so PlanSpec /
+    * Explain can pin its shape: the index-sized (id, band, bucket)
+    * rows flow from the fused banding pass straight into the bucketed
+    * write with NO exchange of their own; the only ShuffleExchange in
+    * this frame carries map-side-combined (band, bucket) partial
+    * COUNTS (collision-bucket-sized), broadcast-joined back as `bsz`.
+    * The single index-sized shuffle of the write path is the bucketed
+    * write's own clustering, added by the insert command. */
+  def minhashIndexFrame(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, bands: Int = 32,
+                        rowsPerBand: Int = 4, shingleK: Int = 8): DataFrame = {
     val banded = Repartition.forCompute(df).select(col(idCol).as("id"),
       posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
         col(textCol), shingleK, numHashes, bands, rowsPerBand)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    graft.sources.Sinks.writeBucketed(
-      banded.withColumn("bsz", count(lit(1)).over(w)),
-      table, buckets, Seq("band", "bucket"))
+    // Colliding buckets only (count >= 2); singletons coalesce to 1 so
+    // the broadcast is candidate-bucket-sized, not index-sized.
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") >= 2)
+    banded.join(broadcast(sizes), Seq("band", "bucket"), "left")
+      .select(col("id"), col("band"), col("bucket"),
+        coalesce(col("__bsz"), lit(1L)).as("bsz"))
   }
 
   /** Near-dup pairs of a delta batch vs a persisted

@@ -196,6 +196,121 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** dHash pooling grid shape: 9 columns × 8 rows — one horizontal
+    * gradient comparison per adjacent cell pair = 64 bits. */
+  val DHashCols = 9
+  val DHashRows = 8
+
+  /** The 9×8 integer grayscale grid a dHash fingerprints — REAL
+    * average-pooling for decodable payloads, a deterministic byte-pool
+    * fallback otherwise. All-integer laws (sum DIV count), so the same
+    * grid is reproducible by a serial oracle (real path) or an ANSI
+    * SQL engine (fallback path: code point == byte for ASCII
+    * payloads, the test-fixture contract).
+    *
+    *  - Real path (ImageIO decodes): cell (r,c) = integer mean of
+    *    R+G+B over the pixel block [⌊c·w/9⌋, max(⌊(c+1)·w/9⌋, lo+1))
+    *    × [⌊r·h/8⌋, …) divided by 3 — i.e. `Σ(R+G+B) DIV (3·npix)`.
+    *    The max(…, lo+1) keeps every block non-empty for any w,h ≥ 1,
+    *    so the law is total without a minimum-size precondition.
+    *  - Fallback (no codec, e.g. the text-backed fixture): the payload
+    *    bytes pooled 1-D into 72 cells by the same lo/hi law — cell i
+    *    = `Σ unsigned bytes[⌊i·n/72⌋, max(⌊(i+1)·n/72⌋, lo+1)) DIV
+    *    cnt`; an empty payload is all-zero cells.
+    *
+    * This is the "stored pixel grid" of the image-dedup family: the
+    * dHash compares only ADJACENT cells, so any per-pixel noise that
+    * average-pools away (recompression, mild resizing — the classic
+    * near-dup transforms) leaves the fingerprint unchanged. */
+  private[graft] def grayGrid(content: Array[Byte]): Array[Int] = {
+    val cells = new Array[Int](DHashCols * DHashRows)
+    val img =
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img != null) {
+      val w = img.getWidth
+      val h = img.getHeight
+      var r = 0
+      while (r < DHashRows) {
+        val y0 = r * h / DHashRows
+        val y1 = math.max((r + 1) * h / DHashRows, y0 + 1)
+        var c = 0
+        while (c < DHashCols) {
+          val x0 = c * w / DHashCols
+          val x1 = math.max((c + 1) * w / DHashCols, x0 + 1)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          cells(r * DHashCols + c) = (sum / (3L * (x1 - x0) * (y1 - y0))).toInt
+          c += 1
+        }
+        r += 1
+      }
+    } else if (content.length > 0) {
+      val n = content.length
+      var i = 0
+      while (i < cells.length) {
+        val lo = i * n / cells.length
+        val hi = math.max((i + 1) * n / cells.length, lo + 1)
+        var sum = 0L
+        var j = lo
+        while (j < hi) { sum += content(j) & 0xff; j += 1 }
+        cells(i) = (sum / (hi - lo)).toInt
+        i += 1
+      }
+    }
+    cells
+  }
+
+  /** 64-bit difference hash of a [[grayGrid]]: bit k (row r = k/8,
+    * col c = k%8) is set iff cell (r,c) < cell (r,c+1) — the
+    * horizontal brightness gradient sign. Strict `<` so a flat grid
+    * (constant image) hashes to 0 on every engine. */
+  private[graft] def dHash64(cells: Array[Int]): Long = {
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      val idx = (k / 8) * DHashCols + (k % 8)
+      if (cells(idx) < cells(idx + 1)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  /** Per-payload dHash fingerprints `(media_id, dhash)` — the image
+    * analogue of the text family's simhash: one 64-bit
+    * perceptual fingerprint per payload, computed in the same bounded
+    * per-partition batches as [[extractFeatures]] (codec amortized,
+    * memory ≤ batchSize × payload). Pure map stage — no shuffle; at
+    * 100 TB of media the fingerprint table is ~6 orders of magnitude
+    * smaller than the payload bytes, and everything downstream
+    * (the Hamming join, survivor picks) runs on it, never on the
+    * blobs again. */
+  def dhashFingerprints(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val rdd = Repartition.forCompute(media.select("media_id", "content"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { row =>
+            Row(row.getLong(0), dHash64(grayGrid(row.getAs[Array[Byte]](1))))
+          }
+        }
+      }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Resize stub: scales the decoded dimensions (a real impl would
     * resample pixels; the Spark-side contract — decoded frame in,
     * resized metadata out, pure projection, no shuffle — is what this

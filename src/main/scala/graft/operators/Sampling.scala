@@ -117,9 +117,14 @@ object Sampling {
     *
     * The Gumbel noise derives from md5(key), not an RNG — the same
     * determinism contract as every sampler here (reproducible,
-    * partitioning-invariant, join-stable): `u = (md5₆₀(key) mod 2⁵³
-    * + 0.5) / 2⁵³` (strictly inside (0,1), so the double log never
-    * hits ±∞), `g = −ln(−ln u)` quantized to integer micro-units (the
+    * partitioning-invariant, join-stable): `u = (md5₆₀(key) mod
+    * (2⁵³−1) + 0.5) / 2⁵³`. The modulus is 2⁵³−1, NOT 2⁵³: with the
+    * power-of-two modulus the residue 2⁵³−1 makes (x+0.5)/2⁵³ round to
+    * exactly 1.0 in IEEE doubles and ln(0) diverges (NULL in Spark,
+    * −inf in DuckDB — an engine/oracle split). With 2⁵³−1 the residue
+    * tops out at 2⁵³−2, x+0.5 rounds to at most 2⁵³−1, and u is
+    * provably inside (0,1) AFTER rounding, so the double log never
+    * hits ±∞. `g = −ln(−ln u)` quantized to integer micro-units (the
     * [[graft.functions.Quantize]] law) so the ranking key
     * `weightMicro + g_micro` is integer and the selection totally
     * ordered by (key desc, id asc) — ANSI-SQL-reproducible.
@@ -131,9 +136,10 @@ object Sampling {
                  k: Int): DataFrame = {
     require(k > 0, s"k=$k")
     val two53 = 9007199254740992.0 // 2^53: exact in a double
+    // Modulus 2^53-1 (not 2^53): see the docstring's rounding proof.
     val v = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
       1, 15), 16, 10).cast("long")
-    val u = (pmod(v, lit(9007199254740992L)).cast("double") + 0.5) / lit(two53)
+    val u = (pmod(v, lit(9007199254740991L)).cast("double") + 0.5) / lit(two53)
     val gMicro = graft.functions.Quantize.quantize(-log(-log(u)), 6)
     df.withColumn("samp_micro", weightMicro.cast("long") + gMicro)
       .orderBy(col("samp_micro").desc, col(keyCol))

@@ -1113,6 +1113,32 @@ object PipelineQueries {
           sum(length(col("frame")).cast("long")).as("frame_bytes"))
     }),
 
+    // Image near-dup dedup: perceptual dHash (9×8 pooled grid → 64
+    // gradient-sign bits) into the pigeonhole Hamming join. The
+    // text-backed fixture takes the deterministic byte-pool grid (the
+    // no-codec fallback — ANSI-SQL-recomputable; code point == byte on
+    // the ASCII corpus); real decodes take the average-pooled pixels
+    // (PipelineOpsSpec pins that path against planted PNG near-dups).
+    // The corpus has no near-identical texts at sf0.01, so the gate
+    // PLANTS one per doc: a same-length single-char overwrite at
+    // doc_id % len — the text analogue of a one-block image edit
+    // (insertion-free, so the pooled grid moves only locally; an
+    // INSERTION shifts every byte downstream and is exactly what a
+    // perceptual image hash is NOT meant to survive). maxHamming = 3
+    // stays inside the guaranteed-recall pigeonhole bound, so the
+    // blocked join provably equals the oracle's identical blocking.
+    "mm_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+          "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+        col("source"))
+      val media = Multimodal.fromDocuments(d.unionByName(mut),
+        "doc_id", "text", "source")
+      Dedup.imageNearDupPairs(media, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+
     // Multimodal plumbing: binary payload → stub decode → aggregate.
     "mm_decode_stats" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
@@ -1646,7 +1672,7 @@ object PipelineQueries {
         |  SELECT doc_id, dsir_micro,
         |    dsir_micro + CAST(round(-ln(-ln(
         |      ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |        % 9007199254740992) + 0.5) / 9007199254740992)) * 1e6) AS BIGINT) AS samp_micro
+        |        % 9007199254740991) + 0.5) / 9007199254740992)) * 1e6) AS BIGINT) AS samp_micro
         |  FROM w)
         |SELECT doc_id, dsir_micro, samp_micro FROM sel
         |ORDER BY samp_micro DESC, doc_id LIMIT 200""".stripMargin,
@@ -3143,6 +3169,45 @@ object PipelineQueries {
         |  CAST(CASE WHEN strlen(text) < 64 THEN strlen(text)
         |       ELSE (((strlen(text) // 64 - 1) // 4) + 1) * 64 END AS BIGINT) AS frame_bytes
         |FROM documents ORDER BY 1""".stripMargin,
+
+    // image-dedup oracle: recompute the dHash from the stored payload
+    // — byte-pool the text's code points (== bytes, ASCII corpus) into
+    // the 9×8 grid with the engine's integer lo/hi law, assemble the
+    // 64-bit fingerprint (bit 63 via the two's-complement constant:
+    // DuckDB refuses 1<<63 as a signed overflow, and summing distinct
+    // powers equals OR), then the SAME 4×16-bit chunk equijoin +
+    // bit_count(xor) verify. Arithmetic `>>` on negative BIGINTs
+    // matches Spark's shiftright; the & 65535 masks the sign fill.
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, CAST(doc_id % greatest(len(text), 1) AS INT)) || 'Z'
+        |      || substr(text, CAST(doc_id % greatest(len(text), 1) AS INT) + 2)
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(72), i ->
+        |    list_sum(list_transform(
+        |      range(i*len(text)//72, greatest((i+1)*len(text)//72, i*len(text)//72 + 1)),
+        |      j -> unicode(substr(text, CAST(j+1 AS INT), 1))))
+        |    // (greatest((i+1)*len(text)//72, i*len(text)//72 + 1) - i*len(text)//72)) AS cells
+        |  FROM m),
+        |h AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(64), k ->
+        |    CASE WHEN cells[CAST(k//8*9 + k%8 + 1 AS INT)] < cells[CAST(k//8*9 + k%8 + 2 AS INT)]
+        |         THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |              ELSE (1::BIGINT << CAST(k AS INT)) END
+        |         ELSE 0 END)) AS BIGINT) AS dh
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, dh, k AS chunk, (dh >> CAST(k*16 AS INT)) & 65535 AS v
+        |  FROM h, range(4) r(k)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+        |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     // decode stub oracle: width/height/mean_px derive from md5(text)
     // bytes; hex digits are parsed with instr arithmetic.

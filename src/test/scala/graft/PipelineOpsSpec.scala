@@ -2881,4 +2881,137 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(exact))
   }
+
+  // ---- ED-join selectivity law on Zipfian text (VERDICT r12 #4) ---------
+
+  /** Seeded in-JVM equivalent of tools/gen_zipf.py's corpus law:
+    * syllable surface forms (bijective base-100 numeration over 100 CV
+    * syllables, so head words are SHORT like real stopwords and the
+    * character n-gram entropy is prose-like) drawn rank^-1.1 Zipf via
+    * a bounded inverse CDF. The driver gate corpus saturates the
+    * prefix filter (a data law of its 3-letter alphabet), so only a
+    * realistic token distribution can exercise the SELECTIVE path. */
+  private lazy val zipfCorpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(20260815)
+    val syll = for (c <- "bcdfghjklmnpqrstvwxz"; v <- "aeiou") yield s"$c$v"
+    def word(i0: Int): String = {
+      var i = i0 + 1
+      val sb = new StringBuilder
+      while (i > 0) { i -= 1; sb.insertAll(0, syll(i % 100)); i /= 100 }
+      sb.toString
+    }
+    val vocab = 2000
+    val w = (1 to vocab).map(r => math.pow(r, -1.1))
+    val total = w.sum
+    val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / total).toArray
+    def draw(): Int = {
+      val i = java.util.Arrays.binarySearch(cum, rnd.nextDouble())
+      if (i >= 0) i else -i - 1
+    }
+    (0L until 400L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(8))(word(draw())).mkString(" "))
+    }
+  }
+
+  test("ED-join prefix filter: candidates <= 5% of all-pairs on Zipf text; common-first order saturates") {
+    val (k, q) = (2, 3)
+    val pfx = k * q + 1
+    val df = zipfCorpus.toDF("id", "s")
+    val base = df.select(col("id"), col("s").as("__s"),
+      graft.functions.NativeExprs.posQGramTokensNative(col("s"), q).as("__tok"))
+    def pairsOf(hist: Array[Long]): Long = hist.map(b => b * (b - 1) / 2).sum
+    // The PLAN'S OWN prefix-membership histogram (editPrefixes is the
+    // exact frame editDistancePairs blocks on): candidate pairs the
+    // block join generates = sum over tokens of C(bsz, 2).
+    val cands = pairsOf(Dedup.editPrefixes(base, "id", pfx)
+      .groupBy("tok").agg(count(lit(1)).as("bsz"))
+      .select("bsz").as[Long].collect())
+    val n = zipfCorpus.size.toLong
+    val allPairs = n * (n - 1) / 2
+    assert(cands * 100 <= allPairs * 5,
+      s"prefix filter lost selectivity: candidates=$cands all-pairs=$allPairs " +
+        s"(${cands * 100.0 / allPairs}%)")
+    // CONTRAST — the regression this spec exists to catch: scramble
+    // the rarity order to COMMON-first (prefix = each string's most
+    // frequent grams) and the same histogram saturates. If a future
+    // change broke the ascending-df sort, `cands` would land here and
+    // the 5% assertion above goes red.
+    val toks = base.select(col("id"), explode(col("__tok")).as("tok"))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val scram = pairsOf(toks.join(dfTab, "tok")
+      .groupBy("id")
+      .agg(slice(reverse(array_sort(collect_list(struct(col("__df"), col("tok"))))),
+        1, pfx).as("__p"))
+      .select(col("id"), explode(col("__p")).as("__pe"))
+      .select(col("id"), col("__pe.tok").as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("bsz"))
+      .select("bsz").as[Long].collect())
+    assert(scram * 100 > allPairs * 30,
+      s"contrast arm lost its power: scrambled candidates=$scram all-pairs=$allPairs")
+  }
+
+  // ---- image dHash dedup: real-decode path, planted PNG near-dups -------
+
+  test("imageNearDupPairs: planted PNG near-dups pair; brute-force serial dHash oracle agrees") {
+    import java.awt.image.BufferedImage
+    def png(px: Array[Array[Int]]): Array[Byte] = {
+      val h = px.length; val w = px(0).length
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y)(x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(11)
+    def noise(w: Int, h: Int): Array[Array[Int]] =
+      Array.fill(h, w)(rnd.nextInt(0x1000000))
+    def shift(px: Array[Array[Int]], d: Int): Array[Array[Int]] =
+      px.map(_.map { rgb =>
+        def ch(v: Int) = math.min(255, math.max(0, v + d))
+        (ch((rgb >> 16) & 0xff) << 16) | (ch((rgb >> 8) & 0xff) << 8) | ch(rgb & 0xff)
+      })
+    val bases = (0 until 6).map(_ => noise(36, 32))
+    // plants: a re-encode (identical pixels), a uniform brightness
+    // shift (gradient SIGNS survive -> hamming ~0), and for contrast
+    // fresh noise images that share nothing.
+    val imgs: Seq[(Long, Array[Array[Int]])] =
+      bases.zipWithIndex.map { case (p, i) => (i.toLong, p) } ++
+        Seq((100L, bases(0).map(_.clone())), (101L, shift(bases(1), 8)))
+    val media = imgs.map { case (id, p) => (id, png(p)) }
+      .toDF("media_id", "content")
+    // independent serial oracle: pool the PIXEL ARRAYS (PNG is
+    // lossless, so pixels == decoded payload) with the documented
+    // integer law, assemble the 64 gradient bits, brute-force all
+    // pairs at hamming <= 3.
+    def serialDHash(px: Array[Array[Int]]): Long = {
+      val h = px.length; val w = px(0).length
+      val cells = Array.tabulate(8, 9) { (r, c) =>
+        val y0 = r * h / 8; val y1 = math.max((r + 1) * h / 8, y0 + 1)
+        val x0 = c * w / 9; val x1 = math.max((c + 1) * w / 9, x0 + 1)
+        var sum = 0L
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val v = px(y)(x)
+          sum += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        }
+        (sum / (3L * (x1 - x0) * (y1 - y0))).toInt
+      }
+      (0 until 64).foldLeft(0L) { (fp, k) =>
+        if (cells(k / 8)(k % 8) < cells(k / 8)(k % 8 + 1)) fp | (1L << k) else fp
+      }
+    }
+    val fps = imgs.map { case (id, p) => (id, serialDHash(p)) }
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    val got = graft.operators.Dedup.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the plants must actually surface, and unrelated noise must not
+    assert(want.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 0))
+    assert(want.exists(p => p._1 == 1L && p._2 == 101L))
+    assert(!want.exists(p => p._1 < 6L && p._2 < 6L))
+  }
 }

@@ -425,8 +425,9 @@ class StreamingSpec extends AnyFunSuite {
     // (not stream-native in append mode), so the production shape is
     // foreachBatch running the BATCH probe against the static index —
     // per-micro-batch delta semantics are exactly what a continuous
-    // crawl wants, and appending to the index between batches tightens
-    // the sweep without restarting the query
+    // crawl wants. The index itself is rewrite-on-compaction, never
+    // appended to (bsz is write-scoped — see writeMinHashIndex):
+    // between rewrites every batch probes the same standing index.
     val q = input.toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         got.synchronized {

@@ -32,12 +32,19 @@ head terms (df·qf above the balance budget), the tail stays unsalted,
 and the exact (uncapped) bulk run completes.
 """
 import os
+import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = "/tmp/zipf"
-N_DOCS = 50_000
+# Usage: gen_zipf.py [out_dir] [n_docs]
+#   default: the 50k-doc probe corpus at /tmp/zipf
+#   the STANDING repo asset (testdata-aux/zipf) is the same law at
+#   5,000 docs (sf0.1 document count), committed so specs and probes
+#   can target realistic token statistics without regenerating —
+#   regenerate with: python3 tools/gen_zipf.py testdata-aux/zipf 5000
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/zipf"
+N_DOCS = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
 VOCAB = 50_000
 S = 1.1
 SEED = 20260815
