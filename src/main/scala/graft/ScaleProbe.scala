@@ -32,6 +32,7 @@ object ScaleProbe {
       mhIdxProbe(args(1), if (args.length > 2) args(2).toInt else 200); return
     }
     if (args(0) == "dsir") { dsirProbe(args(1)); return }
+    if (args(0) == "mmdedup") { mmDedupProbe(args(1)); return }
     if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
@@ -256,6 +257,44 @@ object ScaleProbe {
     require(runs.map(_._2).distinct.size == 1)
     println(f"SCALEPROBE mhidx dir=$sfDir idxRows=$idxRows write=$tWrite%.2f s " +
       f"probeMin=${runs.map(_._1).min}%.2f s pairs=${runs.head._2}")
+    spark.stop()
+  }
+
+  /** `mmdedup <sfDir>`: the image-dedup decade shape — the gate's
+    * corpus (docs + one planted same-length mutant each), split into
+    * the fingerprint map stage (the only stage touching payload
+    * bytes) and the chunked Hamming join over the 8-byte/image
+    * fingerprint table. Warm min-of-2; per-pair µs is the
+    * output-normalized decade number. */
+  private def mmDedupProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val mut = d.select((col("doc_id") + 100000000L).as("doc_id"),
+      expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+        "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+      col("source"))
+    val media = graft.operators.Multimodal.fromDocuments(
+      d.unionByName(mut), "doc_id", "text", "source")
+    val nMedia = media.count()
+    val tFp0 = System.nanoTime()
+    val fps = graft.operators.Multimodal.dhashFingerprints(media)
+    fps.write.format("noop").mode("overwrite").save()
+    val tFp = (System.nanoTime() - tFp0) / 1e9
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.imageNearDupPairs(media, maxHamming = 3).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val runs = (1 to 2).map(_ => once())
+    require(runs.map(_._2).distinct.size == 1)
+    val (t, pairs) = (runs.map(_._1).min, runs.head._2)
+    println(f"SCALEPROBE mmdedup dir=$sfDir media=$nMedia fpPass=$tFp%.2f s " +
+      f"min=$t%.2f s pairs=$pairs usPerPair=${t * 1e6 / math.max(1, pairs)}%.2f " +
+      f"usPerImage=${t * 1e6 / nMedia}%.2f")
     spark.stop()
   }
 
