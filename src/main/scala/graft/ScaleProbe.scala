@@ -33,6 +33,10 @@ object ScaleProbe {
     }
     if (args(0) == "dsir") { dsirProbe(args(1)); return }
     if (args(0) == "mmdedup") { mmDedupProbe(args(1)); return }
+    if (args(0) == "edsel") {
+      edSelProbe(args(1), if (args.length > 2) args(2).toInt else 2,
+        if (args.length > 3) args(3).toInt else 3); return
+    }
     if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
@@ -257,6 +261,33 @@ object ScaleProbe {
     require(runs.map(_._2).distinct.size == 1)
     println(f"SCALEPROBE mhidx dir=$sfDir idxRows=$idxRows write=$tWrite%.2f s " +
       f"probeMin=${runs.map(_._1).min}%.2f s pairs=${runs.head._2}")
+    spark.stop()
+  }
+
+  /** `edsel <docsDir> [maxDist] [q]`: the ED-join prefix filter's
+    * SELECTIVITY on a corpus — candidate pairs implied by the plan's
+    * own prefix-membership histogram (Σ C(bsz,2)) against all-pairs.
+    * The driver gate corpus saturates the filter (a data law of its
+    * alphabet); this probe records the selective regime on realistic
+    * text (the committed testdata-aux/zipf asset), the number the
+    * PipelineOpsSpec Zipf law test asserts stays ≤ 5%. */
+  private def edSelProbe(docsDir: String, maxDist: Int, q: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val pfx = maxDist * q + 1
+    val df = spark.read.parquet(s"$docsDir/documents.parquet")
+    val n = df.count()
+    val base = df.select(col("doc_id"), col("text").as("__s"),
+      graft.functions.NativeExprs.posQGramTokensNative(col("text"), q).as("__tok"))
+    val cands = graft.operators.Dedup.editPrefixes(base, "doc_id", pfx)
+      .groupBy("tok").agg(count(lit(1)).as("bsz"))
+      .selectExpr("CAST(sum(bsz*(bsz-1) DIV 2) AS DOUBLE) AS c")
+      .first().getDouble(0)
+    val allPairs = n.toDouble * (n - 1) / 2
+    println(f"SCALEPROBE edsel dir=$docsDir q=$q k=$maxDist docs=$n " +
+      f"cands=$cands%.0f allPairs=$allPairs%.0f ratio=${cands / allPairs * 100}%.3f%%")
     spark.stop()
   }
 
