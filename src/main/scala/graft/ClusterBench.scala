@@ -48,8 +48,10 @@ object ClusterBench {
     // round-13 wave: image dHash dedup — the mapPartitions fingerprint
     // closure (ImageIO decode + pooled-grid fallback) deserializes in
     // real executor JVMs, then the chunked Hamming join shuffles the
-    // fingerprints across them
-    "mm_dedup")
+    // fingerprints across them; the incremental form additionally
+    // writes the bucketed chunk index from one set of executor JVMs
+    // and probes it exchange-free from others
+    "mm_dedup", "mm_incr_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -33,6 +33,7 @@ object ScaleProbe {
     }
     if (args(0) == "dsir") { dsirProbe(args(1)); return }
     if (args(0) == "mmdedup") { mmDedupProbe(args(1)); return }
+    if (args(0) == "mmidx") { mmIdxProbe(args(1)); return }
     if (args(0) == "edsel") {
       edSelProbe(args(1), if (args.length > 2) args(2).toInt else 2,
         if (args.length > 3) args(3).toInt else 3); return
@@ -261,6 +262,48 @@ object ScaleProbe {
     require(runs.map(_._2).distinct.size == 1)
     println(f"SCALEPROBE mhidx dir=$sfDir idxRows=$idxRows write=$tWrite%.2f s " +
       f"probeMin=${runs.map(_._1).min}%.2f s pairs=${runs.head._2}")
+    spark.stop()
+  }
+
+  /** `mmidx <sfDir>`: the incremental image-dedup decomposition —
+    * dHash index WRITE over the full corpus (once per corpus in
+    * production; the only payload-touching stage) vs the daily delta
+    * PROBE (mutated copies of the md5-bucket >= 800 slice, the gate's
+    * law). Probe is warm min-of-3. */
+  private def mmIdxProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val nBase = d.count()
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.writeDHashIndex(
+      graft.operators.Multimodal.fromDocuments(d, "doc_id", "text", "source"),
+      "probe_dh_idx", 8)
+    val tWrite = (System.nanoTime() - t0) / 1e9
+    val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val mut = d.where(bkt >= 800).select(
+      (col("doc_id") + 100000000L).as("doc_id"),
+      expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+        "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+      col("source"))
+    val delta = graft.operators.Multimodal.fromDocuments(
+      mut, "doc_id", "text", "source")
+    val nDelta = delta.count()
+    def once(): (Double, Long) = {
+      val t1 = System.nanoTime()
+      val n = graft.operators.Dedup.incrementalImageNearDups(
+        delta, spark.table("probe_dh_idx")).count()
+      ((System.nanoTime() - t1) / 1e9, n)
+    }
+    val runs = (1 to 3).map(_ => once())
+    require(runs.map(_._2).distinct.size == 1)
+    val (t, pairs) = (runs.map(_._1).min, runs.head._2)
+    println(f"SCALEPROBE mmidx dir=$sfDir base=$nBase delta=$nDelta " +
+      f"write=$tWrite%.2f s probeMin=$t%.2f s pairs=$pairs " +
+      f"usPerDelta=${t * 1e6 / math.max(1, nDelta)}%.2f")
     spark.stop()
   }
 

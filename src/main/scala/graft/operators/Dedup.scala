@@ -519,12 +519,7 @@ object Dedup {
   def hammingPairs64(fps: DataFrame, idCol: String, fpCol: String,
                      maxHamming: Int): DataFrame = {
     require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
-    val chunked = fps.select(col(idCol), col(fpCol).as("__fp"),
-      explode(transform(sequence(lit(0), lit(3)), i =>
-        struct(i.cast("int").as("chunk"),
-          call_function("shiftright", col(fpCol), i * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("v")))).as("c"))
-      .select(col(idCol), col("__fp"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    val chunked = chunked64(fps, idCol, fpCol)
     val a = chunked.select(col(idCol).as("id_a"), col("__fp").as("sh_a"), col("chunk"), col("v"))
     val b = chunked.select(col(idCol).as("id_b"), col("__fp").as("sh_b"), col("chunk"), col("v"))
     a.join(b, Seq("chunk", "v"))
@@ -551,6 +546,63 @@ object Dedup {
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs64(Multimodal.dhashFingerprints(media),
       "media_id", "dhash", maxHamming)
+
+  /** The 4×16-bit pigeonhole chunk rows of a 64-bit fingerprint frame
+    * — `(idCol, __fp, chunk, v)`, one row per chunk — shared by
+    * [[hammingPairs64]], [[writeDHashIndex]] and the incremental
+    * probe so self-join, index write and index probe hash into the
+    * SAME blocking space by construction. */
+  private def chunked64(fps: DataFrame, idCol: String, fpCol: String): DataFrame =
+    fps.select(col(idCol), col(fpCol).as("__fp"),
+      explode(transform(sequence(lit(0), lit(3)), i =>
+        struct(i.cast("int").as("chunk"),
+          call_function("shiftright", col(fpCol), i * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v")))).as("c"))
+      .select(col(idCol), col("__fp"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+
+  /** Persist the dHash fingerprint index of a standing media corpus —
+    * the image analogue of [[writeMinHashIndex]], completing the
+    * incremental family across modalities: exact dedup probes the
+    * digest index, fuzzy text probes the band index, image near-dup
+    * probes this one. One row per (chunk, v, id, dhash) — 4 rows ×
+    * 24 bytes per image, written BUCKETED by the pigeonhole chunk key
+    * so every future probe join reads it exchange-free. The payload
+    * bytes are touched exactly once (the fingerprint pass at write
+    * time); every daily sweep thereafter runs on fingerprints alone.
+    * No bsz column here: a 16-bit chunk of a 64-bit perceptual hash
+    * has no boilerplate-bucket pathology worth a write-time stat —
+    * the exact Hamming verify in the probe projection is the cap. */
+  def writeDHashIndex(media: DataFrame, table: String, buckets: Int): Unit =
+    graft.sources.Sinks.writeBucketed(
+      chunked64(Multimodal.dhashFingerprints(media), "media_id", "dhash")
+        .select(col("chunk"), col("v"), col("media_id").as("id"),
+          col("__fp").as("dhash")),
+      table, buckets, Seq("chunk", "v"))
+
+  /** Image near-dups of a delta batch vs a persisted
+    * [[writeDHashIndex]] table: every (delta, base) pair within
+    * `maxHamming` — the incremental-ingest form of
+    * [[imageNearDupPairs]], costing O(delta × chunk-collision rate)
+    * per sweep instead of another full self-join. The delta is
+    * fingerprinted with the same law the index was written with, so
+    * it collides exactly where a self-join would (guaranteed recall
+    * at `maxHamming` <= 3); the index side is exchange-free under its
+    * bucket layout, only the delta's 4-rows-per-image chunk table
+    * shuffles. Output `(id_a, id_b, hamming)`, id_a from the delta. */
+  def incrementalImageNearDups(delta: DataFrame, index: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
+    val d = chunked64(Multimodal.dhashFingerprints(delta), "media_id", "dhash")
+      .select(col("media_id").as("id_a"), col("__fp").as("fp_a"),
+        col("chunk"), col("v"))
+    val idx = index.select(col("chunk"), col("v"), col("id").as("id_b"),
+      col("dhash").as("fp_b"))
+    d.join(idx, Seq("chunk", "v"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** Benchmark-contamination check: corpus documents sharing at least
     * `minOverlap` distinct k-gram shingles with any probe document

@@ -1139,6 +1139,28 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
+    // Incremental image dedup: persist the dHash chunk index over the
+    // full corpus (bucketed by the pigeonhole key — probes read it
+    // exchange-free), then probe a delta of mutated copies of the
+    // md5-bucket >= 800 slice against it. Daily-sweep shape for the
+    // image modality: payload bytes touched once at index time, the
+    // sweep joins 8-byte fingerprints.
+    "mm_incr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      Dedup.writeDHashIndex(
+        Multimodal.fromDocuments(d, "doc_id", "text", "source"),
+        "g_dh_idx", 8)
+      val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+      val mut = d.where(bkt >= 800).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+          "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+        col("source"))
+      Dedup.incrementalImageNearDups(
+        Multimodal.fromDocuments(mut, "doc_id", "text", "source"),
+        s.table("g_dh_idx"))
+    }),
+
     // Multimodal plumbing: binary payload → stub decode → aggregate.
     "mm_decode_stats" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
@@ -1477,6 +1499,25 @@ object PipelineQueries {
     * `Multimodal.projSign` definition the executors evaluate, and the
     * engine's signed long milli-sum s_d is recovered exactly by the
     * gate's `round(f·1000)` (|s_d| < 2^23 for these payloads). */
+  /** DuckDB replay of the dHash byte-pool law over a relation
+    * `rel(doc_id, text)` — a derived table `(doc_id, dh)`. Shared by
+    * the mm_dedup and mm_incr_dedup oracles so the grid/fingerprint
+    * SQL exists exactly once. Bit 63 rides the two's-complement
+    * constant (DuckDB refuses `1 << 63` as a signed overflow; summing
+    * distinct powers equals OR). */
+  private def dhashSqlOver(rel: String): String =
+    s"""(SELECT doc_id, CAST(list_sum(list_transform(range(64), k ->
+       |    CASE WHEN cells[CAST(k//8*9 + k%8 + 1 AS INT)] < cells[CAST(k//8*9 + k%8 + 2 AS INT)]
+       |         THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+       |              ELSE (1::BIGINT << CAST(k AS INT)) END
+       |         ELSE 0 END)) AS BIGINT) AS dh
+       |  FROM (SELECT doc_id, list_transform(range(72), i ->
+       |    list_sum(list_transform(
+       |      range(i*len(text)//72, greatest((i+1)*len(text)//72, i*len(text)//72 + 1)),
+       |      j -> unicode(substr(text, CAST(j+1 AS INT), 1))))
+       |    // (greatest((i+1)*len(text)//72, i*len(text)//72 + 1) - i*len(text)//72)) AS cells
+       |  FROM $rel))""".stripMargin
+
   private def mmFeaturesOracle: String = {
     def hex16(pos: Int): String =
       Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
@@ -3179,27 +3220,14 @@ object PipelineQueries {
     // bit_count(xor) verify. Arithmetic `>>` on negative BIGINTs
     // matches Spark's shiftright; the & 65535 masks the sign fill.
     "mm_dedup" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |    substr(text, 1, CAST(doc_id % greatest(len(text), 1) AS INT)) || 'Z'
         |      || substr(text, CAST(doc_id % greatest(len(text), 1) AS INT) + 2)
         |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, list_transform(range(72), i ->
-        |    list_sum(list_transform(
-        |      range(i*len(text)//72, greatest((i+1)*len(text)//72, i*len(text)//72 + 1)),
-        |      j -> unicode(substr(text, CAST(j+1 AS INT), 1))))
-        |    // (greatest((i+1)*len(text)//72, i*len(text)//72 + 1) - i*len(text)//72)) AS cells
-        |  FROM m),
-        |h AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(range(64), k ->
-        |    CASE WHEN cells[CAST(k//8*9 + k%8 + 1 AS INT)] < cells[CAST(k//8*9 + k%8 + 2 AS INT)]
-        |         THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
-        |              ELSE (1::BIGINT << CAST(k AS INT)) END
-        |         ELSE 0 END)) AS BIGINT) AS dh
-        |  FROM g),
+        |h AS ${dhashSqlOver("m")},
         |c AS (
         |  SELECT doc_id, dh, k AS chunk, (dh >> CAST(k*16 AS INT)) & 65535 AS v
         |  FROM h, range(4) r(k)),
@@ -3207,6 +3235,38 @@ object PipelineQueries {
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // incremental image-dedup oracle: base fingerprints from the full
+    // corpus, delta fingerprints from the mutated 20% slice (same
+    // md5-bucket law as dd_incr_fuzzy's oracle), then the chunk
+    // equijoin + bit_count verify — delta × base only, never
+    // base × base.
+    "mm_incr_dedup" ->
+      s"""WITH bkt AS (
+        |  SELECT doc_id, text,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(doc_id % greatest(len(text), 1) AS INT)) || 'Z'
+        |      || substr(text, CAST(doc_id % greatest(len(text), 1) AS INT) + 2) AS text
+        |  FROM bkt WHERE bkt >= 800),
+        |hb AS ${dhashSqlOver("documents")},
+        |hd AS ${dhashSqlOver("m")},
+        |cb AS (
+        |  SELECT doc_id, dh, k AS chunk, (dh >> CAST(k*16 AS INT)) & 65535 AS v
+        |  FROM hb, range(4) r(k)),
+        |cd AS (
+        |  SELECT doc_id, dh, k AS chunk, (dh >> CAST(k*16 AS INT)) & 65535 AS v
+        |  FROM hd, range(4) r(k)),
+        |p AS (
+        |  SELECT DISTINCT d.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(d.dh, b.dh)) AS INT) AS hamming
+        |  FROM cd d JOIN cb b ON d.chunk = b.chunk AND d.v = b.v)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     // decode stub oracle: width/height/mean_px derive from md5(text)

@@ -330,4 +330,37 @@ class BucketingSpec extends AnyFunSuite {
       assert(r.getLong(0) % 2 == 1 && r.getLong(1) % 2 == 0, r.toString)
     }
   }
+
+  test("incremental image probe reads the dHash index exchange-free") {
+    import graft.operators.{Dedup, Multimodal}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source")
+    Dedup.writeDHashIndex(
+      Multimodal.fromDocuments(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", "source"),
+      "spec_dh_idx", 4)
+    val probe = Dedup.incrementalImageNearDups(
+      Multimodal.fromDocuments(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", "source"),
+      spark.table("spec_dh_idx"))
+    val plan = probe.queryExecution.executedPlan.toString
+    // one (chunk, v) exchange — the delta's; the bucketed index side
+    // must NOT be reshuffled to be probed
+    val cvExchanges = "Exchange hashpartitioning\\(chunk#\\d+".r
+      .findAllIn(plan).size
+    assert(cvExchanges == 1, s"expected 1 (chunk,v) exchange, got $cvExchanges:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    // self-consistency: probing the index's own source images finds
+    // every identity pair at hamming 0
+    val self = Dedup.incrementalImageNearDups(
+      Multimodal.fromDocuments(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", "source"),
+      spark.table("spec_dh_idx"))
+      .where(col("hamming") === 0).collect()
+    val evenIds = docs.where(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evenIds.forall(id => self.exists(r =>
+      r.getLong(0) == id && r.getLong(1) == id)), "identity pairs missing")
+  }
 }
