@@ -51,7 +51,10 @@ object ClusterBench {
     // fingerprints across them; the incremental form additionally
     // writes the bucketed chunk index from one set of executor JVMs
     // and probes it exchange-free from others
-    "mm_dedup", "mm_incr_dedup")
+    "mm_dedup", "mm_incr_dedup",
+    // frame-level (video) near-dup: the frame-slicing mapPartitions
+    // closure + the fingerprint shuffle across real executor JVMs
+    "mm_frame_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

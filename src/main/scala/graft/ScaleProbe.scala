@@ -34,6 +34,7 @@ object ScaleProbe {
     if (args(0) == "dsir") { dsirProbe(args(1)); return }
     if (args(0) == "mmdedup") { mmDedupProbe(args(1)); return }
     if (args(0) == "mmidx") { mmIdxProbe(args(1)); return }
+    if (args(0) == "mmframe") { mmFrameProbe(args(1)); return }
     if (args(0) == "edsel") {
       edSelProbe(args(1), if (args.length > 2) args(2).toInt else 2,
         if (args.length > 3) args(3).toInt else 3); return
@@ -304,6 +305,43 @@ object ScaleProbe {
     println(f"SCALEPROBE mmidx dir=$sfDir base=$nBase delta=$nDelta " +
       f"write=$tWrite%.2f s probeMin=$t%.2f s pairs=$pairs " +
       f"usPerDelta=${t * 1e6 / math.max(1, nDelta)}%.2f")
+    spark.stop()
+  }
+
+  /** `mmframe <sfDir>`: frame-level near-dup decade shape — the
+    * mm_frame_dedup gate corpus (docs + mutants, 32-byte frames,
+    * stride 1), split into the fingerprint map pass and the
+    * frame-hash shuffle + pair expansion. Warm min-of-2. */
+  private def mmFrameProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val mut = d.select((col("doc_id") + 100000000L).as("doc_id"),
+      expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+        "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+      col("source"))
+    val media = graft.operators.Multimodal.fromDocuments(
+      d.unionByName(mut), "doc_id", "text", "source")
+    val nMedia = media.count()
+    val tFp0 = System.nanoTime()
+    graft.operators.Multimodal.frameFingerprints(media, 32, 1)
+      .write.format("noop").mode("overwrite").save()
+    val tFp = (System.nanoTime() - tFp0) / 1e9
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.frameNearDupPairs(media,
+        frameBytes = 32, stride = 1, minShared = 2).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val runs = (1 to 2).map(_ => once())
+    require(runs.map(_._2).distinct.size == 1)
+    val (t, pairs) = (runs.map(_._1).min, runs.head._2)
+    println(f"SCALEPROBE mmframe dir=$sfDir media=$nMedia fpPass=$tFp%.2f s " +
+      f"min=$t%.2f s pairs=$pairs usPerPair=${t * 1e6 / math.max(1, pairs)}%.2f " +
+      f"usPerMedia=${t * 1e6 / nMedia}%.2f")
     spark.stop()
   }
 

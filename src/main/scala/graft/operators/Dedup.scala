@@ -589,6 +589,46 @@ object Dedup {
     * at `maxHamming` <= 3); the index side is exchange-free under its
     * bucket layout, only the delta's 4-rows-per-image chunk table
     * shuffles. Output `(id_a, id_b, hamming)`, id_a from the delta. */
+  /** Frame-level near-dup pairs for video/audio payloads — the
+    * shared-scene detector: sample each payload's frames
+    * ([[Multimodal.frameFingerprints]]' stride-chunk law, standing in
+    * for a codec), fingerprint every frame with the SAME dHash grid
+    * law as stills, and pair media sharing at least `minShared`
+    * DISTINCT frame fingerprints, with the count. Two clips that
+    * embed the same scene share that scene's frames however the
+    * surrounding material differs — exactly the evidence a
+    * video-dedup policy acts on, and the frame-granular analogue of
+    * [[duplicateSpanPairs]] (same shape: per-media distinct
+    * fingerprint sets from one map pass, ONE shuffle on the 8-byte
+    * fingerprint, frames shared by more than `maxMediaPerFrame` media
+    * dropped before the bucket-size² pair expansion — intro/outro
+    * boilerplate frames would go quadratic, the span family's cap
+    * law — and pair counts on output-sized rows). */
+  def frameNearDupPairs(media: DataFrame, frameBytes: Int = 64,
+                        stride: Int = 4, maxMediaPerFrame: Int = 100,
+                        minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared")
+    // cache(): feeds the hot-frame histogram and the pair grouping.
+    val fps = Multimodal.frameFingerprints(media, frameBytes, stride).cache()
+    // Same cap-before-collect law as duplicateSpanPairs: a boilerplate
+    // frame (intro/outro) shared by the whole corpus must be dropped
+    // from the map-side-combined histogram, never collected. Measured
+    // at the sf10 decade: 143 s → the post-collect form let single
+    // tasks materialize the hot frames' full id lists.
+    val hot = fps.groupBy("fh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxMediaPerFrame).select("fh")
+    val parts = ExplosiveJoin.pinnedParts(fps)
+    val grouped = fps.join(broadcast(hot), Seq("fh"), "left_anti")
+      .repartition(parts, col("fh"))
+      .groupBy("fh").agg(collect_list(col("media_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+    grouped.select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def incrementalImageNearDups(delta: DataFrame, index: DataFrame,
                                maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
@@ -1041,14 +1081,29 @@ object Dedup {
     // to the Column chain array_distinct(transform(wordNgrams(...),
     // md5-15)), spec-pinned); the Column form paid per-window string
     // concat + hex conv parsing on top of the digest.
+    // cache(): the span rows feed the hot-span histogram AND the
+    // pair grouping (query-scoped, the fingerprintJaccardPairs
+    // contract).
     val spans = Repartition.forCompute(df)
       .select(col(idCol),
         explode(graft.functions.NativeExprs.spanHashesNative(
           col(textCol), n)).as("h"))
+      .cache()
+    // Cap BEFORE collect_list, not after: the over-cap spans are few
+    // by construction (broadcastable at any scale), and filtering
+    // them post-collect would have ONE task materialize a hot
+    // boilerplate span's entire id list (10^8 ids at 100 TB) just to
+    // throw it away — measured 3× per-pair cost step-up on the frame
+    // sibling of this operator at the sf10 decade before the fix.
+    // The count histogram partial-aggregates map-side, so the hot
+    // span itself ships one row per partition.
+    val hot = spans.groupBy("h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxDocsPerSpan).select("h")
     val parts = ExplosiveJoin.pinnedParts(spans)
-    val grouped = spans.repartition(parts, col("h"))
+    val grouped = spans.join(broadcast(hot), Seq("h"), "left_anti")
+      .repartition(parts, col("h"))
       .groupBy("h").agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")).between(2, maxDocsPerSpan))
+      .where(size(col("ids")) >= 2)
     grouped.select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))

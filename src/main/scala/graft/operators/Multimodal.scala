@@ -62,12 +62,32 @@ object Multimodal {
     * ImageIO's disk cache is disabled once per JVM: a temp-file write
     * per decoded row would turn a CPU-bound map stage into an IO-bound
     * one. */
+  /** Magic-byte gate for the decode attempt: PNG/JPEG/GIF/BMP/TIFF —
+    * every format the JDK's ImageIO ships a reader for except the
+    * magic-less WBMP (whose reader "detects" by heuristic; a corpus
+    * relying on WBMP should decode explicitly). Probing ImageIO's
+    * reader registry costs an ImageInputStream + per-reader sniff PER
+    * PAYLOAD, which at frame granularity dominated the fingerprint
+    * pass (measured on mm_frame_dedup: ~100k opaque chunks/sf0.1 all
+    * paying a guaranteed-failure probe). The gate never changes a
+    * result: bytes without these magics are exactly the bytes every
+    * registered reader rejects, so both paths fall back identically. */
+  private[operators] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 0x2a && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 0x2a))
+
   private[operators] def decodeOne(content: Array[Byte]): (Int, Int, Double) = {
     // NonFatal, not just IOException: a truncated/corrupt payload can
     // surface as a codec RuntimeException, and one bad blob in a
     // billion-row scan must degrade to the stub, not kill the stage.
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (!looksLikeImage(content)) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) fakeDecode(content)
     else {
@@ -225,7 +245,8 @@ object Multimodal {
   private[graft] def grayGrid(content: Array[Byte]): Array[Int] = {
     val cells = new Array[Int](DHashCols * DHashRows)
     val img =
-      try {
+      if (!looksLikeImage(content)) null
+      else try {
         javax.imageio.ImageIO.setUseCache(false)
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       } catch { case scala.util.control.NonFatal(_) => null }
@@ -305,6 +326,49 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { row =>
             Row(row.getLong(0), dHash64(grayGrid(row.getAs[Array[Byte]](1))))
+          }
+        }
+      }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Per-frame dHash fingerprints `(media_id, fh)` — the DISTINCT
+    * fingerprint set of each payload's sampled frames, in one pure
+    * map pass (the frame slicing happens in-JVM against the byte
+    * array; no binary frame ever rides a shuffle — the same
+    * never-ship-the-payload law as the span-dedup family). Frame law
+    * mirrors [[sampleFrames]] exactly: chunk indices
+    * `0 .. max(len/frameBytes − 1, 0)`, every `stride`-th kept, frame
+    * = bytes `[i·fb, min(i·fb+fb, len))` (the whole payload when
+    * shorter than one frame; an empty payload yields the all-zero
+    * grid). Each frame takes the SAME [[grayGrid]]→[[dHash64]] law as
+    * stills — a production frame that is itself a decodable image
+    * gets real pixel pooling, the stub's opaque chunks take the
+    * byte-pool fallback. */
+  def frameFingerprints(media: DataFrame, frameBytes: Int = 64,
+                        stride: Int = 4, batchSize: Int = 256): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1, s"frameBytes=$frameBytes stride=$stride")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fh", LongType, nullable = false)))
+    val rdd = Repartition.forCompute(media.select("media_id", "content"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { row =>
+            val id = row.getLong(0)
+            val bytes = row.getAs[Array[Byte]](1)
+            val nIdx = math.max(bytes.length / frameBytes, 1)
+            val fhs = scala.collection.mutable.LinkedHashSet.empty[Long]
+            var i = 0
+            while (i < nIdx) {
+              if (i % stride == 0) {
+                val lo = i * frameBytes
+                val hi = math.min(lo + frameBytes, bytes.length)
+                fhs += dHash64(grayGrid(java.util.Arrays.copyOfRange(bytes, lo, hi)))
+              }
+              i += 1
+            }
+            fhs.iterator.map(fh => Row(id, fh))
           }
         }
       }

@@ -1139,6 +1139,24 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
+    // Frame-level (video) near-dup: sample every 32-byte frame of
+    // each payload (stride 1 — the corpus's docs are short; a real
+    // video pipeline strides), dHash each frame, pair media sharing
+    // >= 2 distinct frame fingerprints — the shared-scene law. The
+    // planted mutant differs in exactly one frame, so it shares all
+    // the others with its original.
+    "mm_frame_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+          "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+        col("source"))
+      val media = Multimodal.fromDocuments(d.unionByName(mut),
+        "doc_id", "text", "source")
+      Dedup.frameNearDupPairs(media, frameBytes = 32, stride = 1,
+        minShared = 2)
+    }),
+
     // Incremental image dedup: persist the dHash chunk index over the
     // full corpus (bucketed by the pigeonhole key — probes read it
     // exchange-free), then probe a delta of mutated copies of the
@@ -3236,6 +3254,33 @@ object PipelineQueries {
         |    CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // frame-dedup oracle: slice every doc (and its mutant) into the
+    // engine's exact frame law (chunk indices 0..max(len/32 - 1, 0),
+    // stride 1), fingerprint each frame with the shared dhash SQL,
+    // DISTINCT per media, cap frames shared by > 100 media, pair and
+    // count. Pure integer SQL end to end.
+    "mm_frame_dedup" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, CAST(doc_id % greatest(len(text), 1) AS INT)) || 'Z'
+        |      || substr(text, CAST(doc_id % greatest(len(text), 1) AS INT) + 2)
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(list_transform(range(greatest(len(text)//32, 1)),
+        |    i -> substr(text, CAST(i*32+1 AS INT), 32))) AS text
+        |  FROM m),
+        |h AS ${dhashSqlOver("fr")},
+        |hd AS (SELECT DISTINCT doc_id, dh FROM h),
+        |keep AS (SELECT dh FROM hd GROUP BY dh HAVING count(*) BETWEEN 2 AND 100),
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM hd x JOIN hd y ON x.dh = y.dh AND x.doc_id < y.doc_id
+        |  JOIN keep k ON x.dh = k.dh)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
     // incremental image-dedup oracle: base fingerprints from the full
     // corpus, delta fingerprints from the mutated 20% slice (same

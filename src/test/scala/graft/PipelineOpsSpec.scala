@@ -3014,4 +3014,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(want.exists(p => p._1 == 1L && p._2 == 101L))
     assert(!want.exists(p => p._1 < 6L && p._2 < 6L))
   }
+
+  // ---- frame-level (video) near-dup: planted shared scenes --------------
+
+  test("frameNearDupPairs: media sharing a frame-aligned scene pair; serial frame-set oracle agrees") {
+    val rnd = new scala.util.Random(23)
+    val fb = 16
+    def frames(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n * fb); rnd.nextBytes(a); a
+    }
+    // a 3-frame "scene" embedded frame-aligned in two different clips,
+    // a third clip sharing nothing, a fourth sharing only ONE frame
+    // (below minShared)
+    val scene = frames(3)
+    val clipA = frames(2) ++ scene ++ frames(2)
+    val clipB = frames(4) ++ scene ++ frames(1)
+    val clipC = frames(7)
+    val clipD = frames(3) ++ scene.take(fb) ++ frames(3)
+    val media = Seq((0L, clipA), (1L, clipB), (2L, clipC), (3L, clipD))
+    val df = media.toDF("media_id", "content")
+    val stride = 1
+    // independent serial oracle: the documented frame law + the
+    // serial grid/dhash from the image test, distinct sets, pair
+    // counts
+    def serialFrameSet(bytes: Array[Byte]): Set[Long] = {
+      val nIdx = math.max(bytes.length / fb, 1)
+      (0 until nIdx).filter(_ % stride == 0).map { i =>
+        val lo = i * fb
+        val hi = math.min(lo + fb, bytes.length)
+        val chunk = java.util.Arrays.copyOfRange(bytes, lo, hi)
+        // byte-pool grid law (no codec for noise bytes), then dhash
+        val cells = new Array[Int](72)
+        if (chunk.nonEmpty) {
+          for (c <- 0 until 72) {
+            val l = c * chunk.length / 72
+            val h = math.max((c + 1) * chunk.length / 72, l + 1)
+            cells(c) = ((l until h).map(j => (chunk(j) & 0xff).toLong).sum / (h - l)).toInt
+          }
+        }
+        (0 until 64).foldLeft(0L) { (fp, k) =>
+          if (cells(k / 8 * 9 + k % 8) < cells(k / 8 * 9 + k % 8 + 1)) fp | (1L << k) else fp
+        }
+      }.toSet
+    }
+    val sets = media.map { case (id, b) => (id, serialFrameSet(b)) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib
+      shared = (sa & sb).size if shared >= 2
+    } yield (ia, ib, shared.toLong)).toSet
+    val got = graft.operators.Dedup.frameNearDupPairs(df, frameBytes = fb,
+        stride = stride, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the plant must surface with the full scene count, and the
+    // one-frame overlap must NOT
+    assert(want.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 3L))
+    assert(!want.exists(p => p._2 == 2L || p._1 == 2L))
+    assert(!want.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
