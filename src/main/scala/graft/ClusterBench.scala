@@ -53,8 +53,10 @@ object ClusterBench {
     // and probes it exchange-free from others
     "mm_dedup", "mm_incr_dedup",
     // frame-level (video) near-dup: the frame-slicing mapPartitions
-    // closure + the fingerprint shuffle across real executor JVMs
-    "mm_frame_dedup")
+    // closure + the fingerprint shuffle across real executor JVMs;
+    // the survivors composition adds the driver-side CC fold over
+    // executor-produced pair edges
+    "mm_frame_dedup", "mm_survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1157,6 +1157,25 @@ object PipelineQueries {
         minShared = 2)
     }),
 
+    // Image-dedup POLICY end to end: dHash near-dup pairs → connected
+    // components → min-id survivor per cluster — the media analogue
+    // of dd_survivors, so a user gets the kept-set directly, not just
+    // the pair evidence.
+    "mm_survivors" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val mut = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+          "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))").as("text"),
+        col("source"))
+      val all = d.unionByName(mut)
+      val pairs = Dedup.imageNearDupPairs(
+        Multimodal.fromDocuments(all, "doc_id", "text", "source"),
+        maxHamming = 3).select("id_a", "id_b")
+      graft.operators.ConnectedComponents
+        .dropNearDuplicates(all, "doc_id", pairs)
+        .select("doc_id")
+    }),
+
     // Incremental image dedup: persist the dHash chunk index over the
     // full corpus (bucketed by the pigeonhole key — probes read it
     // exchange-free), then probe a delta of mutated copies of the
@@ -3254,6 +3273,37 @@ object PipelineQueries {
         |    CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // mm_survivors oracle: the mm_dedup pair pipeline feeding the
+    // dd_survivors recursive-CC survivor law (keep node == component
+    // min) over the doc+mutant id space.
+    "mm_survivors" ->
+      s"""WITH RECURSIVE m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, CAST(doc_id % greatest(len(text), 1) AS INT)) || 'Z'
+        |      || substr(text, CAST(doc_id % greatest(len(text), 1) AS INT) + 2)
+        |  FROM documents),
+        |h AS ${dhashSqlOver("m")},
+        |c AS (
+        |  SELECT doc_id, dh, k AS chunk, (dh >> CAST(k*16 AS INT)) & 65535 AS v
+        |  FROM h, range(4) r(k)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT m.doc_id FROM m
+        |WHERE m.doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
+        |ORDER BY 1""".stripMargin,
 
     // frame-dedup oracle: slice every doc (and its mutant) into the
     // engine's exact frame law (chunk indices 0..max(len/32 - 1, 0),
