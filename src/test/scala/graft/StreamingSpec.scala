@@ -581,4 +581,63 @@ class StreamingSpec extends AnyFunSuite {
     // same generation passes silently
     EventStreams.checkStateVersion(EventStreams.StateSchemaVersion, "SessionState")
   }
+
+  test("streaming image dedup: foreachBatch over the persisted dHash index equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+
+    // standing media corpus (text-backed payloads) with planted
+    // near-dup partners for the stream: same-length one-char edits,
+    // the pooled-grid-local mutation the image gates use
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def doc(): String =
+      Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val baseRows = (0L until 20L).map(i => (i, doc()))
+    def media(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.fromDocuments(df.withColumn("src", lit("s")),
+        "doc_id", "text", "src")
+    val baseDf = baseRows.toDF("doc_id", "text")
+    Dedup.writeDHashIndex(media(baseDf), "t_stream_dh", 4)
+
+    val deltaRows = (0L until 5L).map { i =>
+      val chars = baseRows(i.toInt)._2.toCharArray
+      chars(7 + i.toInt) = 'Z'
+      StreamDoc(100L + i, ts(i), new String(chars))
+    } :+ StreamDoc(200L, ts(9), doc())
+    val input = MemoryStream[StreamDoc]
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    // same production shape as the fuzzy sweep: the candidate join
+    // needs a distinct over chunk collisions (not stream-native in
+    // append mode), so foreachBatch runs the BATCH probe per
+    // micro-batch against the static bucketed index
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Dedup.incrementalImageNearDups(
+              media(batch.select("doc_id", "text")), spark.table("t_stream_dh"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(deltaRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(deltaRows.drop(2): _*)
+      q.processAllAvailable()
+      val want = Dedup.incrementalImageNearDups(
+          media(deltaRows.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")),
+          spark.table("t_stream_dh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.toSet == want)
+      // every planted partner must pair with its base original
+      (0L until 5L).foreach { i =>
+        assert(want.exists(p => p._1 == 100L + i && p._2 == i),
+          s"plant $i missing from $want")
+      }
+    } finally q.stop()
+  }
 }
