@@ -56,7 +56,10 @@ object ClusterBench {
     // closure + the fingerprint shuffle across real executor JVMs;
     // the survivors composition adds the driver-side CC fold over
     // executor-produced pair edges
-    "mm_frame_dedup", "mm_survivors")
+    "mm_frame_dedup", "mm_survivors",
+    // image ANN: the feature-extraction mapPartitions closure + the
+    // broadcast query set + rank window across real executor JVMs
+    "mm_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1198,6 +1198,25 @@ object PipelineQueries {
         s.table("g_dh_idx"))
     }),
 
+    // Image similarity search end to end: payload → decoded-stat
+    // Rademacher features (the mm_features law, recovered onto the
+    // exact milli-integer grid so engine and oracle rank the same
+    // vectors) → brute-force cosine top-5 per query image — the
+    // multimodal × similarity composition a media search needs. The
+    // query set broadcasts; the corpus streams (the knn_cosine plan).
+    "mm_knn" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
+      val iv = Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), expr(
+          "transform(features, x -> cast(round(cast(x as double) * 1000) as double))")
+          .as("v"))
+      val q = iv.where(col("media_id") % 50 === 0)
+        .select(col("media_id").as("qid"), col("v").as("vec"))
+      val c = iv.select(col("media_id").as("id"), col("v").as("vec"))
+      Similarity.cosineTopK(q, c, k = 5)
+        .select(col("qid"), col("id"), col("rk"))
+    }),
+
     // Multimodal plumbing: binary payload → stub decode → aggregate.
     "mm_decode_stats" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(docs(s, dir), "doc_id", "text", "source")
@@ -3273,6 +3292,27 @@ object PipelineQueries {
         |    CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // mm_knn oracle: the mm_features integer-milli vectors (the
+    // shared mmFeaturesOracle chain as a derived table) through the
+    // knn_cosine brute-force law — same sequential double sums, same
+    // 9-dp sim round, same (sim desc, id) rank.
+    "mm_knn" ->
+      s"""WITH f AS (
+        |  SELECT media_id, [f0, f1, f2, f3, f4, f5, f6, f7] AS v
+        |  FROM (${mmFeaturesOracle.replace("\n", "\n        |  ")}) t),
+        |n AS (
+        |  SELECT media_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM f),
+        |pairs AS (
+        |  SELECT q.media_id AS qid, c.media_id AS id,
+        |    round(list_sum(list_transform(range(1, 9),
+        |          i -> q.v[i]::DOUBLE * c.v[i]::DOUBLE)) / (q.nrm * c.nrm), 9) AS sim
+        |  FROM n q JOIN n c ON q.media_id % 50 = 0 AND c.media_id != q.media_id)
+        |SELECT qid, id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+        |  FROM pairs) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // mm_survivors oracle: the mm_dedup pair pipeline feeding the
     // dd_survivors recursive-CC survivor law (keep node == component
