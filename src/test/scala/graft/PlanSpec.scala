@@ -136,14 +136,17 @@ class PlanSpec extends AnyFunSuite {
     // srch_bm25_bulk (the SAME |Q|×2k pad construction as
     // srch_bm25_idx, with the query ids as a distributed frame — the
     // broadcast side is still the bounded 2k-lowest-id head, so the
-    // join is |Q|·2k rows at any corpus size, never the corpus).
+    // join is |Q|·2k rows at any corpus size, never the corpus) and
+    // mm_knn (knn_cosine's exact plan on image feature vectors: the
+    // deterministic 1-in-50 query subset broadcasts, the corpus side
+    // streams through the WindowGroupLimit partial top-k).
     val boundedCrossJoins =
       Set("knn_cosine", "knn_ivf", "txt_tfidf", "sk_hll", "sk_quant",
         "knn_pq", "knn_ivfpq", "q_profile_cat", "txt_unigram_lm",
         "txt_ppl_buckets", "pipe_curation", "q_temp_mix",
         "knn_recall", "q_histogram", "srch_bm25", "srch_rrf",
         "knn_ivf_idx", "sk_hll_setops", "pipe_retrieval",
-        "srch_bm25_idx", "srch_bm25_bulk")
+        "srch_bm25_idx", "srch_bm25_bulk", "mm_knn")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !boundedCrossJoins(name)) {
       val p = try physical(fn(spark, dir)) catch { case _: Throwable => "" }
