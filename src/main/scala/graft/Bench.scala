@@ -12,6 +12,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    graft.queries.GateTables.sweepStale(spark)
     // JVM/codegen warmup so the first measured query isn't charged for it.
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()

@@ -543,9 +543,12 @@ object Dedup {
     * only stage that touches payload bytes), then the join runs on an
     * 8-byte-per-image table. Guaranteed recall at `maxHamming` <= 3
     * (the pigeonhole bound), exact verification always. */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // guaranteed-recall entry point (see incrementalImageNearDups)
+    require(maxHamming <= 3, "guaranteed-recall entry point: maxHamming <= 3")
     hammingPairs64(Multimodal.dhashFingerprints(media),
       "media_id", "dhash", maxHamming)
+  }
 
   /** The 4×16-bit pigeonhole chunk rows of a 64-bit fingerprint frame
     * — `(idCol, __fp, chunk, v)`, one row per chunk — shared by
@@ -579,16 +582,6 @@ object Dedup {
           col("__fp").as("dhash")),
       table, buckets, Seq("chunk", "v"))
 
-  /** Image near-dups of a delta batch vs a persisted
-    * [[writeDHashIndex]] table: every (delta, base) pair within
-    * `maxHamming` — the incremental-ingest form of
-    * [[imageNearDupPairs]], costing O(delta × chunk-collision rate)
-    * per sweep instead of another full self-join. The delta is
-    * fingerprinted with the same law the index was written with, so
-    * it collides exactly where a self-join would (guaranteed recall
-    * at `maxHamming` <= 3); the index side is exchange-free under its
-    * bucket layout, only the delta's 4-rows-per-image chunk table
-    * shuffles. Output `(id_a, id_b, hamming)`, id_a from the delta. */
   /** Frame-level near-dup pairs for video/audio payloads — the
     * shared-scene detector: sample each payload's frames
     * ([[Multimodal.frameFingerprints]]' stride-chunk law, standing in
@@ -609,6 +602,12 @@ object Dedup {
                         minShared: Int = 2): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared")
     // cache(): feeds the hot-frame histogram and the pair grouping.
+    // QUERY-SCOPED — the returned plan is lazy, so the operator cannot
+    // unpersist it itself (an in-operator finally would void the cache
+    // before the caller's action and re-pay the decode pass per
+    // branch). Session composers: clearCache() between sweeps (as
+    // Bench does) or CacheBridge.unpersistPlanCaches(result) after
+    // consuming — releases exactly this plan's pins.
     val fps = Multimodal.frameFingerprints(media, frameBytes, stride).cache()
     // Same cap-before-collect law as duplicateSpanPairs: a boilerplate
     // frame (intro/outro) shared by the whole corpus must be dropped
@@ -629,9 +628,22 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Image near-dups of a delta batch vs a persisted
+    * [[writeDHashIndex]] table: every (delta, base) pair within
+    * `maxHamming` — the incremental-ingest form of
+    * [[imageNearDupPairs]], costing O(delta × chunk-collision rate)
+    * per sweep instead of another full self-join. The delta is
+    * fingerprinted with the same law the index was written with, so
+    * it collides exactly where a self-join would (guaranteed recall
+    * at `maxHamming` <= 3); the index side is exchange-free under its
+    * bucket layout, only the delta's 4-rows-per-image chunk table
+    * shuffles. Output `(id_a, id_b, hamming)`, id_a from the delta. */
   def incrementalImageNearDups(delta: DataFrame, index: DataFrame,
                                maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4 * 4, "pigeonhole blocking assumes maxHamming < 16")
+    // this entry point advertises GUARANTEED recall — the 4x16-bit
+    // pigeonhole only guarantees a shared chunk for Hamming <= 3; the
+    // best-effort 4..15 regime lives in simhashNearDupPairs alone
+    require(maxHamming <= 3, "guaranteed-recall entry point: maxHamming <= 3")
     val d = chunked64(Multimodal.dhashFingerprints(delta), "media_id", "dhash")
       .select(col("media_id").as("id_a"), col("__fp").as("fp_a"),
         col("chunk"), col("v"))
@@ -1181,11 +1193,25 @@ object Dedup {
   def writeMinHashIndex(df: DataFrame, idCol: String, textCol: String,
                         table: String, buckets: Int,
                         numHashes: Int = 128, bands: Int = 32,
-                        rowsPerBand: Int = 4, shingleK: Int = 8): Unit =
-    graft.sources.Sinks.writeBucketed(
+                        rowsPerBand: Int = 4, shingleK: Int = 8,
+                        statsBroadcast: Boolean = true): Unit =
+    try graft.sources.Sinks.writeBucketed(
       minhashIndexFrame(df, idCol, textCol, numHashes, bands, rowsPerBand,
-        shingleK),
+        shingleK, statsBroadcast),
       table, buckets, Seq("band", "bucket"))
+    catch {
+      // The colliding-bucket bsz table is broadcast (one exchange of
+      // the band rows instead of two); a pathologically duplicate-
+      // heavy corpus can push it past the broadcast limit — name the
+      // escape hatch instead of surfacing a bare broadcast error.
+      case e: Throwable if Option(e.getMessage).exists(m =>
+          m.toLowerCase(java.util.Locale.ROOT).contains("broadcast")) =>
+        throw new org.apache.spark.SparkException(
+          s"writeMinHashIndex($table): the colliding-bucket stats table " +
+            "exceeded the broadcast limit (duplicate-heavy corpus). " +
+            "Re-run with statsBroadcast = false: a shuffle join computes " +
+            "bsz at the cost of one extra exchange of the band table.", e)
+    }
 
   /** The frame [[writeMinHashIndex]] writes — exposed so PlanSpec /
     * Explain can pin its shape: the index-sized (id, band, bucket)
@@ -1197,16 +1223,21 @@ object Dedup {
     * write's own clustering, added by the insert command. */
   def minhashIndexFrame(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 32,
-                        rowsPerBand: Int = 4, shingleK: Int = 8): DataFrame = {
+                        rowsPerBand: Int = 4, shingleK: Int = 8,
+                        statsBroadcast: Boolean = true): DataFrame = {
     val banded = Repartition.forCompute(df).select(col(idCol).as("id"),
       posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
         col(textCol), shingleK, numHashes, bands, rowsPerBand)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     // Colliding buckets only (count >= 2); singletons coalesce to 1 so
     // the broadcast is candidate-bucket-sized, not index-sized.
+    // statsBroadcast = false is the duplicate-heavy escape hatch: the
+    // planner shuffle-joins bsz back (one extra band-table exchange)
+    // instead of failing at the broadcast limit.
     val sizes = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bsz")).where(col("__bsz") >= 2)
-    banded.join(broadcast(sizes), Seq("band", "bucket"), "left")
+    val stats = if (statsBroadcast) broadcast(sizes) else sizes
+    banded.join(stats, Seq("band", "bucket"), "left")
       .select(col("id"), col("band"), col("bucket"),
         coalesce(col("__bsz"), lit(1L)).as("bsz"))
   }

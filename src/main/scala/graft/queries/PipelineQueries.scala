@@ -548,9 +548,9 @@ object PipelineQueries {
     "dd_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
-      Dedup.writeDigestIndex(d.where(bkt < 800), "doc_id", "text", "g_dd_idx", 8)
+      Dedup.writeDigestIndex(d.where(bkt < 800), "doc_id", "text", GateTables.name("g_dd_idx"), 8)
       Dedup.incrementalNewUniques(d.where(bkt >= 800), "doc_id", "text",
-          s.table("g_dd_idx"))
+          s.table(GateTables.name("g_dd_idx")))
         .select(col("keep_id").as("doc_id"), col("digest"), col("n"))
     }),
 
@@ -566,9 +566,9 @@ object PipelineQueries {
       val d = docs(s, dir)
       val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
       Dedup.writeMinHashIndex(d.where(bkt < 800), "doc_id", "text",
-        "g_mh_idx", 8)
+        GateTables.name("g_mh_idx"), 8)
       Dedup.incrementalNearDupPairs(d.where(bkt >= 800), "doc_id", "text",
-        s.table("g_mh_idx"), d.where(bkt < 800), threshold = 0.7)
+        s.table(GateTables.name("g_mh_idx")), d.where(bkt < 800), threshold = 0.7)
     }),
 
     // The production daily sweep end-to-end: cross-dedup the delta
@@ -583,9 +583,9 @@ object PipelineQueries {
       val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
       val base = d.where(bkt < 800)
       val delta = d.where(bkt >= 800)
-      Dedup.writeMinHashIndex(base, "doc_id", "text", "g_mh_idx2", 8)
+      Dedup.writeMinHashIndex(base, "doc_id", "text", GateTables.name("g_mh_idx2"), 8)
       val crossDup = Dedup.incrementalNearDupPairs(delta, "doc_id", "text",
-          s.table("g_mh_idx2"), base, threshold = 0.7)
+          s.table(GateTables.name("g_mh_idx2")), base, threshold = 0.7)
         .select(col("id_a").as("doc_id")).distinct()
       // cache(): fresh feeds the within-delta banding, the verify
       // text joins, and the survivor anti-join — uncached, each
@@ -629,8 +629,8 @@ object PipelineQueries {
     // pinned against the same oracle.
     "srch_bm25_idx" -> ((s, dir) => {
       graft.operators.Search.writeBm25Index(docs(s, dir), "doc_id", "text",
-        "g_bm25", 8)
-      graft.operators.Search.bm25TopKFromIndex(s, "g_bm25",
+        GateTables.name("g_bm25"), 8)
+      graft.operators.Search.bm25TopKFromIndex(s, GateTables.name("g_bm25"),
         vocabQueries(s, dir), 5)
     }),
 
@@ -641,8 +641,8 @@ object PipelineQueries {
     // result-identical by design).
     "srch_bm25_bulk" -> ((s, dir) => {
       graft.operators.Search.writeBm25Index(docs(s, dir), "doc_id", "text",
-        "g_bm25b", 8)
-      graft.operators.Search.bm25TopKFromIndexBulk(s, "g_bm25b",
+        GateTables.name("g_bm25b"), 8)
+      graft.operators.Search.bm25TopKFromIndexBulk(s, GateTables.name("g_bm25b"),
         vocabQueries(s, dir), 5)
     }),
 
@@ -852,11 +852,11 @@ object PipelineQueries {
     "knn_ivf_idx" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.writeIvfIndex(e, "vec_id", "embedding", nCells = 8,
-        "g_ivf_cent", "g_ivf_asg", buckets = 8)
+        GateTables.name("g_ivf_cent"), GateTables.name("g_ivf_asg"), buckets = 8)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
-      Similarity.ivfTopKFromIndex(q, s.table("g_ivf_cent"),
-          s.table("g_ivf_asg"), k = 3, nprobe = 2)
+      Similarity.ivfTopKFromIndex(q, s.table(GateTables.name("g_ivf_cent")),
+          s.table(GateTables.name("g_ivf_asg")), k = 3, nprobe = 2)
         .select(col("qid"), col("id"), col("rk"))
     }),
 
@@ -1186,7 +1186,7 @@ object PipelineQueries {
       val d = docs(s, dir).select("doc_id", "text", "source")
       Dedup.writeDHashIndex(
         Multimodal.fromDocuments(d, "doc_id", "text", "source"),
-        "g_dh_idx", 8)
+        GateTables.name("g_dh_idx"), 8)
       val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
       val mut = d.where(bkt >= 800).select(
         (col("doc_id") + 1000000L).as("doc_id"),
@@ -1195,7 +1195,7 @@ object PipelineQueries {
         col("source"))
       Dedup.incrementalImageNearDups(
         Multimodal.fromDocuments(mut, "doc_id", "text", "source"),
-        s.table("g_dh_idx"))
+        s.table(GateTables.name("g_dh_idx")))
     }),
 
     // Image similarity search end to end: payload → decoded-stat

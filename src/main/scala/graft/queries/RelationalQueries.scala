@@ -316,10 +316,10 @@ object RelationalQueries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), dec("l_extendedprice").as("price"))
       val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-      graft.sources.Sinks.writeBucketed(li, "g_li_bkt", 8, Seq("l_orderkey"))
-      graft.sources.Sinks.writeBucketed(ord, "g_ord_bkt", 8, Seq("o_orderkey"))
-      s.table("g_li_bkt")
-        .join(s.table("g_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      graft.sources.Sinks.writeBucketed(li, GateTables.name("g_li_bkt"), 8, Seq("l_orderkey"))
+      graft.sources.Sinks.writeBucketed(ord, GateTables.name("g_ord_bkt"), 8, Seq("o_orderkey"))
+      s.table(GateTables.name("g_li_bkt"))
+        .join(s.table(GateTables.name("g_ord_bkt")), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
     }),

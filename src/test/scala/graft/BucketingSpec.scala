@@ -363,4 +363,25 @@ class BucketingSpec extends AnyFunSuite {
     assert(evenIds.forall(id => self.exists(r =>
       r.getLong(0) == id && r.getLong(1) == id)), "identity pairs missing")
   }
+
+  test("GateTables: run-scoped names; sweepStale reclaims dead-pid dirt, keeps live and pidless dirs") {
+    import graft.queries.GateTables
+    val tag = GateTables.runTag
+    assert(GateTables.name("g_mh_idx") == s"g_mh_idx_$tag")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 9999999 exceeds any live pid on this box (ProcessHandle.of ->
+    // empty -> treated dead); our own tag is alive by definition.
+    val dead = new org.apache.hadoop.fs.Path(wh, "g_fake_idx_9999999")
+    val deadDerived = new org.apache.hadoop.fs.Path(wh, "g_fake_bm25_9999999_df")
+    val live = new org.apache.hadoop.fs.Path(wh, s"g_fake_idx_$tag")
+    val pidless = new org.apache.hadoop.fs.Path(wh, "g_mh_idx2")
+    Seq(dead, deadDerived, live, pidless).foreach(fs.mkdirs)
+    GateTables.sweepStale(spark)
+    assert(!fs.exists(dead), "dead-pid gate dir must be swept")
+    assert(!fs.exists(deadDerived), "dead-pid derived (prefix_df) dir must be swept")
+    assert(fs.exists(live), "this run's own tables must survive")
+    assert(fs.exists(pidless), "pidless names never match the sweep shape")
+    Seq(live, pidless).foreach(p => fs.delete(p, true))
+  }
 }

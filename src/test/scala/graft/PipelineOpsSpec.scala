@@ -149,7 +149,9 @@ class PipelineOpsSpec extends AnyFunSuite {
         .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var v = 0L
       for (b <- 0 until 8) v = (v << 8) | (dig(b) & 0xffL)
-      val u = ((v >>> 4) % 9007199254740992L + 0.5) / 9007199254740992.0
+      // modulus 2^53-1, divisor 2^53 — must match Sampling.gumbelTopK:142
+      // and the q_dsir_sample DuckDB oracle exactly (pins the engine law)
+      val u = ((v >>> 4) % 9007199254740991L + 0.5) / 9007199254740992.0
       graft.functions.Quantize.quantizeDouble(-math.log(-math.log(u)), 6)
     }
     val want = rows.map { case (id, w) => (id, w + gumbelMicro(id)) }
@@ -3073,5 +3075,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(want.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 3L))
     assert(!want.exists(p => p._2 == 2L || p._1 == 2L))
     assert(!want.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("CacheBridge.unpersistPlanCaches releases exactly the query-scoped pins of a consumed plan") {
+    import org.apache.spark.sql.graftbridge.CacheBridge
+    spark.catalog.clearCache()
+    // an UNRELATED cache that must survive the surgical release
+    val unrelated = docsDF.select("doc_id").cache()
+    unrelated.count()
+    val media = Multimodal.fromDocuments(docsDF, "doc_id", "text", "text")
+    val result = graft.operators.Dedup.frameNearDupPairs(media,
+      frameBytes = 16, stride = 1, minShared = 2)
+    result.write.format("noop").mode("overwrite").save() // consume
+    assert(spark.sparkContext.getPersistentRDDs.size >= 2,
+      "expected the operator's pin + the unrelated pin")
+    val released = CacheBridge.unpersistPlanCaches(result)
+    assert(released >= 1, "the operator's fingerprint cache must be found and released")
+    // idempotent: a second call finds nothing
+    assert(CacheBridge.unpersistPlanCaches(result) == 0)
+    // the unrelated cache is untouched — surgical, not clearCache():
+    // releasing it NOW must still find it (and cleans up the fixture)
+    assert(CacheBridge.unpersistPlanCaches(unrelated.toDF()) == 1)
   }
 }
