@@ -31,6 +31,9 @@ object ScaleProbe {
     if (args(0) == "mhidx") {
       mhIdxProbe(args(1), if (args.length > 2) args(2).toInt else 200); return
     }
+    if (args(0) == "idxgrow") {
+      idxGrowProbe(args(1), if (args.length > 2) args(2).toInt else 100); return
+    }
     if (args(0) == "dsir") { dsirProbe(args(1)); return }
     if (args(0) == "mmdedup") { mmDedupProbe(args(1)); return }
     if (args(0) == "mmidx") { mmIdxProbe(args(1)); return }
@@ -263,6 +266,65 @@ object ScaleProbe {
     require(runs.map(_._2).distinct.size == 1)
     println(f"SCALEPROBE mhidx dir=$sfDir idxRows=$idxRows write=$tWrite%.2f s " +
       f"probeMin=${runs.map(_._1).min}%.2f s pairs=${runs.head._2}")
+    spark.stop()
+  }
+
+  /** `idxgrow <sfDir> [deltaPermille]`: price the three ways a day's
+    * delta reaches the standing MinHash index — the r13 contract's
+    * hidden daily cost vs the r14 lifecycle ops:
+    *   rewrite = writeMinHashIndex over base+delta (O(corpus) text
+    *             re-banded + full index rewritten — what every sweep
+    *             implicitly paid before append existed);
+    *   append  = appendToMinHashIndex(delta) (O(delta) text + one
+    *             histogram scan);
+    *   compact = compactMinHashIndex (O(index 4-long rows), ZERO
+    *             text — the occasional fold, amortized across many
+    *             appends).
+    * Also probes the grown and rewritten indexes and requires equal
+    * pair counts (the lifecycle gate's equality, rehearsed at the
+    * decade). */
+  private def idxGrowProbe(sfDir: String, deltaPermille: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(deltaPermille > 0 && deltaPermille < 1000, s"deltaPermille=$deltaPermille")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val cut = 1000 - 2 * deltaPermille
+    val base = docs.where(bkt < cut)
+    val delta = docs.where(bkt >= cut && bkt < cut + deltaPermille)
+    val probeSet = docs.where(bkt >= cut + deltaPermille)
+    val merged = docs.where(bkt < cut + deltaPermille)
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val (tBuild, _) = timed(graft.operators.IndexLifecycle
+      .writeGrowableMinHashIndex(base, "doc_id", "text", "probe_mh_grow", 8))
+    val (tAppend, _) = timed(graft.operators.IndexLifecycle
+      .appendToMinHashIndex(delta, "doc_id", "text", "probe_mh_grow"))
+    val (tRewrite, _) = timed(graft.operators.Dedup
+      .writeMinHashIndex(merged, "doc_id", "text", "probe_mh_rw", 8))
+    val (tProbeG, nG) = timed(graft.operators.IndexLifecycle
+      .probeStandingMinHashIndex(probeSet, "doc_id", "text",
+        "probe_mh_grow", merged, threshold = 0.7).count())
+    val (tProbeR, nR) = timed(graft.operators.Dedup
+      .incrementalNearDupPairs(probeSet, "doc_id", "text",
+        spark.table("probe_mh_rw"), merged, threshold = 0.7).count())
+    require(nG == nR, s"grown=$nG rewrite=$nR must agree")
+    val (tCompact, _) = timed(graft.operators.IndexLifecycle
+      .compactMinHashIndex(spark, "probe_mh_grow", 8))
+    val (tProbeC, nC) = timed(graft.operators.IndexLifecycle
+      .probeStandingMinHashIndex(probeSet, "doc_id", "text",
+        "probe_mh_grow", merged, threshold = 0.7).count())
+    require(nC == nR, s"compacted=$nC rewrite=$nR must agree")
+    val idxRows = spark.table("probe_mh_grow").count()
+    println(f"SCALEPROBE idxgrow dir=$sfDir deltaPermille=$deltaPermille " +
+      f"idxRows=$idxRows build=$tBuild%.2f append=$tAppend%.2f " +
+      f"rewrite=$tRewrite%.2f compact=$tCompact%.2f " +
+      f"probeGrown=$tProbeG%.2f probeRewrite=$tProbeR%.2f " +
+      f"probeCompacted=$tProbeC%.2f pairs=$nG")
     spark.stop()
   }
 

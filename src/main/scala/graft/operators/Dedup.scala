@@ -576,11 +576,16 @@ object Dedup {
     * has no boilerplate-bucket pathology worth a write-time stat —
     * the exact Hamming verify in the probe projection is the cap. */
   def writeDHashIndex(media: DataFrame, table: String, buckets: Int): Unit =
-    graft.sources.Sinks.writeBucketed(
-      chunked64(Multimodal.dhashFingerprints(media), "media_id", "dhash")
-        .select(col("chunk"), col("v"), col("media_id").as("id"),
-          col("__fp").as("dhash")),
+    graft.sources.Sinks.writeBucketed(dhashIndexFrame(media),
       table, buckets, Seq("chunk", "v"))
+
+  /** The `(chunk, v, id, dhash)` rows [[writeDHashIndex]] persists —
+    * shared with [[IndexLifecycle.appendToDHashIndex]] so appended
+    * generations hash into the index's exact chunk space. */
+  private[operators] def dhashIndexFrame(media: DataFrame): DataFrame =
+    chunked64(Multimodal.dhashFingerprints(media), "media_id", "dhash")
+      .select(col("chunk"), col("v"), col("media_id").as("id"),
+        col("__fp").as("dhash"))
 
   /** Frame-level near-dup pairs for video/audio payloads — the
     * shared-scene detector: sample each payload's frames
@@ -1221,14 +1226,44 @@ object Dedup {
     * COUNTS (collision-bucket-sized), broadcast-joined back as `bsz`.
     * The single index-sized shuffle of the write path is the bucketed
     * write's own clustering, added by the insert command. */
+  /** The fused text→(band, bucket) rows every MinHash index path
+    * shares — self-join, index write, delta append, and standing-index
+    * probe all hash into the SAME bucket space because they all come
+    * through here. */
+  private[operators] def bandRows(df: DataFrame, idCol: String,
+                                  textCol: String, numHashes: Int,
+                                  bands: Int, rowsPerBand: Int,
+                                  shingleK: Int,
+                                  outIdCol: String = "id"): DataFrame =
+    Repartition.forCompute(df).select(col(idCol).as(outIdCol),
+      posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
+        col(textCol), shingleK, numHashes, bands, rowsPerBand)))
+      .select(col(outIdCol), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs:
+    * join the texts back by id and keep pairs at or above `threshold`
+    * — the shared tail of [[incrementalNearDupPairs]] and the
+    * standing-index probe ([[IndexLifecycle.probeStandingMinHashIndex]]). */
+  private[operators] def verifyJaccardPairs(cands: DataFrame,
+                                            delta: DataFrame, idCol: String,
+                                            textCol: String, base: DataFrame,
+                                            threshold: Double,
+                                            shingleK: Int): DataFrame = {
+    val ta = delta.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    cands.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"), round(
+        graft.functions.NativeExprs.jaccardTextsNative(
+          col("__ta"), col("__tb"), shingleK), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   def minhashIndexFrame(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 32,
                         rowsPerBand: Int = 4, shingleK: Int = 8,
                         statsBroadcast: Boolean = true): DataFrame = {
-    val banded = Repartition.forCompute(df).select(col(idCol).as("id"),
-      posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
-        col(textCol), shingleK, numHashes, bands, rowsPerBand)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandRows(df, idCol, textCol, numHashes, bands, rowsPerBand,
+      shingleK)
     // Colliding buckets only (count >= 2); singletons coalesce to 1 so
     // the broadcast is candidate-bucket-sized, not index-sized.
     // statsBroadcast = false is the duplicate-heavy escape hatch: the
@@ -1283,20 +1318,12 @@ object Dedup {
                               bands: Int = 32, rowsPerBand: Int = 4,
                               shingleK: Int = 8,
                               maxBucketSize: Int = 1000): DataFrame = {
-    val d = Repartition.forCompute(delta).select(col(idCol).as("id_a"),
-      posexplode(graft.functions.NativeExprs.minhashBandBucketsNative(
-        col(textCol), shingleK, numHashes, bands, rowsPerBand)))
-      .select(col("id_a"), col("pos").as("band"), col("col").as("bucket"))
+    val d = bandRows(delta, idCol, textCol, numHashes, bands, rowsPerBand,
+      shingleK, outIdCol = "id_a")
     val idx = index.where(col("bsz") <= maxBucketSize)
       .select(col("band"), col("bucket"), col("id").as("id_b"))
     val cands = d.join(idx, Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
-    val ta = delta.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
-    val tb = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
-    cands.join(ta, "id_a").join(tb, "id_b")
-      .select(col("id_a"), col("id_b"), round(
-        graft.functions.NativeExprs.jaccardTextsNative(
-          col("__ta"), col("__tb"), shingleK), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verifyJaccardPairs(cands, delta, idCol, textCol, base, threshold, shingleK)
   }
 }

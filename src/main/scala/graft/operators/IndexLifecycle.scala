@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** Multi-day lifecycle of the standing dedup indexes: build once,
+  * APPEND deltas daily, compact occasionally — closing the gap where
+  * the daily incremental sweep silently depended on an O(corpus)
+  * full-index rewrite to fold each day's survivors in
+  * (rewrite-on-compaction was the r13 MinHash index contract, because
+  * that index denormalizes a per-row bucket count `bsz` that appends
+  * would leave generation-scoped and therefore cap-inconsistent).
+  *
+  * The growable MinHash index keeps the band rows append-only and
+  * moves bucket-count truth OUT of the rows into two side tables,
+  * LSM-style:
+  *
+  *  - `<t>_hist` — the generation-0 FULL bucket histogram
+  *    `(band, bucket, bsz)`, bucketed like the index; written at
+  *    build/compaction time by re-counting the 3-long index rows
+  *    (never by re-banding text).
+  *  - `<t>_statlog` — an append-only log of per-APPEND partial counts
+  *    `(band, bucket, n)`; each append writes only ITS delta's
+  *    touched buckets (O(delta) rows).
+  *
+  * A bucket's true current size is `hist ⊕ Σ statlog`, so the
+  * degenerate-bucket cap at probe time is EXACT across generations —
+  * including the pathology that killed naive appends: a bucket
+  * crossing the cap only across appends is dropped whole, never
+  * partially (per-row `bsz` is generation-scoped and advisory on a
+  * grown index; the probe here never reads it).
+  *
+  * Cost model at 100 TB (why each op is shaped this way):
+  *  - append: band the delta (O(delta) text), ONE column-pruned scan
+  *    of `_hist` to fetch old counts of touched buckets (no shuffle —
+  *    the touched set broadcasts), O(delta) appended rows + log rows.
+  *    The probe already scans the whole index every sweep, so a
+  *    3-long-column histogram scan per append is strictly cheaper
+  *    than what every probe pays — and ~3 orders of magnitude cheaper
+  *    than re-banding corpus text.
+  *  - probe: identical to [[Dedup.incrementalNearDupPairs]] except
+  *    the cap comes from `hist ⊕ log` as a broadcast anti-join on the
+  *    DELTA band rows (hot buckets number at most index_rows / cap —
+  *    bounded far below the index, same argument as the write-path
+  *    stats broadcast).
+  *  - compact: re-count + rewrite from the 4-long index rows only —
+  *    O(index), ZERO text; folds the per-append bucket files and the
+  *    statlog, restoring per-row bsz = true count.
+  *
+  * Durability: appends write rows THEN log (a crash between leaves the
+  * log undercounting — [[minhashIndexFsck]] detects, [[compactMinHashIndex]]
+  * repairs); table swaps follow the two-rename law
+  * ([[Sinks.swapInTable]]) with [[Sinks.recoverSwappedTable]] run at
+  * every entry point. Single-writer per index (maintenance-window
+  * contract), readers any time.
+  *
+  * The dHash and digest indexes carry no denormalized stats, so their
+  * appends are plain bucketed inserts ([[appendToDHashIndex]],
+  * [[appendToDigestIndex]]). */
+object IndexLifecycle {
+
+  private def hist(table: String) = s"${table}_hist"
+  private def statlog(table: String) = s"${table}_statlog"
+
+  /** Build the growable index: the standard [[Dedup.writeMinHashIndex]]
+    * band table PLUS the generation-0 full histogram, derived by
+    * re-counting the just-written 3-long rows (exchange-free groupBy
+    * under the bucket layout — the text is banded exactly once). Any
+    * pre-existing statlog is dropped: this is generation 0. */
+  def writeGrowableMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+                                table: String, buckets: Int,
+                                numHashes: Int = 128, bands: Int = 32,
+                                rowsPerBand: Int = 4, shingleK: Int = 8,
+                                statsBroadcast: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    Dedup.writeMinHashIndex(df, idCol, textCol, table, buckets,
+      numHashes, bands, rowsPerBand, shingleK, statsBroadcast)
+    writeHistFromRows(spark, table, hist(table), buckets)
+    Sinks.dropTableAndLocation(spark, statlog(table))
+  }
+
+  private def writeHistFromRows(spark: SparkSession, sourceTable: String,
+                                targetTable: String, buckets: Int): Unit =
+    Sinks.writeBucketed(
+      spark.table(sourceTable).groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bsz")),
+      targetTable, buckets, Seq("band", "bucket"))
+
+  /** 0-row frame with the statlog's exact shape — the no-appends-yet
+    * stand-in (`band` int, `bucket` long, the count column long). */
+  private def emptyLog(spark: SparkSession, countCol: String): DataFrame =
+    spark.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
+      lit(0L).as(countCol))
+
+  /** Fold a day's delta into the standing index WITHOUT rewriting it:
+    * O(delta) appended band rows + O(delta) statlog rows + one
+    * column-pruned histogram scan. Appended rows carry per-row `bsz`
+    * = the bucket's true total AS OF THIS APPEND (write-time truth,
+    * advisory thereafter — the probe derives the cap from hist ⊕ log,
+    * never from row bsz on a grown index). */
+  def appendToMinHashIndex(delta: DataFrame, idCol: String, textCol: String,
+                           table: String, numHashes: Int = 128,
+                           bands: Int = 32, rowsPerBand: Int = 4,
+                           shingleK: Int = 8): Unit = {
+    val spark = delta.sparkSession
+    Sinks.recoverSwappedTable(spark, table)
+    Sinks.recoverSwappedTable(spark, hist(table))
+    val d = Dedup.bandRows(delta, idCol, textCol, numHashes, bands,
+      rowsPerBand, shingleK).cache()
+    try {
+      // this append's touched buckets and their delta counts —
+      // O(delta·bands) rows, the broadcast bound of every join below
+      // (a sweep's delta is small by definition; a "delta" too big to
+      // broadcast its bucket histogram belongs in a build, not an
+      // append)
+      val dCounts = d.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("dn")).cache()
+      try {
+        val touched = dCounts.select("band", "bucket")
+        // old totals for the touched buckets: gen-0 histogram counts
+        // (one 3-long-column scan, broadcast join, no shuffle) plus
+        // prior appends' partials from the (small) statlog
+        val oldHist = spark.table(hist(table))
+          .join(broadcast(touched), Seq("band", "bucket"))
+          .select(col("band"), col("bucket"), col("bsz").as("__h"))
+        val oldLog =
+          if (spark.catalog.tableExists(statlog(table)))
+            spark.table(statlog(table))
+              .join(broadcast(touched), Seq("band", "bucket"))
+              .groupBy("band", "bucket").agg(sum("n").as("__l"))
+          else emptyLog(spark, "__l")
+        val merged = dCounts
+          .join(oldHist, Seq("band", "bucket"), "left")
+          .join(oldLog, Seq("band", "bucket"), "left")
+          .select(col("band"), col("bucket"), col("dn"),
+            (col("dn") + coalesce(col("__h"), lit(0L))
+              + coalesce(col("__l"), lit(0L))).as("bsz"))
+          .cache()
+        try {
+          // rows FIRST, then the log: a crash between the two leaves
+          // the log undercounting actual rows — detectable
+          // (minhashIndexFsck) and repairable (compactMinHashIndex).
+          // The reverse order would overcount silently.
+          Sinks.appendBucketed(
+            d.join(broadcast(merged.select("band", "bucket", "bsz")),
+                Seq("band", "bucket"))
+              .select("id", "band", "bucket", "bsz"),
+            table)
+          merged.select(col("band"), col("bucket"), col("dn").as("n"))
+            .write.mode("append").saveAsTable(statlog(table))
+        } finally { merged.unpersist(false); () }
+      } finally { dCounts.unpersist(false); () }
+    } finally { d.unpersist(false); () }
+  }
+
+  /** The buckets whose TRUE current size (gen-0 histogram ⊕ statlog)
+    * exceeds `cap` — the exact multi-generation form of the per-row
+    * `bsz > cap` test. A bucket absent from the histogram is covered
+    * by the log-only branch (`Σn > cap` alone); one present in both is
+    * covered by the joined branch (hist.bsz >= 1 there, so the
+    * log-only row it may also emit is a harmless duplicate — the
+    * result is only ever the right side of an anti-join). */
+  def minhashHotBuckets(spark: SparkSession, table: String,
+                        cap: Int): DataFrame = {
+    val logSum =
+      if (spark.catalog.tableExists(statlog(table)))
+        spark.table(statlog(table)).groupBy("band", "bucket")
+          .agg(sum("n").as("__ln"))
+      else emptyLog(spark, "__ln")
+    val joined = spark.table(hist(table))
+      .join(broadcast(logSum), Seq("band", "bucket"), "left")
+      .where(col("bsz") + coalesce(col("__ln"), lit(0L)) > cap)
+      .select("band", "bucket")
+    joined.union(logSum.where(col("__ln") > cap).select("band", "bucket"))
+  }
+
+  /** Probe a delta against the GROWN standing index — the multi-day
+    * form of [[Dedup.incrementalNearDupPairs]]: identical candidate
+    * join and exact-Jaccard verify, but the degenerate-bucket cap is
+    * [[minhashHotBuckets]] anti-joined onto the delta's band rows
+    * (dropping a hot bucket's delta rows drops the bucket's pairs
+    * entirely — the index side streams through the equijoin
+    * unmatched), so a bucket that crossed the cap ACROSS appends is
+    * handled exactly as a full rewrite would. `base` supplies the
+    * verify texts of the standing corpus (day-1 ∪ every appended
+    * delta). */
+  def probeStandingMinHashIndex(delta: DataFrame, idCol: String,
+                                textCol: String, table: String,
+                                base: DataFrame, threshold: Double,
+                                numHashes: Int = 128, bands: Int = 32,
+                                rowsPerBand: Int = 4, shingleK: Int = 8,
+                                maxBucketSize: Int = 1000): DataFrame = {
+    val spark = delta.sparkSession
+    Sinks.recoverSwappedTable(spark, table)
+    Sinks.recoverSwappedTable(spark, hist(table))
+    val d = Dedup.bandRows(delta, idCol, textCol, numHashes, bands,
+        rowsPerBand, shingleK, outIdCol = "id_a")
+      .join(broadcast(minhashHotBuckets(spark, table, maxBucketSize)),
+        Seq("band", "bucket"), "left_anti")
+    val idx = spark.table(table)
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = d.join(idx, Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    Dedup.verifyJaccardPairs(cands, delta, idCol, textCol, base,
+      threshold, shingleK)
+  }
+
+  /** Fold the appended generations down: re-count every bucket from
+    * the index's own 4-long rows (exchange-free groupBy under the
+    * bucket layout — text is NEVER re-banded), rewrite the index with
+    * per-row bsz = true count (the same colliding-buckets-broadcast
+    * shape as the build), refresh the histogram, and reset the
+    * statlog. Swaps are the two-rename law; the statlog reset comes
+    * LAST, so the one crash window (new hist + old log) OVERcounts —
+    * conservative for the cap, flagged by [[minhashIndexFsck]], fixed
+    * by re-running compact. O(index rows); also the repair path for a
+    * crashed append. */
+  def compactMinHashIndex(spark: SparkSession, table: String, buckets: Int,
+                          statsBroadcast: Boolean = true): Unit = {
+    Sinks.recoverSwappedTable(spark, table)
+    Sinks.recoverSwappedTable(spark, hist(table))
+    val rows = spark.table(table).select("id", "band", "bucket")
+    val recount = rows.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+    val sizes = recount.where(col("bsz") >= 2)
+      .select(col("band"), col("bucket"), col("bsz").as("__bsz"))
+    val stats = if (statsBroadcast) broadcast(sizes) else sizes
+    val fresh = rows.join(stats, Seq("band", "bucket"), "left")
+      .select(col("id"), col("band"), col("bucket"),
+        coalesce(col("__bsz"), lit(1L)).as("bsz"))
+    Sinks.writeBucketed(fresh, s"${table}_cnew", buckets,
+      Seq("band", "bucket"))
+    // the new hist counts the NEW table's rows (identical multiset;
+    // reading the just-written generation keeps the two derivations
+    // trivially consistent)
+    writeHistFromRows(spark, s"${table}_cnew", s"${table}_hist_cnew", buckets)
+    Sinks.swapInTable(spark, s"${table}_cnew", table)
+    Sinks.swapInTable(spark, s"${table}_hist_cnew", hist(table))
+    Sinks.dropTableAndLocation(spark, statlog(table))
+  }
+
+  /** Consistency check: `Σ hist.bsz + Σ statlog.n == count(index
+    * rows)` — false exactly when a crash split an append (rows
+    * without log) or a compaction (new hist with stale log).
+    * Repair: [[compactMinHashIndex]]. */
+  def minhashIndexFsck(spark: SparkSession, table: String): Boolean = {
+    val rows = spark.table(table).count()
+    def sumOf(t: String, c: String): Long =
+      if (spark.catalog.tableExists(t))
+        spark.table(t).agg(coalesce(sum(col(c)), lit(0L))).first().getLong(0)
+      else 0L
+    sumOf(hist(table), "bsz") + sumOf(statlog(table), "n") == rows
+  }
+
+  /** Append a delta's fingerprints to a standing [[Dedup.writeDHashIndex]]
+    * table — a plain bucketed insert: the dHash index carries no
+    * denormalized stats (a 16-bit chunk of a perceptual hash has no
+    * boilerplate pathology worth one), so appends were always safe;
+    * this just provides the operation. O(delta) rows, one pure-map
+    * fingerprint pass over the delta's payload bytes. */
+  def appendToDHashIndex(media: DataFrame, table: String): Unit =
+    Sinks.appendBucketed(Dedup.dhashIndexFrame(media), table)
+
+  /** Append a delta's NEW digests to a standing
+    * [[Dedup.writeDigestIndex]] table: distinct delta digests
+    * anti-joined against the index (the same exchange-free probe plan
+    * as [[Dedup.incrementalNewUniques]]) keep the index
+    * distinct-by-construction. */
+  def appendToDigestIndex(delta: DataFrame, idCol: String, textCol: String,
+                          table: String): Unit = {
+    val spark = delta.sparkSession
+    Sinks.appendBucketed(
+      delta.select(md5(col(textCol).cast("binary")).as("digest")).distinct()
+        .join(spark.table(table), Seq("digest"), "left_anti"),
+      table)
+  }
+}

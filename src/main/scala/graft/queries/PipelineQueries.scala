@@ -22,9 +22,12 @@ object PipelineQueries {
     * 5 queries of 3 terms each, drawn from the top-15 vocabulary in
     * rank order (count DESC, token ASC) — oracle-reproducible. The
     * global row_number window is over exactly 15 rows. */
-  private def vocabQueries(s: SparkSession, dir: String): DataFrame = {
+  private def vocabQueries(s: SparkSession, dir: String): DataFrame =
+    vocabQueriesOf(docs(s, dir))
+
+  private def vocabQueriesOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = graft.operators.TfIdf.vocabulary(docs(s, dir), "text", 15)
+    val vocab = graft.operators.TfIdf.vocabulary(d, "text", 15)
     vocab
       .withColumn("rn",
         row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
@@ -34,6 +37,46 @@ object PipelineQueries {
       .agg(expr("transform(array_sort(collect_list(struct(rn, token))), x -> x.token)")
         .as("terms"))
   }
+
+  /** The committed realistic-text asset (testdata-aux/zipf: 5,000 docs,
+    * 50k-token Zipfian vocabulary, syllable surface forms) — the
+    * zipf_* gates read it DIRECTLY (same absolute path in the engine
+    * and in the DuckDB oracle), independent of the sf dir, so the CPU
+    * headliners are priced on realistic token statistics instead of
+    * the ~31-word driver vocabulary (VERDICT r13 #2). */
+  private val ZipfPath = "/root/repo/testdata-aux/zipf/documents.parquet"
+  private val ZipfRel = s"read_parquet('$ZipfPath')"
+  private def zipfDocs(s: SparkSession): DataFrame = s.read.parquet(ZipfPath)
+
+  /** The zipf dedup gates' corpus: the first `nDocs` zipf docs plus
+    * near-dup plants — docs < `nMut` copied to id+10000 with ONE
+    * character replaced by 'Z' at position (doc_id % length) — the
+    * mm_incr_dedup mutation law, chosen because it is bit-identical in
+    * Spark and DuckDB `substr` arithmetic. The asset itself has no
+    * planted duplicates (independent docs), so the plants make the
+    * dedup outputs non-vacuous while the REST of the corpus supplies
+    * the realistic shingle/span/prefix statistics being priced. */
+  private def zipfWithMutants(s: SparkSession, nDocs: Int,
+                              nMut: Int): DataFrame = {
+    val d = zipfDocs(s).where(col("doc_id") < nDocs).select("doc_id", "text")
+    d.union(d.where(col("doc_id") < nMut).select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      expr("concat(substr(text, 1, cast(doc_id % greatest(length(text), 1) as int)), 'Z', " +
+        "substr(text, cast(doc_id % greatest(length(text), 1) as int) + 2))")
+        .as("text")))
+  }
+
+  /** The zipf oracle's corpus CTE — the SQL mirror of
+    * [[zipfWithMutants]]. */
+  private def zipfCorpusSql(nDocs: Int, nMut: Int): String =
+    s"""zd AS (SELECT doc_id, text FROM $ZipfRel WHERE doc_id < $nDocs),
+       |corpus AS (
+       |  SELECT doc_id, text FROM zd
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id,
+       |         concat(substr(text, 1, CAST(doc_id % greatest(length(text), 1) AS INT)), 'Z',
+       |                substr(text, CAST(doc_id % greatest(length(text), 1) AS INT) + 2)) AS text
+       |  FROM zd WHERE doc_id < $nMut)""".stripMargin
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -571,6 +614,44 @@ object PipelineQueries {
         s.table(GateTables.name("g_mh_idx")), d.where(bkt < 800), threshold = 0.7)
     }),
 
+    // The multi-day index LIFECYCLE: day-1 build (hash split < 600),
+    // day-2 APPEND (600..799) — O(delta), no index rewrite — day-3
+    // probe (>= 800) against the GROWN index. Result must equal the
+    // full-rewrite path exactly (same bucket space by construction;
+    // cap truth = gen-0 histogram (+) statlog), so the gate shares
+    // dd_incr_fuzzy's brute-force cross-Jaccard oracle: delta >= 800
+    // vs base < 800, however the base was accumulated.
+    "pipe_idx_lifecycle" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+      val t = GateTables.name("g_mh_grow")
+      graft.operators.IndexLifecycle.writeGrowableMinHashIndex(
+        d.where(bkt < 600), "doc_id", "text", t, 8)
+      graft.operators.IndexLifecycle.appendToMinHashIndex(
+        d.where(bkt >= 600 && bkt < 800), "doc_id", "text", t)
+      graft.operators.IndexLifecycle.probeStandingMinHashIndex(
+        d.where(bkt >= 800), "doc_id", "text", t,
+        d.where(bkt < 800), threshold = 0.7)
+    }),
+
+    // Day-4 of the lifecycle: COMPACT the grown index (re-count from
+    // the 4-long rows only — text is never re-banded; statlog folds
+    // away, per-row bsz true again), then probe. Same oracle as the
+    // lifecycle gate: compaction must be result-invisible.
+    "pipe_idx_compact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+      val t = GateTables.name("g_mh_grow2")
+      graft.operators.IndexLifecycle.writeGrowableMinHashIndex(
+        d.where(bkt < 600), "doc_id", "text", t, 8)
+      graft.operators.IndexLifecycle.appendToMinHashIndex(
+        d.where(bkt >= 600 && bkt < 800), "doc_id", "text", t)
+      graft.operators.IndexLifecycle.compactMinHashIndex(s, t, 8)
+      graft.operators.IndexLifecycle.probeStandingMinHashIndex(
+        d.where(bkt >= 800), "doc_id", "text", t,
+        d.where(bkt < 800), threshold = 0.7)
+    }),
+
     // The production daily sweep end-to-end: cross-dedup the delta
     // against the persisted fuzzy index, then fuzzy-dedup WITHIN the
     // cleaned delta (LSH self-join) and fold clusters to min-id
@@ -732,6 +813,33 @@ object PipelineQueries {
     "dd_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
         threshold = 0.7, numHashes = 128, bands = 32, rowsPerBand = 4)),
+
+    // The four zipf_* gates run the suite's CPU-headliner plans on the
+    // COMMITTED realistic-text asset (50k-token Zipfian vocabulary)
+    // instead of the ~31-word driver corpus, with the same oracle
+    // laws — so realistic-selectivity regressions become visible to
+    // CORRECTNESS/BENCH, not just to probes (VERDICT r13 #2).
+    // Near-dup structure is planted (the mm mutation law) because the
+    // asset has none; the UNPLANTED 90% supplies the statistics.
+    "zipf_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(zipfWithMutants(s, 1000, 100),
+        "doc_id", "text", threshold = 0.9)),
+
+    "zipf_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanPairs(zipfWithMutants(s, 1000, 100),
+        "doc_id", "text", n = 8, maxDocsPerSpan = 100, minShared = 2)),
+
+    "zipf_edit_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        zipfWithMutants(s, 1000, 100).select(col("doc_id"),
+          substring(col("text"), 1, 64).as("title")),
+        "doc_id", "title", maxDist = 4, q = 2)),
+
+    "zipf_bm25" -> ((s, dir) => {
+      val z = zipfDocs(s)
+      graft.operators.Search.bm25TopK(z, "doc_id", "text",
+        vocabQueriesOf(z), 5)
+    }),
 
     // SimHash near-dup pairs with MD5 token hashes and maxHamming = 3:
     // pigeonhole blocking over 4 × 16-bit chunks has GUARANTEED recall
@@ -1362,23 +1470,50 @@ object PipelineQueries {
     * result-identical by design — same scoring law, same per-term
     * HALF_UP micro-unit quantization — so both gates pin against the
     * same SQL. */
-  private val srchBm25Oracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  private val incrFuzzyOracle: String =
+    """WITH bkt AS (
+      |  SELECT doc_id, text,
+      |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
       |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bkt,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |                                 i -> substr(text, i, 8))) AS s
+      |  FROM bkt),
+      |sz AS (SELECT doc_id, bkt, s, len(s) AS ns FROM sh)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |FROM sz a JOIN sz b
+      |  ON a.bkt >= 800 AND b.bkt < 800
+      | AND least(a.ns, b.ns) * 100 >= 69 * greatest(a.ns, b.ns)
+      |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7
+      |ORDER BY 1, 2""".stripMargin
+
+  private val srchBm25Oracle: String = bm25Oracle("documents")
+  /** The BM25 oracle law over any relation expression (the zipf gate
+    * substitutes the committed asset's read_parquet). */
+  private def bm25Oracle(rel: String): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      |  FROM $rel),
       |cnt AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
       |vocab AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
       |          FROM cnt ORDER BY c DESC, token LIMIT 15),
       |stats AS (SELECT count(*) AS n_docs,
-      |                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
-      |          FROM documents),
+      |                 sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_dl
+      |          FROM $rel),
       |dfc AS (SELECT token, count(DISTINCT doc_id) AS df
       |        FROM tok JOIN vocab USING (token) GROUP BY token),
       |ti AS (SELECT vocab.token, (rn - 1) // 3 AS query_id,
       |              ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
       |       FROM vocab JOIN dfc USING (token) CROSS JOIN stats),
-      |d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
-      |      FROM documents),
+      |d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      |      FROM $rel),
       |tf AS (SELECT t.doc_id, t.token, count(*) AS tf
       |       FROM tok t JOIN vocab USING (token) GROUP BY 1, 2),
       |pairs AS (
@@ -2298,30 +2433,12 @@ object PipelineQueries {
 
     // Brute-force cross-Jaccard between the hash-split delta (>= 800)
     // and base (< 800) — the same split law as dd_incremental and the
-    // same shingle/length-band arithmetic as dd_minhash_lsh.
-    "dd_incr_fuzzy" ->
-      """WITH bkt AS (
-        |  SELECT doc_id, text,
-        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bkt
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, bkt,
-        |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-        |                                 i -> substr(text, i, 8))) AS s
-        |  FROM bkt),
-        |sz AS (SELECT doc_id, bkt, s, len(s) AS ns FROM sh)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) AS jaccard
-        |FROM sz a JOIN sz b
-        |  ON a.bkt >= 800 AND b.bkt < 800
-        | AND least(a.ns, b.ns) * 100 >= 69 * greatest(a.ns, b.ns)
-        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7
-        |ORDER BY 1, 2""".stripMargin,
+    // same shingle/length-band arithmetic as dd_minhash_lsh. The
+    // lifecycle gates share it: HOW the base was accumulated (one
+    // write / build+append / build+append+compact) must be invisible.
+    "dd_incr_fuzzy" -> incrFuzzyOracle,
+    "pipe_idx_lifecycle" -> incrFuzzyOracle,
+    "pipe_idx_compact" -> incrFuzzyOracle,
 
     "srch_bm25" -> srchBm25Oracle,
     "srch_bm25_idx" -> srchBm25Oracle,
@@ -2931,6 +3048,57 @@ object PipelineQueries {
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.7
         |ORDER BY 1, 2""".stripMargin,
+
+    // zipf siblings of the CPU headliners: identical laws over the
+    // committed realistic asset + the SQL mirror of the mutation
+    // plant. Thresholds: minhash runs at 0.9 (plants sit at ~0.98;
+    // the 89-length-band is the 0.9 analogue of the 69-band at 0.7).
+    "zipf_minhash" ->
+      (s"WITH ${zipfCorpusSql(1000, 100)},\n" +
+        """sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+          |                                 i -> substr(text, i, 8))) AS s
+          |  FROM corpus),
+          |sz AS (SELECT doc_id, s, len(s) AS ns FROM sh)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) AS jaccard
+          |FROM sz a JOIN sz b
+          |  ON a.doc_id < b.doc_id AND least(a.ns, b.ns) * 100 >= 89 * greatest(a.ns, b.ns)
+          |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |        / (a.ns + b.ns - len(list_intersect(a.s, b.s))), 6) >= 0.9
+          |ORDER BY 1, 2""".stripMargin),
+
+    "zipf_spans" ->
+      (s"WITH ${zipfCorpusSql(1000, 100)},\n" +
+        """tok AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          |  FROM corpus),
+          |sp AS (
+          |  SELECT DISTINCT doc_id,
+          |    CAST(concat('0x', substr(md5(array_to_string(
+          |      ws[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+          |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(ws) - 7, 0))) AS i)),
+          |cap AS (SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sp a JOIN cap USING (h) JOIN sp b USING (h)
+          |  WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, count(*) AS n_spans FROM pairs
+          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin),
+
+    "zipf_edit_join" ->
+      (s"WITH ${zipfCorpusSql(1000, 100)},\n" +
+        """t AS (SELECT doc_id, substr(text, 1, 64) AS title FROM corpus)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS ed
+          |FROM t a JOIN t b ON a.doc_id < b.doc_id
+          |  AND abs(length(a.title) - length(b.title)) <= 4
+          |WHERE levenshtein(a.title, b.title) <= 4
+          |ORDER BY 1, 2""".stripMargin),
+
+    "zipf_bm25" -> bm25Oracle(ZipfRel),
 
     // The daily sweep replayed serially: brute-force cross-Jaccard
     // drops delta docs with a base near-dup, brute-force within-delta

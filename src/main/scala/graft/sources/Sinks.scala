@@ -68,6 +68,50 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Append rows to an EXISTING bucketed table, preserving its bucket
+    * spec: `insertInto` resolves the table's bucketing and clusters
+    * the incoming rows into the same bucket files' hash space (each
+    * append adds one file per touched bucket — periodic
+    * [[graft.operators.IndexLifecycle]] compaction folds them).
+    * Column resolution of `insertInto` is POSITIONAL, so the frame is
+    * realigned to the catalog schema by name first. */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val cols = df.sparkSession.table(table).columns
+    df.select(cols.map(df.col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Crash-safe managed-table swap (the two-rename law of
+    * [[mergeAggState]]/[[compact]] lifted to catalog tables): rename
+    * `table` aside to `<table>_bak`, rename `newTable` in, drop the
+    * bak — a complete committed generation exists under SOME name at
+    * every instant. [[recoverSwappedTable]] repairs the one window
+    * where `table` itself is absent. */
+  def swapInTable(spark: org.apache.spark.sql.SparkSession,
+                  newTable: String, table: String): Unit = {
+    require(spark.catalog.tableExists(newTable), s"missing $newTable")
+    dropTableAndLocation(spark, s"${table}_bak")
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `${table}_bak`")
+    spark.sql(s"ALTER TABLE `$newTable` RENAME TO `$table`")
+    dropTableAndLocation(spark, s"${table}_bak")
+  }
+
+  /** Recover from a crash inside [[swapInTable]]: a missing `table`
+    * with a surviving `<table>_bak` means the crash hit between the
+    * two renames — the bak IS the last committed generation. A
+    * leftover bak NEXT TO a live table is post-commit debris and is
+    * dropped. */
+  def recoverSwappedTable(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Unit = {
+    val hasTable = spark.catalog.tableExists(table)
+    val hasBak = spark.catalog.tableExists(s"${table}_bak")
+    if (!hasTable && hasBak)
+      spark.sql(s"ALTER TABLE `${table}_bak` RENAME TO `$table`")
+    else if (hasTable && hasBak)
+      dropTableAndLocation(spark, s"${table}_bak")
+  }
+
   /** Globally range-sorted parquet: `orderBy` range-partitions the
     * data so each output file covers a DISJOINT sort-key range, and
     * `parquet.block.size` bounds row-group size so min/max statistics

@@ -364,6 +364,152 @@ class BucketingSpec extends AnyFunSuite {
       r.getLong(0) == id && r.getLong(1) == id)), "identity pairs missing")
   }
 
+  test("growable MinHash index: build->append->probe equals full rewrite; cap crosses appends exactly; compact folds") {
+    import graft.operators.{Dedup, IndexLifecycle}
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String): String = {
+      val w = t.split(" "); w(3) = "zzz"; w.mkString(" ")
+    }
+    val base1 = (0L until 30L).map(i => (i, doc(50)))
+    val base2 = (100L until 120L).map(i => (i, doc(50)))
+    // the cap-crossing plant: an identical boilerplate doc whose bucket
+    // reaches the cap only ACROSS generations (4 day-1 + 3 day-2 > 5)
+    val boiler = doc(60)
+    val day1 = base1 ++ (300L until 304L).map(i => (i, boiler))
+    val day2 = base2 ++ (310L until 313L).map(i => (i, boiler))
+    val deltaRows = Seq((200L, base1(2)._2), (201L, mutate(base2(5)._2)),
+      (202L, doc(50)), (320L, boiler))
+    val d1 = day1.toDF("doc_id", "text")
+    val d2 = day2.toDF("doc_id", "text")
+    val dd = deltaRows.toDF("doc_id", "text")
+    val baseAll = d1.union(d2)
+    val cap = 5
+    val t = "spec_mh_grow"
+    IndexLifecycle.writeGrowableMinHashIndex(d1, "doc_id", "text", t, 4)
+    IndexLifecycle.appendToMinHashIndex(d2, "doc_id", "text", t)
+    assert(IndexLifecycle.minhashIndexFsck(spark, t), "rows==hist+log after append")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grown = pairs(IndexLifecycle.probeStandingMinHashIndex(
+      dd, "doc_id", "text", t, baseAll, 0.5, maxBucketSize = cap))
+    Dedup.writeMinHashIndex(baseAll, "doc_id", "text", "spec_mh_full", 4)
+    val full = pairs(Dedup.incrementalNearDupPairs(dd, "doc_id", "text",
+      spark.table("spec_mh_full"), baseAll, 0.5, maxBucketSize = cap))
+    assert(grown == full,
+      s"missing=${(full -- grown).take(5)} extra=${(grown -- full).take(5)}")
+    // the cross-generation hot bucket is dropped WHOLE by both paths
+    assert(!full.exists(_._1 == 320L), "full rewrite drops the hot bucket")
+    assert(!grown.exists(_._1 == 320L), "grown probe drops the hot bucket")
+    // non-hot near-dups survive, so the equality above is non-vacuous
+    assert(grown.exists(_._1 == 200L), "exact-copy delta pair must surface")
+    // POWER CHECK (the r13-documented pathology): per-row bsz on the
+    // grown table is generation-scoped (day-1 rows say 4 <= cap), so
+    // the naive pushed-filter probe PARTIALLY keeps the hot bucket
+    val stale = pairs(Dedup.incrementalNearDupPairs(dd, "doc_id", "text",
+      spark.table(t), baseAll, 0.5, maxBucketSize = cap))
+    assert(stale.exists(_._1 == 320L),
+      "the stale per-row filter must leak day-1 pairs of the crossed bucket")
+    // compact: re-count from rows only; probe identical; per-row bsz
+    // true again, so even the naive filter now agrees; statlog folded
+    IndexLifecycle.compactMinHashIndex(spark, t, 4)
+    assert(!spark.catalog.tableExists(s"${t}_statlog"), "statlog reset")
+    assert(IndexLifecycle.minhashIndexFsck(spark, t), "fsck after compact")
+    val compacted = pairs(IndexLifecycle.probeStandingMinHashIndex(
+      dd, "doc_id", "text", t, baseAll, 0.5, maxBucketSize = cap))
+    assert(compacted == full)
+    val postStale = pairs(Dedup.incrementalNearDupPairs(dd, "doc_id", "text",
+      spark.table(t), baseAll, 0.5, maxBucketSize = cap))
+    assert(postStale == full, "compaction restores per-row bsz = true count")
+    // plan pin: the probe against the grown index reads the index
+    // bucketed (exchange-free under its layout) — the ONLY
+    // (band, bucket) exchange is the delta's band rows; the hot set
+    // and the statlog sums ride broadcasts
+    val probePlan = IndexLifecycle.probeStandingMinHashIndex(
+      dd, "doc_id", "text", t, baseAll, 0.5, maxBucketSize = cap)
+      .queryExecution.executedPlan.toString
+    val bandExchanges = "Exchange hashpartitioning\\(band#\\d+".r
+      .findAllIn(probePlan).size
+    assert(bandExchanges == 1,
+      s"expected 1 (band,bucket) exchange (the delta side), got $bandExchanges:\n$probePlan")
+    assert(probePlan.contains("Bucketed: true"), probePlan)
+    Seq(t, s"${t}_hist", "spec_mh_full").foreach(
+      graft.sources.Sinks.dropTableAndLocation(spark, _))
+  }
+
+  test("dHash and digest appends: grown index equals full-build index; digest stays distinct") {
+    import graft.operators.{Dedup, IndexLifecycle, Multimodal}
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source").where(col("doc_id") < 400)
+    val h1 = docs.where(col("doc_id") % 2 === 0)
+    val h2 = docs.where(col("doc_id") % 2 =!= 0)
+    val m1 = Multimodal.fromDocuments(h1, "doc_id", "text", "source")
+    val m2 = Multimodal.fromDocuments(h2, "doc_id", "text", "source")
+    val mAll = Multimodal.fromDocuments(docs, "doc_id", "text", "source")
+    Dedup.writeDHashIndex(m1, "spec_dh_grow", 4)
+    IndexLifecycle.appendToDHashIndex(m2, "spec_dh_grow")
+    Dedup.writeDHashIndex(mAll, "spec_dh_full", 4)
+    val probe = Multimodal.fromDocuments(
+      docs.where(col("doc_id") < 40).select(
+        (col("doc_id") + 5000L).as("doc_id"), col("text"), col("source")),
+      "doc_id", "text", "source")
+    def hits(table: String): Set[(Long, Long, Long)] =
+      Dedup.incrementalImageNearDups(probe, spark.table(table))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue)).toSet
+    val g = hits("spec_dh_grow")
+    val f = hits("spec_dh_full")
+    assert(g.nonEmpty && g == f,
+      s"missing=${(f -- g).take(5)} extra=${(g -- f).take(5)}")
+    // digest: append only NEW digests; index stays distinct
+    val t1 = docs.where(col("doc_id") < 200)
+    Dedup.writeDigestIndex(t1, "doc_id", "text", "spec_dd_grow", 4)
+    // overlap: second half PLUS a slice of the first (already indexed)
+    IndexLifecycle.appendToDigestIndex(
+      docs.where(col("doc_id") >= 150), "doc_id", "text", "spec_dd_grow")
+    Dedup.writeDigestIndex(docs, "doc_id", "text", "spec_dd_full", 4)
+    val grownDigests = spark.table("spec_dd_grow").collect()
+      .map(_.getString(0)).toSeq
+    val fullDigests = spark.table("spec_dd_full").collect()
+      .map(_.getString(0)).toSeq
+    assert(grownDigests.sorted == fullDigests.sorted,
+      "grown digest set equals full build")
+    assert(grownDigests.distinct.size == grownDigests.size,
+      "append must not duplicate already-indexed digests")
+    Seq("spec_dh_grow", "spec_dh_full", "spec_dd_grow", "spec_dd_full")
+      .foreach(graft.sources.Sinks.dropTableAndLocation(spark, _))
+  }
+
+  test("swapInTable/recoverSwappedTable: two-rename law survives both crash windows") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    Seq("spec_swap", "spec_swap_new", "spec_swap_bak")
+      .foreach(Sinks.dropTableAndLocation(spark, _))
+    Sinks.saveTableReplacing(Seq((1L, "old")).toDF("k", "v"), "spec_swap")
+    Sinks.saveTableReplacing(Seq((2L, "new")).toDF("k", "v"), "spec_swap_new")
+    Sinks.swapInTable(spark, "spec_swap_new", "spec_swap")
+    assert(spark.table("spec_swap").collect().map(_.getString(1)).toSeq == Seq("new"))
+    assert(!spark.catalog.tableExists("spec_swap_new"))
+    assert(!spark.catalog.tableExists("spec_swap_bak"))
+    // crash window 1: between the two renames (table absent, bak holds
+    // the committed generation)
+    spark.sql("ALTER TABLE spec_swap RENAME TO spec_swap_bak")
+    Sinks.recoverSwappedTable(spark, "spec_swap")
+    assert(spark.table("spec_swap").collect().map(_.getString(1)).toSeq == Seq("new"))
+    // crash window 2: post-commit debris (live table AND a leftover bak)
+    Sinks.saveTableReplacing(Seq((3L, "bak")).toDF("k", "v"), "spec_swap_bak")
+    Sinks.recoverSwappedTable(spark, "spec_swap")
+    assert(spark.table("spec_swap").collect().map(_.getString(1)).toSeq == Seq("new"))
+    assert(!spark.catalog.tableExists("spec_swap_bak"))
+    Sinks.dropTableAndLocation(spark, "spec_swap")
+  }
+
   test("GateTables: run-scoped names; sweepStale reclaims dead-pid dirt, keeps live and pidless dirs") {
     import graft.queries.GateTables
     val tag = GateTables.runTag
