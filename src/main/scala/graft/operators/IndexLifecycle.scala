@@ -88,10 +88,17 @@ object IndexLifecycle {
       targetTable, buckets, Seq("band", "bucket"))
 
   /** 0-row frame with the statlog's exact shape — the no-appends-yet
-    * stand-in (`band` int, `bucket` long, the count column long). */
-  private def emptyLog(spark: SparkSession, countCol: String): DataFrame =
-    spark.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
-      lit(0L).as(countCol))
+    * stand-in (`band` int, `bucket` long, the count column long). An
+    * empty LocalRelation with REAL attributes, not range(0) +
+    * literals: foldable `lit(0)` key columns constant-fold out of the
+    * join condition, degrading the downstream equi-joins to
+    * BroadcastNestedLoopJoin (caught by PlanSpec's no-cartesian
+    * gate); a true empty relation instead lets
+    * PropagateEmptyRelation collapse the join entirely. */
+  private def emptyLog(spark: SparkSession, countCol: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long)].toDF("band", "bucket", countCol)
+  }
 
   /** Fold a day's delta into the standing index WITHOUT rewriting it:
     * O(delta) appended band rows + O(delta) statlog rows + one
