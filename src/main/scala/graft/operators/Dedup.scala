@@ -1199,10 +1199,20 @@ object Dedup {
                         table: String, buckets: Int,
                         numHashes: Int = 128, bands: Int = 32,
                         rowsPerBand: Int = 4, shingleK: Int = 8,
-                        statsBroadcast: Boolean = true): Unit =
+                        statsBroadcast: Boolean = true): Unit = {
+    // cache() the band rows ACROSS the stats aggregate and the write:
+    // the bsz broadcast must materialize before the write's join probe
+    // executes, so without the cache the CPU-dense text→band native
+    // pass runs TWICE per write (once under the stats agg, once under
+    // the insert). The write path is EAGER, so the pin is released in
+    // the same call (try/finally — the surgical-cache policy); the
+    // cached frame is the 3-long index rows, ~3 orders smaller than
+    // the corpus text it replaces re-banding of, and spills to disk
+    // past memory (MEMORY_AND_DISK default).
+    val banded = bandRows(df, idCol, textCol, numHashes, bands, rowsPerBand,
+      shingleK).cache()
     try graft.sources.Sinks.writeBucketed(
-      minhashIndexFrame(df, idCol, textCol, numHashes, bands, rowsPerBand,
-        shingleK, statsBroadcast),
+      indexFrameOfBanded(banded, statsBroadcast),
       table, buckets, Seq("band", "bucket"))
     catch {
       // The colliding-bucket bsz table is broadcast (one exchange of
@@ -1217,6 +1227,8 @@ object Dedup {
             "Re-run with statsBroadcast = false: a shuffle join computes " +
             "bsz at the cost of one extra exchange of the band table.", e)
     }
+    finally { banded.unpersist(false); () }
+  }
 
   /** The frame [[writeMinHashIndex]] writes — exposed so PlanSpec /
     * Explain can pin its shape: the index-sized (id, band, bucket)
@@ -1261,9 +1273,15 @@ object Dedup {
   def minhashIndexFrame(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 32,
                         rowsPerBand: Int = 4, shingleK: Int = 8,
-                        statsBroadcast: Boolean = true): DataFrame = {
-    val banded = bandRows(df, idCol, textCol, numHashes, bands, rowsPerBand,
-      shingleK)
+                        statsBroadcast: Boolean = true): DataFrame =
+    indexFrameOfBanded(
+      bandRows(df, idCol, textCol, numHashes, bands, rowsPerBand, shingleK),
+      statsBroadcast)
+
+  /** [[minhashIndexFrame]] from already-computed band rows — the shape
+    * both the lazy frame and the (band-row-caching) write path share. */
+  private def indexFrameOfBanded(banded: DataFrame,
+                                 statsBroadcast: Boolean): DataFrame = {
     // Colliding buckets only (count >= 2); singletons coalesce to 1 so
     // the broadcast is candidate-bucket-sized, not index-sized.
     // statsBroadcast = false is the duplicate-heavy escape hatch: the
