@@ -25,9 +25,13 @@ object PipelineQueries {
   private def vocabQueries(s: SparkSession, dir: String): DataFrame =
     vocabQueriesOf(docs(s, dir))
 
-  private def vocabQueriesOf(d: DataFrame): DataFrame = {
+  private def vocabQueriesOf(d: DataFrame): DataFrame =
+    queriesFromVocab(graft.operators.TfIdf.vocabulary(d, "text", 15))
+
+  /** The query-building half of [[vocabQueriesOf]] over any
+    * `(token, n)` top-15 vocabulary frame. */
+  private def queriesFromVocab(vocab: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = graft.operators.TfIdf.vocabulary(d, "text", 15)
     vocab
       .withColumn("rn",
         row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
@@ -37,6 +41,23 @@ object PipelineQueries {
       .agg(expr("transform(array_sort(collect_list(struct(rn, token))), x -> x.token)")
         .as("terms"))
   }
+
+  /** [[vocabQueries]] derived from a persisted BM25 postings table
+    * instead of a second corpus tokenize: the per-token corpus count
+    * is exactly `Σ tf` over the postings (one row per (token, doc)
+    * with its occurrence count), the aggregate runs EXCHANGE-FREE
+    * under the table's token bucketing, and the empty-doc sentinel
+    * token '' is excluded exactly as [[graft.operators.TfIdf
+    * .vocabulary]] excludes it. Identical (n, token) ranking ⇒
+    * identical query set — the index gates stop paying a full
+    * tokenize pass for 15 vocabulary rows. */
+  private def vocabQueriesFromPostings(s: SparkSession,
+                                       prefix: String): DataFrame =
+    queriesFromVocab(
+      s.table(s"${prefix}_postings")
+        .where(col("token") =!= "")
+        .groupBy("token").agg(sum(col("tf")).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(15))
 
   /** The committed realistic-text asset (testdata-aux/zipf: 5,000 docs,
     * 50k-token Zipfian vocabulary, syllable surface forms) — the
@@ -712,7 +733,7 @@ object PipelineQueries {
       graft.operators.Search.writeBm25Index(docs(s, dir), "doc_id", "text",
         GateTables.name("g_bm25"), 8)
       graft.operators.Search.bm25TopKFromIndex(s, GateTables.name("g_bm25"),
-        vocabQueries(s, dir), 5)
+        vocabQueriesFromPostings(s, GateTables.name("g_bm25")), 5)
     }),
 
     // The large-|Q| BM25 regime: same persisted index, but the query
@@ -724,7 +745,7 @@ object PipelineQueries {
       graft.operators.Search.writeBm25Index(docs(s, dir), "doc_id", "text",
         GateTables.name("g_bm25b"), 8)
       graft.operators.Search.bm25TopKFromIndexBulk(s, GateTables.name("g_bm25b"),
-        vocabQueries(s, dir), 5)
+        vocabQueriesFromPostings(s, GateTables.name("g_bm25b")), 5)
     }),
 
     // Retrieval end-to-end: chunk the corpus into 64/48 passages, then
