@@ -49,6 +49,22 @@ object GraftSession {
       // (runtime-settable conf; scale tools may re-set it per run).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cores * aqeInitMult()).toString)
+      // Shuffle writer: NEVER the bypass-merge writer. Below
+      // spark.shuffle.sort.bypassMergeThreshold (default 200) each map
+      // task writes one file PER REDUCE PARTITION and concatenates —
+      // M×R file creates/closes per exchange. Measured on this engine's
+      // pinned 64-partition exchanges (the explosive-join family, the
+      // span/frame repartitions): a 147k-row repartition(64) costs
+      // 12.4 executor-CPU-s under bypass vs 0.94 under the serialized
+      // sort writer (13×), and the whole span operator drops 12.3→4.1
+      // CPU-s / 1.9→0.8 s wall. Threshold 1 forces the sort writer
+      // everywhere: one output file + index per map task regardless of
+      // R — also the scale-correct shape (at cluster widths R > 200
+      // exchanges never bypassed anyway; fewer, larger files is the
+      // §2.2 discipline). SPARK_GRAFT_BYPASS_THRESHOLD overrides for
+      // A/B on fast-local-disk deployments where bypass could win.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       // let cached plans keep AQE's coalesced output partitioning —
       // off by default, which pins tiny cached frames (LSH signature
       // tables) at the full shuffle-partition count
