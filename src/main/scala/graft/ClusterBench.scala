@@ -96,23 +96,35 @@ object ClusterBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.executor.memory", "2048m")
       .config("spark.executor.extraClassPath", classes)
+      // mirror the engine session's shuffle-writer choice (see
+      // GraftSession.build) so the multi-JVM numbers measure the same
+      // exchange mechanics the bench does
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     cluster.sparkContext.setLogLevel("WARN")
 
+    // Task-time next to wall (r13 verdict #5): TaskEnd metrics flow to
+    // driver listeners in local-cluster mode too, so the multi-JVM
+    // rehearsal now records the same contention-invariant executor-CPU
+    // series as the single-JVM bench — the cross-check that
+    // serialization + netty shuffle don't change a gate's CPU class.
+    val meter = new TaskTimeMeter(cluster.sparkContext)
     var failed = 0
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val got = digest(fn(cluster, sfDir))
       val t = (1 to 3).map { _ =>
+        val c0 = meter.snapshotSec()
         val t0 = System.nanoTime()
         fn(cluster, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        ((System.nanoTime() - t0) / 1e9, meter.snapshotSec() - c0)
+      }.minBy(_._1)
       val ok = got == want(n)
       if (!ok) failed += 1
-      println(f"CLUSTERBENCH $n%-22s ${if (ok) "match" else s"MISMATCH got=$got want=${want(n)}"}%-10s min=$t%.2f s")
+      println(f"CLUSTERBENCH $n%-22s ${if (ok) "match" else s"MISMATCH got=$got want=${want(n)}"}%-10s min=${t._1}%.2f s task=${t._2}%.2f s")
       cluster.catalog.clearCache()
     }
     cluster.stop()

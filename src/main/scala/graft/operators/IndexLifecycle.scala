@@ -228,23 +228,33 @@ object IndexLifecycle {
     Sinks.recoverSwappedTable(spark, table)
     Sinks.recoverSwappedTable(spark, hist(table))
     val rows = spark.table(table).select("id", "band", "bucket")
+    // cache(): the recount IS the new histogram — it feeds the per-row
+    // bsz join AND the hist rewrite below, so one bucket-count frame
+    // serves both (the former shape re-scanned the just-written new
+    // table and re-aggregated it to derive an identical histogram —
+    // one extra scan + agg job per compaction for a frame this method
+    // already holds). Bucket-count-sized; released in finally.
     val recount = rows.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-    val sizes = recount.where(col("bsz") >= 2)
-      .select(col("band"), col("bucket"), col("bsz").as("__bsz"))
-    val stats = if (statsBroadcast) broadcast(sizes) else sizes
-    val fresh = rows.join(stats, Seq("band", "bucket"), "left")
-      .select(col("id"), col("band"), col("bucket"),
-        coalesce(col("__bsz"), lit(1L)).as("bsz"))
-    Sinks.writeBucketed(fresh, s"${table}_cnew", buckets,
-      Seq("band", "bucket"))
-    // the new hist counts the NEW table's rows (identical multiset;
-    // reading the just-written generation keeps the two derivations
-    // trivially consistent)
-    writeHistFromRows(spark, s"${table}_cnew", s"${table}_hist_cnew", buckets)
-    Sinks.swapInTable(spark, s"${table}_cnew", table)
-    Sinks.swapInTable(spark, s"${table}_hist_cnew", hist(table))
-    Sinks.dropTableAndLocation(spark, statlog(table))
+      .agg(count(lit(1)).as("bsz")).cache()
+    try {
+      val sizes = recount.where(col("bsz") >= 2)
+        .select(col("band"), col("bucket"), col("bsz").as("__bsz"))
+      val stats = if (statsBroadcast) broadcast(sizes) else sizes
+      val fresh = rows.join(stats, Seq("band", "bucket"), "left")
+        .select(col("id"), col("band"), col("bucket"),
+          coalesce(col("__bsz"), lit(1L)).as("bsz"))
+      Sinks.writeBucketed(fresh, s"${table}_cnew", buckets,
+        Seq("band", "bucket"))
+      // the new hist = the recount: `fresh` left-joins `rows` 1:1
+      // against a grouped frame, so the new table's (band, bucket)
+      // multiset is exactly `rows`' — the recount counts it by
+      // construction (Σ hist.bsz == count(rows), the fsck invariant)
+      Sinks.writeBucketed(recount, s"${table}_hist_cnew", buckets,
+        Seq("band", "bucket"))
+      Sinks.swapInTable(spark, s"${table}_cnew", table)
+      Sinks.swapInTable(spark, s"${table}_hist_cnew", hist(table))
+      Sinks.dropTableAndLocation(spark, statlog(table))
+    } finally { recount.unpersist(false); () }
   }
 
   /** Consistency check: `Σ hist.bsz + Σ statlog.n == count(index
