@@ -47,6 +47,11 @@ object GraftSession {
       // task's in-memory sort budget. Explicit repartition(n, keys)
       // pins are untouched. SPARK_GRAFT_AQE_INIT_MULT overrides
       // (runtime-settable conf; scale tools may re-set it per run).
+      // Re-A/B'd in r14 under the sort shuffle writer (part of the
+      // old ×1 penalty was the bypass-writer tax below): wall now a
+      // wash (×8 105.32 vs ×1 104.59 full suite) but ×1 doubles the
+      // knn family's task CPU (knn_pq 6.65→14.70 CPU-s — the
+      // verify-join starvation r12 recorded). ×8 stays.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cores * aqeInitMult()).toString)
       // Shuffle writer: NEVER the bypass-merge writer. Below
@@ -65,6 +70,20 @@ object GraftSession {
       // A/B on fast-local-disk deployments where bypass could win.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+      // ObjectHashAggregate (collect_list/collect_set — the span,
+      // frame, LSH-bucket and ED-prefix aggregates) falls back to
+      // SORT-based aggregation at 128 distinct keys per task by
+      // default, so virtually every bucket-grouping in the engine was
+      // spill-sorting: measured on the zipf span operator, raising the
+      // threshold cuts task CPU 4.05 → 2.04 s (synthetic 140k-group
+      // collect_list 2.36 → 1.86). 64k entries is still a real memory
+      // backstop: the engine's list buffers are cap-bounded
+      // (maxDocsPerSpan / maxBucketSize ≤ 10^3) and a task holding 64k
+      // such groups would need tens of millions of input rows in one
+      // partition — far past the partition sizing — before the
+      // fallback engages. SPARK_GRAFT_OBJ_AGG_FALLBACK overrides.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       // let cached plans keep AQE's coalesced output partitioning —
       // off by default, which pins tiny cached frames (LSH signature
       // tables) at the full shuffle-partition count
