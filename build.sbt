@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's final stdout line is a one-line JSON metric the round
+// driver parses. With the default outputStrategy sbt relogs the forked
+// JVM's stdout through its logger, prefixing every line with "[info] "
+// — which is why 14/14 rounds of BENCH_rNN landed `parsed: null` (the
+// budgeted line was printed, but never as a bare JSON line). Pass the
+// child's stdout through untouched, and drop sbt's trailing
+// "[success] Total time ..." banner so the JSON line IS the last
+// stdout line. Timing methodology is unchanged — this is logging only.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
