@@ -905,9 +905,11 @@ object NativeExprs {
     * k ~ n/targetClusterSize of semantic dedup (k=240 at the sf3
     * rehearsal; thousands web-scale). The centroid matrix rides the
     * expression as one reference object, not k typedLits. */
-  case class ArgminCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+  case class ArgminCentroidExpr(child: Expression, centroids: Seq[Seq[Double]],
+                                offset: Int = 0)
       extends UnaryExpression {
     require(centroids.nonEmpty, "centroids must be non-empty")
+    require(offset >= 0, s"offset=$offset")
     override def dataType: DataType = IntegerType
     private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
     // dot(c,c) folded once, same sequential order as the executors'
@@ -917,17 +919,23 @@ object NativeExprs {
       while (i < c.length) { a += c(i) * c(i); i += 1 }
       a
     }
-    /** Public for generated code (reference-object call from doGenCode). */
+    /** Public for generated code (reference-object call from doGenCode).
+      * `offset` reads the dot against v[offset ..) — the PQ subspace
+      * form: argmin over codebook entries of a vector SLICE without
+      * materializing the slice (bit-identical to
+      * `ArgminCentroidExpr(slice(v, offset+1, subDim), cb)`: the dot
+      * accumulates over min(len-offset, |c|) elements in the same
+      * ascending order, exactly as the slice's copy would). */
     def compute(v: ArrayData): Int = {
       var best = 0
       var bestS = Double.PositiveInfinity
       var j = 0
       while (j < cs.length) {
         val c = cs(j)
-        val n = math.min(v.numElements(), c.length)
+        val n = math.min(v.numElements() - offset, c.length)
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+        while (i < n) { acc += v.getDouble(offset + i) * c(i); i += 1 }
         val s = dcc(j) - 2.0 * acc
         if (s < bestS) { bestS = s; best = j }
         j += 1
@@ -1078,6 +1086,109 @@ object NativeExprs {
     }
     override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketLcgExpr =
       copy(child = newChild)
+  }
+
+  /** Banded Levenshtein distance with a threshold — value-identical to
+    * the builtin `levenshtein(l, r, k)` (exact code-point edit
+    * distance if <= k, else -1; null in, null out), restructured for
+    * the ED-join's verify loop where per-candidate cost is the whole
+    * stage (§1.2 step 2):
+    *
+    *  - common prefix AND suffix are stripped before the DP —
+    *    edit distance is invariant under shared affixes, and near-dup
+    *    titles share most of both, so the DP usually runs on a
+    *    fragment (often empty: equal strings never touch the matrix);
+    *  - the length band is re-checked on the STRIPPED remainders
+    *    (|n - m| > k bails before any allocation);
+    *  - the DP itself is Ukkonen-banded (only the 2k+1 diagonal
+    *    band is computed) with a per-row minimum early exit: the row
+    *    minimum is non-decreasing in i, so a row whose reachable
+    *    cells all exceed k proves the pair fails — candidates the
+    *    filter stack lets through but the DP would reject at k+1 cost
+    *    O(k·(rows so far)), never O(n·m).
+    *
+    * Early exits only reject pairs whose distance provably exceeds k
+    * (exact-DP facts, not heuristics), so the verified pair set — and
+    * the exact distances on survivors — are unchanged. ASCII inputs
+    * compare raw UTF-8 bytes; any non-ASCII input falls back to a
+    * code-point array (the same edit model the builtin uses). */
+  case class LevenshteinBandedExpr(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    require(k >= 0, s"k=$k")
+    override def dataType: DataType = IntegerType
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(a: org.apache.spark.unsafe.types.UTF8String,
+                b: org.apache.spark.unsafe.types.UTF8String): Int = {
+      val ab = a.getBytes
+      val bb = b.getBytes
+      // code-point arrays; ASCII (bytes == chars) skips the decode
+      val s: Array[Int] =
+        if (ab.length == a.numChars()) { val r = new Array[Int](ab.length); var i = 0; while (i < ab.length) { r(i) = ab(i); i += 1 }; r }
+        else a.toString.codePoints().toArray
+      val t: Array[Int] =
+        if (bb.length == b.numChars()) { val r = new Array[Int](bb.length); var i = 0; while (i < bb.length) { r(i) = bb(i); i += 1 }; r }
+        else b.toString.codePoints().toArray
+      // strip shared prefix/suffix: d(s, t) == d(core_s, core_t)
+      var lo = 0
+      var sHi = s.length
+      var tHi = t.length
+      while (lo < sHi && lo < tHi && s(lo) == t(lo)) lo += 1
+      while (sHi > lo && tHi > lo && s(sHi - 1) == t(tHi - 1)) { sHi -= 1; tHi -= 1 }
+      var n = sHi - lo
+      var m = tHi - lo
+      if (n > m) { // symmetric: iterate rows over the shorter core
+        val tmp = n; n = m; m = tmp
+        bandedCore(t, s, lo, n, m)
+      } else bandedCore(s, t, lo, n, m)
+    }
+    /** DP over the stripped cores s[lo, lo+n), t[lo, lo+m), n <= m. */
+    private def bandedCore(s: Array[Int], t: Array[Int], lo: Int,
+                           n: Int, m: Int): Int = {
+      if (m - n > k) return -1
+      if (n == 0) return m // m - n <= k, so within threshold
+      val inf = k + 1
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      var j = 0
+      while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+      var i = 1
+      while (i <= n) {
+        java.util.Arrays.fill(cur, inf)
+        cur(0) = if (i <= k) i else inf
+        var rowMin = cur(0)
+        val jLo = math.max(1, i - k)
+        val jHi = math.min(m, i + k)
+        val sc = s(lo + i - 1)
+        j = jLo
+        while (j <= jHi) {
+          val sub = prev(j - 1) + (if (sc == t(lo + j - 1)) 0 else 1)
+          val del = prev(j) + 1
+          val ins = cur(j - 1) + 1
+          var v = if (sub < del) sub else del
+          if (ins < v) v = ins
+          cur(j) = v
+          if (v < rowMin) rowMin = v
+          j += 1
+        }
+        // row minima are non-decreasing in i (every d(i,j) >= some
+        // d(i-1,·) or a same-row cell chaining to one), so a row with
+        // no cell <= k proves the final distance exceeds k
+        if (rowMin > k) return -1
+        val sw = prev; prev = cur; cur = sw
+        i += 1
+      }
+      if (prev(m) <= k) prev(m) else -1
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("levenshteinBandedExpr", this)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LevenshteinBandedExpr =
+      copy(left = newLeft, right = newRight)
   }
 
   /** Johnson–Lindenstrauss-style random projection onto `dims`
@@ -1659,8 +1770,10 @@ object NativeExprs {
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def argminCentroidNative(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    ColumnBridge.column(ArgminCentroidExpr(ColumnBridge.expression(vec), centroids))
+  def argminCentroidNative(vec: Column, centroids: Seq[Seq[Double]],
+                           offset: Int = 0): Column =
+    ColumnBridge.column(ArgminCentroidExpr(ColumnBridge.expression(vec),
+      centroids, offset))
 
   def hashedLinearScoreNative(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedLinearScoreExpr(ColumnBridge.expression(text), dim))
@@ -1675,6 +1788,10 @@ object NativeExprs {
 
   def posQGramTokensNative(text: Column, q: Int): Column =
     ColumnBridge.column(PosQGramTokensExpr(ColumnBridge.expression(text), q))
+
+  def levenshteinBandedNative(left: Column, right: Column, k: Int): Column =
+    ColumnBridge.column(LevenshteinBandedExpr(
+      ColumnBridge.expression(left), ColumnBridge.expression(right), k))
 
   def hashedMarginsNative(text: Column, weights: Array[Array[Long]]): Column =
     ColumnBridge.column(HashedMarginsExpr(ColumnBridge.expression(text), weights))

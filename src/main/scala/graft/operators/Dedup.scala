@@ -357,8 +357,11 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long").as("ed"))
-      .where(col("ed") >= 0) // banded levenshtein: -1 = above maxDist
+        // native banded DP with shared-affix stripping — value-identical
+        // to levenshtein(a, b, maxDist); -1 = above maxDist
+        graft.functions.NativeExprs.levenshteinBandedNative(
+          col("__sa"), col("__sb"), maxDist).cast("long").as("ed"))
+      .where(col("ed") >= 0)
       .distinct()
   }
 
@@ -476,7 +479,9 @@ object Dedup {
     ExplosiveJoin.saltedJoin(aj, bj, Seq("tok"), "id_b", plan)
       .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long").as("ed"))
+        // same native banded verify as editDistancePairs
+        graft.functions.NativeExprs.levenshteinBandedNative(
+          col("__sa"), col("__sb"), maxDist).cast("long").as("ed"))
       .where(col("ed") >= 0)
       .distinct()
   }

@@ -71,16 +71,18 @@ object ProductQuant {
     var codebooks: IndexedSeq[IndexedSeq[Array[Double]]] =
       (0 until m).map(s => seeds.toIndexedSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 1 to iters) {
+      // Argmin per subspace as ONE native expression over the unsliced
+      // vector (offset form of [[NativeExprs.ArgminCentroidExpr]]) —
+      // the previous k-way struct/array_min unroll was a 10 KB
+      // expression tree whose per-task deserialize+setup dominated the
+      // gate (§1.2 step 2; see OPTIMIZATION_r15.md). Score law and tie
+      // break are bit-identical: dcc - 2·dot in ascending-dim order,
+      // ties to the lower cid.
       val perSub = codebooks.zipWithIndex.map { case (cb, s) =>
-        val sub = slice(col("v"), s * subDim + 1, subDim)
-        val scored = cb.zipWithIndex.map { case (c, cid) =>
-          val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
-          struct((lit(dcc) - lit(2.0) * NativeExprs.dotNative(sub, typedLit(c.toSeq)))
-            .as("s"), lit(cid).as("cid"))
-        }
         struct(lit(s).as("sp"),
-          array_min(array(scored: _*)).getField("cid").as("cid"),
-          sub.as("sv"))
+          NativeExprs.argminCentroidNative(col("v"), cb.map(_.toSeq),
+            offset = s * subDim).as("cid"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))
       }
       val means = e.select(explode(array(perSub: _*)).as("x"))
         .select(col("x.sp").as("sp"), col("x.cid").as("cid"), col("x.sv").as("sv"))
@@ -105,14 +107,16 @@ object ProductQuant {
   def encode(embs: DataFrame, idCol: String, vecCol: String,
              codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
              subDim: Int): DataFrame = {
+    // One compact native argmin per subspace over the unsliced vector
+    // (offset form) instead of the m·k-way struct/array_min literal
+    // unroll: same score law (dcc - 2·dot, ascending-dim order, ties
+    // to the lower cid), so codes — and every downstream gate — are
+    // bit-identical; the projection's expression tree shrinks from
+    // ~10 KB (32 dot subtrees + 32 array literals) to m reference-
+    // object calls.
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)
-      val scored = cb.zipWithIndex.map { case (c, cid) =>
-        val dcc = c.foldLeft(0.0)((a, x) => a + x * x)
-        struct((lit(dcc) - lit(2.0) * NativeExprs.dotNative(sub, typedLit(c.toSeq)))
-          .as("s"), lit(cid).as("cid"))
-      }
-      array_min(array(scored: _*)).getField("cid").as(s"code$s")
+      NativeExprs.argminCentroidNative(col(vecCol).cast("array<double>"),
+        cb.map(_.toSeq), offset = s * subDim).as(s"code$s")
     }
     // forCompute: code assignment is m·k dot products per row and
     // rides the scan's partitioning — a single-file corpus serializes

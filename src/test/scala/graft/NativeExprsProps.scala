@@ -211,4 +211,39 @@ object NativeExprsProps extends Properties("NativeExprs") {
       row.getLong(0) == row.getSeq[Long](2).map(b => lam(b.toInt)).sum &&
         row.getLong(1) == 0L
     }
+
+  // small alphabet (affix sharing likely) + multi-byte and astral code
+  // points, so the ASCII fast path, the codepoint fallback, and the
+  // prefix/suffix strip all get exercised against the builtin
+  private val edPiece: Gen[String] = Gen.frequency(
+    (12, Gen.oneOf("a", "b", "c", "ab", "ba")),
+    (2, Gen.oneOf("é", "中")),
+    (1, Gen.const(new String(Character.toChars(0x10348)))))
+  private val edStr: Gen[String] =
+    Gen.listOf(edPiece).map(_.mkString.take(40))
+
+  property("levenshteinBanded == builtin levenshtein(l, r, k) incl. -1 above-threshold") =
+    forAll(edStr, edStr, Gen.chooseNum(0, 6)) { (a, b, k) =>
+      val row = spark.range(1).select(
+        levenshtein(lit(a), lit(b), k).as("ref"),
+        NativeExprs.levenshteinBandedNative(lit(a), lit(b), k).as("got"))
+        .collect().head
+      row.getInt(0) == row.getInt(1)
+    }
+
+  property("argminCentroid offset form == argmin over the explicit slice") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(-3.0, 3.0)),
+           Gen.chooseNum(0, 2), Gen.chooseNum(2, 5)) { (v, sub, k) =>
+      val subDim = 4
+      val rnd = new scala.util.Random(k * 31 + sub)
+      val cb = IndexedSeq.fill(k)(IndexedSeq.fill(subDim)(
+        math.floor(rnd.nextDouble() * 1000) / 1000))
+      val arr = array(v.map(lit): _*)
+      val row = spark.range(1).select(
+        NativeExprs.argminCentroidNative(arr, cb, offset = sub * subDim).as("off"),
+        NativeExprs.argminCentroidNative(
+          slice(arr, sub * subDim + 1, subDim), cb).as("sl"))
+        .collect().head
+      row.getInt(0) == row.getInt(1)
+    }
 }
