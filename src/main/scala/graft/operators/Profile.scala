@@ -23,30 +23,49 @@ object Profile {
 
   /** Profile `cols` (numeric) of `df`: one row per column of
     * (col_name, n, n_null, n_distinct, min_v, max_v), doubles for the
-    * value bounds. */
+    * value bounds.
+    *
+    * Plan shape: the non-distinct stats (count/nulls/min/max) stay ONE
+    * map-side-partial aggregation job; each exact distinct count runs
+    * as its OWN two-phase aggregate (partial distinct per partition →
+    * distinct values exchanged → count) and broadcast-joins back onto
+    * the melted stats by col_name. Putting the countDistincts in the
+    * same `agg` call planned a single Expand (rows × (|cols|+1)
+    * duplicated through the shuffle, keyed on ALL profiled columns at
+    * once — §2.3 "shuffle fewer bytes"): measured the suite's worst
+    * A/B task divergence in every r14 bench (q_profile noisy-flagged
+    * 4/4 runs, 2-10 task CPU-s on a 150k-row table). Per-column
+    * aggregates exchange only each column's distinct values under a
+    * single-column key. Same results: countDistinct semantics
+    * (non-null exact distinct) are unchanged, one row per column. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-          countDistinct(col(c)).as(s"_nd_$c"),
           min(col(c)).cast("double").as(s"_min_$c"),
           max(col(c)).cast("double").as(s"_max_$c"))
       }
-    // forCompute on the pruned projection: the countDistinct expand +
-    // partial aggregate is the dense map stage and otherwise runs on
-    // the scan's partitioning (one task on a single-file table by the
-    // jobs probe); the narrow typed columns exchange cheaply. No-op on
-    // multi-split scans.
+    // forCompute on the pruned projection: the partial aggregate is the
+    // dense map stage and otherwise runs on the scan's partitioning
+    // (one task on a single-file table by the jobs probe); the narrow
+    // typed columns exchange cheaply. No-op on multi-split scans.
     val wide = Repartition.forCompute(df.select(cols.map(col): _*))
       .agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>
       struct(lit(c).as("col_name"), col("_n").as("n"),
-        col(s"_null_$c").as("n_null"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_null_$c").as("n_null"),
         col(s"_min_$c").as("min_v"), col(s"_max_$c").as("max_v"))
     }
-    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+    val melted = wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+    val nds = cols.map { c =>
+      df.select(col(c)).agg(countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_ unionAll _)
+    melted.join(broadcast(nds), Seq("col_name"))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"))
   }
 
   /** Equal-width histogram of a numeric column: `buckets` buckets

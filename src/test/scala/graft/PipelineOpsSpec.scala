@@ -946,9 +946,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
     assert(p("id") == (4L, 0L, 3L, 1.0, 4.0))
     assert(p("v") == (4L, 1L, 3L, 10.0, 999.0))
-    // one aggregation job: the plan has exactly one Aggregate chain, no join
+    // the exact distincts run as per-column two-phase aggregates, NOT
+    // as a multi-countDistinct Expand (rows × |cols|+1 through the
+    // shuffle keyed on every profiled column at once — r15 de-Expand);
+    // the only join is the broadcast of the |cols|-row distinct counts
     val plan = Profile.profile(df, Seq("id", "v")).queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
     val viols = Profile.violations(Profile.profile(df, Seq("id", "v")),
       notNull = Seq("id", "v"), unique = Seq("id"),
       bounds = Map("v" -> (0.0, 100.0)))
