@@ -213,20 +213,117 @@ object IndexLifecycle {
       threshold, shingleK)
   }
 
-  /** Fold the appended generations down: re-count every bucket from
-    * the index's own 4-long rows (exchange-free groupBy under the
-    * bucket layout — text is NEVER re-banded), rewrite the index with
-    * per-row bsz = true count (the same colliding-buckets-broadcast
-    * shape as the build), refresh the histogram, and reset the
-    * statlog. Swaps are the two-rename law; the statlog reset comes
-    * LAST, so the one crash window (new hist + old log) OVERcounts —
-    * conservative for the cap, flagged by [[minhashIndexFsck]], fixed
-    * by re-running compact. O(index rows); also the repair path for a
-    * crashed append. */
+  /** Fold the appended generations down: re-count buckets from the
+    * index's own 4-long rows (text is NEVER re-banded), rewrite rows
+    * with per-row bsz = true count, refresh the histogram, and reset
+    * the statlog.
+    *
+    * Compaction cost is ∝ TOUCHED buckets, not index size (§2.4/§6):
+    * the statlog names exactly the buckets whose count changed since
+    * the last build/compaction, so only the bucket FILES whose
+    * file-bucket holds a touched (band, bucket) are re-read and
+    * rewritten — every other file of the old generation is carried
+    * forward by metadata-only rename (manifest protocol,
+    * [[Sinks.writeCarryManifest]]/[[Sinks.swapInTable]]; crash-safe,
+    * resumed by [[Sinks.recoverSwappedTable]] at every entry point).
+    * Correctness of the pruning: all rows of a (band, bucket) hash to
+    * ONE file-bucket, so recounting the touched file-buckets' rows
+    * yields the exact new count of every bucket living there, and an
+    * untouched file-bucket's rows kept their build-time bsz = still
+    * the true count. The histogram is bucketed by the same
+    * (band, bucket) spec, so its files prune identically: new hist =
+    * recount of touched file-buckets ∪ carried hist files.
+    *
+    * The partial path requires a CONSISTENT index ([[minhashIndexFsck]]
+    * — checked first): a crashed append leaves rows the statlog never
+    * logged, whose buckets the touched set would miss, so the repair
+    * path (fsck false) falls back to the full recount + rewrite of
+    * every file-bucket. Swaps are the two-rename law; the statlog
+    * reset comes LAST, so the one crash window (new hist + old log)
+    * OVERcounts — conservative for the cap, flagged by fsck, fixed by
+    * re-running compact. */
   def compactMinHashIndex(spark: SparkSession, table: String, buckets: Int,
                           statsBroadcast: Boolean = true): Unit = {
     Sinks.recoverSwappedTable(spark, table)
     Sinks.recoverSwappedTable(spark, hist(table))
+    val partialOk = spark.catalog.tableExists(hist(table)) &&
+      minhashIndexFsck(spark, table)
+    val touched: Option[Array[Int]] =
+      if (!partialOk) None // inconsistent (crashed append): full repair
+      else if (!spark.catalog.tableExists(statlog(table))) Some(Array.empty)
+      else Some(spark.table(statlog(table))
+        // the write-side bucket law: pmod(Murmur3 hash of the bucket
+        // columns IN SPEC ORDER, numBuckets) — BucketingSpec pins the
+        // file-name parity
+        .select(pmod(hash(col("band"), col("bucket")), lit(buckets))
+          .cast("int").as("fb"))
+        .distinct().collect().map(_.getInt(0)))
+    touched match {
+      case Some(fbs) if fbs.isEmpty =>
+        // consistent and nothing appended since the last fold — per-row
+        // bsz and the histogram are already write-time truth
+        Sinks.dropTableAndLocation(spark, statlog(table))
+      case Some(fbs) if fbs.length < buckets =>
+        compactTouchedFileBuckets(spark, table, buckets, fbs.toSet,
+          statsBroadcast)
+      case _ =>
+        compactAllFileBuckets(spark, table, buckets, statsBroadcast)
+    }
+  }
+
+  /** Partition-pruned compaction: recount + rewrite ONLY `fbs`'
+    * files; carry every other file forward by rename. */
+  private def compactTouchedFileBuckets(spark: SparkSession, table: String,
+                                        buckets: Int, fbs: Set[Int],
+                                        statsBroadcast: Boolean): Unit = {
+    def split(t: String): (Seq[String], Seq[String]) = {
+      val dir = Sinks.tableLocation(spark, t)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      val (touch, carry) = files.partition { f =>
+        val fb = org.apache.spark.sql.graftbridge.BucketBridge
+          .bucketIdOf(f.getPath.getName)
+        require(fb.isDefined, s"non-bucketed file in $t: ${f.getPath.getName}")
+        fbs.contains(fb.get)
+      }
+      (touch.map(_.getPath.toString), carry.map(_.getPath.getName))
+    }
+    val (idxTouched, idxCarry) = split(table)
+    val (_, histCarry) = split(hist(table))
+    // rows of the touched file-buckets only — read by file path (the
+    // file NAME is the bucket id), so bytes read scale with the delta's
+    // bucket footprint, never the index
+    val rows = spark.read.parquet(idxTouched: _*)
+      .select("id", "band", "bucket")
+    val recount = rows.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).cache()
+    try {
+      val sizes = recount.where(col("bsz") >= 2)
+        .select(col("band"), col("bucket"), col("bsz").as("__bsz"))
+      val stats = if (statsBroadcast) broadcast(sizes) else sizes
+      val fresh = rows.join(stats, Seq("band", "bucket"), "left")
+        .select(col("id"), col("band"), col("bucket"),
+          coalesce(col("__bsz"), lit(1L)).as("bsz"))
+      Sinks.writeBucketed(fresh, s"${table}_cnew", buckets,
+        Seq("band", "bucket"))
+      Sinks.writeBucketed(recount, s"${table}_hist_cnew", buckets,
+        Seq("band", "bucket"))
+      // declare the carried generations BEFORE the swaps — the swap
+      // completes the carry (or recovery does, after a crash)
+      Sinks.writeCarryManifest(spark, s"${table}_cnew", idxCarry)
+      Sinks.writeCarryManifest(spark, s"${table}_hist_cnew", histCarry)
+      Sinks.swapInTable(spark, s"${table}_cnew", table)
+      Sinks.swapInTable(spark, s"${table}_hist_cnew", hist(table))
+      Sinks.dropTableAndLocation(spark, statlog(table))
+    } finally { recount.unpersist(false); () }
+  }
+
+  /** Full recount + rewrite — the repair path (also taken when every
+    * file-bucket is touched, where pruning buys nothing). */
+  private def compactAllFileBuckets(spark: SparkSession, table: String,
+                                    buckets: Int,
+                                    statsBroadcast: Boolean): Unit = {
     val rows = spark.table(table).select("id", "band", "bucket")
     // cache(): the recount IS the new histogram — it feeds the per-row
     // bsz join AND the hist rewrite below, so one bucket-count frame

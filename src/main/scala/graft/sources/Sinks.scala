@@ -45,11 +45,18 @@ object Sinks {
   def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
                            table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val whDir = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase(java.util.Locale.ROOT))
+    val whDir = tableLocation(spark, table)
     val fs = whDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(whDir)) fs.delete(whDir, true)
   }
+
+  /** Managed-table directory under the session warehouse (the layout
+    * both the in-memory catalog and [[dropTableAndLocation]] assume). */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                    table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
 
   /** Idempotent unbucketed saveAsTable (location-cleaning replace). */
   def saveTableReplacing(df: DataFrame, table: String): Unit = {
@@ -81,12 +88,66 @@ object Sinks {
       .write.mode("append").insertInto(table)
   }
 
+  /** Name of the carry manifest a partially-rewritten generation
+    * places in its own directory: each listed file is carried forward
+    * from the PREVIOUS generation (the `_bak` table) by rename after
+    * the swap — the partition-pruned-compaction protocol of
+    * [[graft.operators.IndexLifecycle.compactMinHashIndex]]. The
+    * leading underscore keeps Spark's file index from reading it. */
+  private val CarryManifest = "_carry_from_bak"
+
+  /** Record that `newTable`'s generation carries `fileNames` forward
+    * from the table it will replace. Must be called BEFORE
+    * [[swapInTable]]; the swap completes the carry. */
+  def writeCarryManifest(spark: org.apache.spark.sql.SparkSession,
+                         newTable: String, fileNames: Seq[String]): Unit = {
+    val dir = tableLocation(spark, newTable)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, CarryManifest), true)
+    try out.write(fileNames.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Complete a pending carry on `table`: move every manifest-listed
+    * file from `<table>_bak`'s directory into `table`'s, then drop the
+    * manifest. Idempotent and crash-resumable — a file already present
+    * in `table` is skipped, so re-running after a crash mid-carry
+    * finishes the remainder. No-op without a manifest. The bak table
+    * is NOT dropped here (the caller decides when the generation is
+    * fully committed). */
+  def completeCarry(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Unit = {
+    val dir = tableLocation(spark, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(dir, CarryManifest)
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val bakDir = tableLocation(spark, s"${table}_bak")
+    names.foreach { name =>
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      if (!fs.exists(dst)) {
+        val src = new org.apache.hadoop.fs.Path(bakDir, name)
+        require(fs.exists(src), s"carry source missing: $src")
+        require(fs.rename(src, dst), s"carry rename $src -> $dst failed")
+      }
+    }
+    fs.delete(manifest, false)
+    ()
+  }
+
   /** Crash-safe managed-table swap (the two-rename law of
     * [[mergeAggState]]/[[compact]] lifted to catalog tables): rename
-    * `table` aside to `<table>_bak`, rename `newTable` in, drop the
-    * bak — a complete committed generation exists under SOME name at
-    * every instant. [[recoverSwappedTable]] repairs the one window
-    * where `table` itself is absent. */
+    * `table` aside to `<table>_bak`, rename `newTable` in, complete
+    * any carry the new generation declared (file-level carry-forward
+    * from the old generation — see [[writeCarryManifest]]), drop the
+    * bak — a complete committed generation exists under SOME name (or
+    * as table + manifest + bak, which [[recoverSwappedTable]] can
+    * always finish) at every instant. */
   def swapInTable(spark: org.apache.spark.sql.SparkSession,
                   newTable: String, table: String): Unit = {
     require(spark.catalog.tableExists(newTable), s"missing $newTable")
@@ -94,22 +155,27 @@ object Sinks {
     if (spark.catalog.tableExists(table))
       spark.sql(s"ALTER TABLE `$table` RENAME TO `${table}_bak`")
     spark.sql(s"ALTER TABLE `$newTable` RENAME TO `$table`")
+    completeCarry(spark, table)
     dropTableAndLocation(spark, s"${table}_bak")
   }
 
   /** Recover from a crash inside [[swapInTable]]: a missing `table`
     * with a surviving `<table>_bak` means the crash hit between the
     * two renames — the bak IS the last committed generation. A
-    * leftover bak NEXT TO a live table is post-commit debris and is
-    * dropped. */
+    * leftover bak NEXT TO a live table is either an interrupted carry
+    * (live table still names files to pull from the bak — finish it)
+    * or post-commit debris; completing the (idempotent, possibly
+    * empty) carry first makes dropping the bak safe in both cases. */
   def recoverSwappedTable(spark: org.apache.spark.sql.SparkSession,
                           table: String): Unit = {
     val hasTable = spark.catalog.tableExists(table)
     val hasBak = spark.catalog.tableExists(s"${table}_bak")
     if (!hasTable && hasBak)
       spark.sql(s"ALTER TABLE `${table}_bak` RENAME TO `$table`")
-    else if (hasTable && hasBak)
+    else if (hasTable && hasBak) {
+      completeCarry(spark, table)
       dropTableAndLocation(spark, s"${table}_bak")
+    }
   }
 
   /** Globally range-sorted parquet: `orderBy` range-partitions the

@@ -486,6 +486,127 @@ class BucketingSpec extends AnyFunSuite {
       .foreach(graft.sources.Sinks.dropTableAndLocation(spark, _))
   }
 
+  test("partial compaction: only touched file-buckets rewritten, rest carried by rename; equals full rewrite; bucket-id law pinned") {
+    import graft.operators.{Dedup, IndexLifecycle}
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val day1 = (0L until 60L).map(i => (i, doc(50)))
+    // one-doc micro delta: its 32 (band, bucket) pairs touch a strict
+    // subset of the 64 file-buckets — the partial-path regime
+    val micro = Seq((500L, day1(7)._2))
+    val probeRows = Seq((600L, day1(7)._2), (601L, doc(50)))
+    val t = "spec_mh_partial"
+    val buckets = 64
+    Seq(t, s"${t}_hist", s"${t}_statlog", s"${t}_full")
+      .foreach(graft.sources.Sinks.dropTableAndLocation(spark, _))
+    val d1 = day1.toDF("doc_id", "text")
+    val dm = micro.toDF("doc_id", "text")
+    val dp = probeRows.toDF("doc_id", "text")
+    IndexLifecycle.writeGrowableMinHashIndex(d1, "doc_id", "text", t, buckets)
+    def fileNames(tab: String): Set[String] = {
+      val dir = graft.sources.Sinks.tableLocation(spark, tab)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-")).map(_.getPath.getName).toSet
+    }
+    def fbOf(name: String): Int =
+      org.apache.spark.sql.graftbridge.BucketBridge.bucketIdOf(name).get
+    // bucket-id LAW parity (what the pruning rests on): every row in a
+    // bucket file hashes to exactly the file-name bucket id under
+    // pmod(hash(band, bucket), buckets)
+    val dir = graft.sources.Sinks.tableLocation(spark, t)
+    fileNames(t).take(6).foreach { name =>
+      val ids = spark.read.parquet(s"$dir/$name")
+        .select(pmod(hash(col("band"), col("bucket")), lit(buckets))
+          .cast("int").as("fb")).distinct().collect().map(_.getInt(0)).toSet
+      assert(ids == Set(fbOf(name)), s"$name: $ids != ${fbOf(name)}")
+    }
+    val preFiles = fileNames(t)
+    IndexLifecycle.appendToMinHashIndex(dm, "doc_id", "text", t)
+    val touched = spark.table(s"${t}_statlog")
+      .select(pmod(hash(col("band"), col("bucket")), lit(buckets))
+        .cast("int").as("fb")).distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size < buckets, s"micro delta touched all $buckets buckets")
+    IndexLifecycle.compactMinHashIndex(spark, t, buckets)
+    assert(!spark.catalog.tableExists(s"${t}_statlog"), "statlog reset")
+    assert(IndexLifecycle.minhashIndexFsck(spark, t), "fsck after compact")
+    assert(!spark.catalog.tableExists(s"${t}_cnew") &&
+      !spark.catalog.tableExists(s"${t}_bak"), "no swap debris")
+    val postFiles = fileNames(t)
+    val carriedNames = postFiles.intersect(preFiles)
+    val newNames = postFiles -- preFiles
+    assert(carriedNames.nonEmpty, "untouched bucket files must carry forward")
+    assert(carriedNames.forall(n => !touched.contains(fbOf(n))),
+      "a carried file sits in a touched file-bucket")
+    assert(newNames.forall(n => touched.contains(fbOf(n))),
+      "a rewritten file sits in an untouched file-bucket")
+    // result parity: compacted index == full-rewrite index, for the
+    // probe AND for the naive per-row-bsz filter (bsz true again)
+    val baseAll = d1.unionByName(dm)
+    Dedup.writeMinHashIndex(baseAll, "doc_id", "text", s"${t}_full", buckets)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.incrementalNearDupPairs(dp, "doc_id", "text",
+      spark.table(s"${t}_full"), baseAll, 0.5))
+    val got = pairs(IndexLifecycle.probeStandingMinHashIndex(
+      dp, "doc_id", "text", t, baseAll, 0.5))
+    assert(got == full,
+      s"missing=${(full -- got).take(5)} extra=${(got -- full).take(5)}")
+    assert(got.exists(_._1 == 600L), "exact-copy probe pair must surface")
+    val naive = pairs(Dedup.incrementalNearDupPairs(dp, "doc_id", "text",
+      spark.table(t), baseAll, 0.5))
+    assert(naive == full, "partial compaction must restore per-row bsz")
+    Seq(t, s"${t}_hist", s"${t}_full").foreach(
+      graft.sources.Sinks.dropTableAndLocation(spark, _))
+  }
+
+  test("interrupted carry (crash after the swap renames) is finished by recoverSwappedTable") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    Seq("spec_carry", "spec_carry_new", "spec_carry_bak")
+      .foreach(Sinks.dropTableAndLocation(spark, _))
+    // old generation: one file per bucket (coalesce(1) → one write task)
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+      .coalesce(1)
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("spec_carry")
+    val dir = Sinks.tableLocation(spark, "spec_carry")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-")).map(_.getPath.getName).toSeq
+    val oldFiles = files(dir)
+    assert(oldFiles.size == 2, s"expected one file per bucket: $oldFiles")
+    // new generation: rewrite ONLY one bucket's rows; carry the other
+    val keepFb = org.apache.spark.sql.graftbridge.BucketBridge
+      .bucketIdOf(oldFiles.head).get
+    val rewrittenKeys = spark.read.parquet(s"$dir/${oldFiles.head}")
+      .collect().map(_.getLong(0)).toSet
+    val carried = oldFiles.filter(n =>
+      org.apache.spark.sql.graftbridge.BucketBridge.bucketIdOf(n).get != keepFb)
+    assert(carried.nonEmpty)
+    spark.read.parquet(s"$dir/${oldFiles.head}")
+      .withColumn("v", col("v") + 100L).coalesce(1)
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("spec_carry_new")
+    Sinks.writeCarryManifest(spark, "spec_carry_new", carried)
+    // simulate the crash: both renames done, carry NOT run
+    spark.sql("ALTER TABLE spec_carry RENAME TO spec_carry_bak")
+    spark.sql("ALTER TABLE spec_carry_new RENAME TO spec_carry")
+    // recovery completes the carry and drops the bak
+    Sinks.recoverSwappedTable(spark, "spec_carry")
+    assert(!spark.catalog.tableExists("spec_carry_bak"))
+    val got = spark.table("spec_carry").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L)
+      .map { case (k, v) => (k, if (rewrittenKeys.contains(k)) v + 100L else v) }
+    assert(got == want, s"got=${got.toList}")
+    Sinks.dropTableAndLocation(spark, "spec_carry")
+  }
+
   test("swapInTable/recoverSwappedTable: two-rename law survives both crash windows") {
     import graft.sources.Sinks
     import spark.implicits._
