@@ -32,7 +32,13 @@ object ScaleProbe {
       mhIdxProbe(args(1), if (args.length > 2) args(2).toInt else 200); return
     }
     if (args(0) == "idxgrow") {
-      idxGrowProbe(args(1), if (args.length > 2) args(2).toInt else 100); return
+      idxGrowProbe(args(1), if (args.length > 2) args(2).toInt else 100,
+        if (args.length > 3) args(3).toInt else 8,
+        if (args.length > 4) args(4).toInt else 3); return
+    }
+    if (args(0) == "objagg") {
+      objAggProbe(if (args.length > 1) args(1).toInt else 65536,
+        if (args.length > 2) args(2).toInt else 1000); return
     }
     if (args(0) == "dsir") { dsirProbe(args(1)); return }
     if (args(0) == "mmdedup") { mmDedupProbe(args(1)); return }
@@ -43,6 +49,7 @@ object ScaleProbe {
         if (args.length > 3) args(3).toInt else 3); return
     }
     if (args(0) == "jobs") { jobsProbe(args(1), args(2)); return }
+    if (args(0) == "floor") { floorProbe(args(1), args(2)); return }
     if (args(0) == "span") { spanProbe(args(1)); return }
     if (args(0) == "bm25bulk") {
       bm25BulkProbe(args(1), if (args.length > 2) args(2).toInt else 10,
@@ -193,7 +200,12 @@ object ScaleProbe {
           val si = sc.stageInfo
           val ms = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b)
             .getOrElse(-1L)
-          println(f"  stage ${si.stageId}%3d tasks=${si.numTasks}%-5d ${ms / 1e3}%6.2f s  ${si.name.take(90)}")
+          // per-stage task CPU (+ deserialize CPU) — the attribution
+          // column that reconciles a gate's TaskTimeMeter total
+          val tm = si.taskMetrics
+          val cpu = if (tm == null) -1.0
+            else (tm.executorCpuTime + tm.executorDeserializeCpuTime) / 1e9
+          println(f"  stage ${si.stageId}%3d tasks=${si.numTasks}%-5d ${ms / 1e3}%6.2f s cpu=$cpu%6.2f s  ${si.name.take(80)}")
         }
     })
     def once(): Double = {
@@ -211,6 +223,107 @@ object ScaleProbe {
       s"tasks=${taskN.get} jobs=${done.size}")
     done.forEach { case (id, ms, desc, nt) =>
       println(f"  job $id%3d ${ms / 1e3}%6.2f s  plannedTasks=$nt%-5d $desc")
+    }
+    spark.stop()
+  }
+
+  /** `objagg [groups] [perGroup]`: the ObjectHashAggregate
+    * fallback-threshold adversarial memory bound (VERDICT r14 #8) —
+    * ONE task holding `groups` collect_list groups of `perGroup` longs
+    * each (the worst case the 64k sortBased.fallbackThreshold admits
+    * with the engine's cap-bounded buffers), reporting the task's peak
+    * execution memory, spill, and CPU so the headroom claim in
+    * GraftSession.scala is a measured number, not an estimate. */
+  private def objAggProbe(groups: Int, perGroup: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          cpuNs.addAndGet(m.executorCpuTime)
+          ()
+        }
+      }
+    })
+    val t0 = System.nanoTime()
+    // repartition(1): EVERY group lands in one task — the adversarial
+    // shape (a real partition this skewed is past the engine's
+    // 100 MB-1 GB sizing, which is the point of the measurement)
+    val out = spark.range(groups.toLong * perGroup)
+      .select((col("id") % groups).as("k"), col("id").as("v"))
+      .repartition(1)
+      .groupBy("k").agg(collect_list(col("v")).as("vs"))
+      .select(count(lit(1)), max(size(col("vs")))).collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graftbridge.ListenerBusDrain.drain(spark.sparkContext)
+    println(f"SCALEPROBE objagg groups=$groups perGroup=$perGroup " +
+      s"nGroups=${out.getLong(0)} maxLen=${out.getInt(1)} " +
+      f"peakExecMemMB=${peak.get / 1048576.0}%.1f " +
+      f"spillMemMB=${spillMem.get / 1048576.0}%.1f " +
+      f"spillDiskMB=${spillDisk.get / 1048576.0}%.1f " +
+      f"cpu=${cpuNs.get / 1e9}%.2f s wall=$wall%.2f s " +
+      s"fallbackThreshold=${spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")}")
+    spark.stop()
+  }
+
+  /** `floor <sfDir> <gate>`: decompose a (sub-second) gate's per-rep
+    * wall into DataFrame construction (the gate fn), Catalyst phases
+    * (analysis / optimization / physical planning, from the
+    * QueryPlanningTracker of the noop write's own QueryExecution), and
+    * residual execution — the VERDICT r15 #7 question "where does the
+    * ~0.2 s/gate tail floor go: driver planning or job submit?".
+    * Also times the noop against a REUSED DataFrame object (what a
+    * build-once-per-pass bench would measure) to show how much of the
+    * floor a reuse could and could not remove. */
+  private def floorProbe(sfDir: String, name: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val phases = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, Long])]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        phases.add((funcName,
+          qe.tracker.phases.map { case (p, s) => p -> (s.endTimeMs - s.startTimeMs) }.toMap))
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+    val fn = SparkEntry.queries(name)
+    def noop(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+    phases.clear()
+    (1 to 3).foreach { rep =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val tNoop = noop(df)
+      val ph = Option(phases.poll()).map(_._2).getOrElse(Map.empty)
+      println(f"FLOORPROBE $name rep=$rep build=$tBuild%.3f noop=$tNoop%.3f " +
+        s"phasesMs=${ph.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")}")
+    }
+    val reused = fn(spark, sfDir)
+    (1 to 3).foreach { rep =>
+      phases.clear()
+      val tNoop = noop(reused)
+      val ph = Option(phases.poll()).map(_._2).getOrElse(Map.empty)
+      println(f"FLOORPROBE $name reusedDf rep=$rep noop=$tNoop%.3f " +
+        s"phasesMs=${ph.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")}")
     }
     spark.stop()
   }
@@ -283,7 +396,8 @@ object ScaleProbe {
     * Also probes the grown and rewritten indexes and requires equal
     * pair counts (the lifecycle gate's equality, rehearsed at the
     * decade). */
-  private def idxGrowProbe(sfDir: String, deltaPermille: Int): Unit = {
+  private def idxGrowProbe(sfDir: String, deltaPermille: Int,
+                           buckets: Int = 8, microDocs: Int = 3): Unit = {
     import org.apache.spark.sql.functions._
     require(deltaPermille > 0 && deltaPermille < 1000, s"deltaPermille=$deltaPermille")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -301,11 +415,11 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, a)
     }
     val (tBuild, _) = timed(graft.operators.IndexLifecycle
-      .writeGrowableMinHashIndex(base, "doc_id", "text", "probe_mh_grow", 8))
+      .writeGrowableMinHashIndex(base, "doc_id", "text", "probe_mh_grow", buckets))
     val (tAppend, _) = timed(graft.operators.IndexLifecycle
       .appendToMinHashIndex(delta, "doc_id", "text", "probe_mh_grow"))
     val (tRewrite, _) = timed(graft.operators.Dedup
-      .writeMinHashIndex(merged, "doc_id", "text", "probe_mh_rw", 8))
+      .writeMinHashIndex(merged, "doc_id", "text", "probe_mh_rw", buckets))
     val (tProbeG, nG) = timed(graft.operators.IndexLifecycle
       .probeStandingMinHashIndex(probeSet, "doc_id", "text",
         "probe_mh_grow", merged, threshold = 0.7).count())
@@ -314,17 +428,46 @@ object ScaleProbe {
         spark.table("probe_mh_rw"), merged, threshold = 0.7).count())
     require(nG == nR, s"grown=$nG rewrite=$nR must agree")
     val (tCompact, _) = timed(graft.operators.IndexLifecycle
-      .compactMinHashIndex(spark, "probe_mh_grow", 8))
+      .compactMinHashIndex(spark, "probe_mh_grow", buckets))
     val (tProbeC, nC) = timed(graft.operators.IndexLifecycle
       .probeStandingMinHashIndex(probeSet, "doc_id", "text",
         "probe_mh_grow", merged, threshold = 0.7).count())
     require(nC == nR, s"compacted=$nC rewrite=$nR must agree")
     val idxRows = spark.table("probe_mh_grow").count()
+    // Micro-append regime (cost ∝ touched buckets): append `microDocs`
+    // docs and re-compact; report how many bucket files (and bytes)
+    // the partial path rewrote vs carried forward by rename — the
+    // decade row for "compaction bytes scale with the delta's bucket
+    // footprint, not the index".
+    def tableFiles(t: String): Map[String, Long] = {
+      val dir = graft.sources.Sinks.tableLocation(spark, t)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    }
+    val preFiles = tableFiles("probe_mh_grow")
+    val micro = probeSet.orderBy("doc_id").limit(microDocs)
+    val (tMicroAppend, _) = timed(graft.operators.IndexLifecycle
+      .appendToMinHashIndex(micro, "doc_id", "text", "probe_mh_grow"))
+    val (tMicroCompact, _) = timed(graft.operators.IndexLifecycle
+      .compactMinHashIndex(spark, "probe_mh_grow", buckets))
+    val postFiles = tableFiles("probe_mh_grow")
+    val carried = postFiles.filter { case (n, _) => preFiles.contains(n) }
+    val rewritten = postFiles.filter { case (n, _) => !preFiles.contains(n) }
+    val (tProbeM, nM) = timed(graft.operators.IndexLifecycle
+      .probeStandingMinHashIndex(probeSet, "doc_id", "text",
+        "probe_mh_grow", merged.unionByName(micro), threshold = 0.7).count())
     println(f"SCALEPROBE idxgrow dir=$sfDir deltaPermille=$deltaPermille " +
-      f"idxRows=$idxRows build=$tBuild%.2f append=$tAppend%.2f " +
+      f"buckets=$buckets idxRows=$idxRows build=$tBuild%.2f append=$tAppend%.2f " +
       f"rewrite=$tRewrite%.2f compact=$tCompact%.2f " +
       f"probeGrown=$tProbeG%.2f probeRewrite=$tProbeR%.2f " +
-      f"probeCompacted=$tProbeC%.2f pairs=$nG")
+      f"probeCompacted=$tProbeC%.2f pairs=$nG " +
+      f"microDocs=$microDocs microAppend=$tMicroAppend%.2f " +
+      f"microCompact=$tMicroCompact%.2f " +
+      s"carriedFiles=${carried.size}/${postFiles.size} " +
+      s"carriedBytes=${carried.values.sum} rewrittenBytes=${rewritten.values.sum} " +
+      s"microProbePairs=$nM")
     spark.stop()
   }
 
