@@ -10,6 +10,12 @@ object ExplainOne {
     require(args.length >= 4,
       "usage: ExplainOne <sfDir> <outDir> <suffix> <query> [query ...]")
     val (sfDir, outDir, suffix) = (args(0), args(1), args(2))
+    // validate every name up front: a typo mid-list used to throw a bare
+    // NoSuchElementException after earlier files were already written
+    val unknown = args.drop(3).filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}; valid gates: " +
+        SparkEntry.queries.keySet.toSeq.sorted.mkString(", "))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-explain-one")
     spark.sparkContext.setLogLevel("ERROR")

@@ -82,6 +82,16 @@ object GraftSession {
       // such groups would need tens of millions of input rows in one
       // partition — far past the partition sizing — before the
       // fallback engages. SPARK_GRAFT_OBJ_AGG_FALLBACK overrides.
+      // Adversarial bound MEASURED (r15, `ScaleProbe objagg 65536
+      // 1000`): ONE task holding 64k collect_list groups of 1000
+      // longs each (the documented per-group cap) completes without
+      // OOM — the sort fallback engages and spills (2.7 GB memory /
+      // 0.36 GB disk spill recorded in SCALE.md), so the threshold is
+      // a latency/spill trade, not a correctness cliff. CONTRACT for
+      // new operators: anything that plans an ObjectHashAggregate
+      // through this session must bound per-group state (the existing
+      // operators cap at maxDocsPerSpan / maxBucketSize <= 10^3); an
+      // uncapped collect_list group breaks the arithmetic above.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       // let cached plans keep AQE's coalesced output partitioning —

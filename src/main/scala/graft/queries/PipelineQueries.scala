@@ -25,7 +25,11 @@ object PipelineQueries {
   private def vocabQueries(s: SparkSession, dir: String): DataFrame =
     vocabQueriesOf(docs(s, dir))
 
-  private def vocabQueriesOf(d: DataFrame): DataFrame =
+  // private[graft]: PipelineOpsSpec pins vocabQueriesOf ==
+  // vocabQueriesFromPostings over a fixture corpus, so a tf-semantics
+  // change in writeBm25Index (capping, sublinear tf) fails loudly
+  // instead of silently changing the index gates' query set
+  private[graft] def vocabQueriesOf(d: DataFrame): DataFrame =
     queriesFromVocab(graft.operators.TfIdf.vocabulary(d, "text", 15))
 
   /** The query-building half of [[vocabQueriesOf]] over any
@@ -51,8 +55,8 @@ object PipelineQueries {
     * .vocabulary]] excludes it. Identical (n, token) ranking ⇒
     * identical query set — the index gates stop paying a full
     * tokenize pass for 15 vocabulary rows. */
-  private def vocabQueriesFromPostings(s: SparkSession,
-                                       prefix: String): DataFrame =
+  private[graft] def vocabQueriesFromPostings(s: SparkSession,
+                                              prefix: String): DataFrame =
     queriesFromVocab(
       s.table(s"${prefix}_postings")
         .where(col("token") =!= "")

@@ -13,4 +13,13 @@ object BucketBridge {
     * None for a non-bucketed file name. */
   def bucketIdOf(fileName: String): Option[Int] =
     BucketingUtils.getBucketId(fileName)
+
+  /** (numBuckets, bucketColumnNames) of a catalog table, None when the
+    * table is not bucketed — lets the append path cluster incoming
+    * rows into one write task per bucket. */
+  def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Option[(Int, Seq[String])] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(b => (b.numBuckets, b.bucketColumnNames))
 }

@@ -2693,6 +2693,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // the index probes cache their top-k frame
   }
 
+  test("vocab queries from the persisted postings == vocab queries from the corpus") {
+    // the r14 srch_bm25_idx/bulk optimization derives the query vocab
+    // from Σ tf over the postings instead of re-tokenizing the corpus;
+    // the equivalence silently breaks if writeBm25Index's tf semantics
+    // ever change (capping, sublinear tf) — pin it on a fixture whose
+    // ranking exercises ties, repeated terms and the empty-doc sentinel
+    import graft.operators.Search
+    val df = (corpus ++ Seq((9000L, ""), (9001L, "   "),
+      (9002L, "spark spark spark join join")))
+      .toDF("doc_id", "text")
+    Search.writeBm25Index(df, "doc_id", "text", "t_vocab_parity", buckets = 4)
+    def rows(d: DataFrame): Seq[(Long, Seq[String])] =
+      d.select("query_id", "terms").as[(Long, Seq[String])].collect()
+        .toSeq.sortBy(_._1)
+    val fromCorpus = rows(graft.queries.PipelineQueries.vocabQueriesOf(df))
+    val fromPostings = rows(graft.queries.PipelineQueries
+      .vocabQueriesFromPostings(spark, "t_vocab_parity"))
+    assert(fromCorpus == fromPostings,
+      s"corpus=$fromCorpus vs postings=$fromPostings")
+    graft.sources.Sinks.dropTableAndLocation(spark, "t_vocab_parity_postings")
+    Seq("t_vocab_parity_df", "t_vocab_parity_stats").foreach { t =>
+      if (spark.catalog.tableExists(t))
+        graft.sources.Sinks.dropTableAndLocation(spark, t)
+    }
+  }
+
   test("bulk bm25 df cap == deleting capped terms from every query (exact equivalence)") {
     import graft.operators.Search
     // maxDfFrac is an EXPLICIT approximation, but an algebraically
