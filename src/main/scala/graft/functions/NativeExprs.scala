@@ -1191,6 +1191,200 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Per-document shared-shingle counts against a bounded probe set,
+    * in ONE pass: the contamination sweep's corpus side
+    * ([[graft.operators.Dedup.contaminationPairs]]) without
+    * materializing the shingle array, without the per-doc explode, and
+    * without the (c_id, p_id) count shuffle. The probe documents'
+    * DISTINCT k-gram shingle sets ride the expression as one reference
+    * object (bounded by contract — an eval set, not a corpus); each
+    * corpus document's distinct code-point k-windows are looked up in
+    * the inverted shingle→probes map, and the output is one
+    * (p_id, n_shared) struct per probe with n_shared >= 1.
+    *
+    * Law parity with `charShingles(text, k)` (what both the previous
+    * Column form and the DuckDB oracle compute): windows are CODE
+    * POINT based (`UTF8String.substring`), texts shorter than k emit
+    * exactly one (short) shingle — including the empty shingle of an
+    * empty text — and counts are DISTINCT-set intersection sizes (the
+    * first occurrence of a window counts, duplicates don't). */
+  case class SharedShingleCountsExpr(child: Expression, k: Int,
+                                     probes: Seq[(Long, String)])
+      extends UnaryExpression {
+    require(k >= 1, s"k=$k")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("p_id", LongType, nullable = false),
+      StructField("n_shared", LongType, nullable = false))), containsNull = false)
+    @transient private lazy val pids: Array[Long] = probes.map(_._1).toArray
+    // shingle -> indices of probes containing it (a shingle can sit in
+    // several probes; each gets its own count)
+    @transient private lazy val inverted
+        : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]] = {
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.util.ArrayList[Integer]]()
+      probes.zipWithIndex.foreach { case ((_, text), pi) =>
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        foreachWindow(s) { sh =>
+          if (seen.add(sh))
+            m.computeIfAbsent(sh, _ => new java.util.ArrayList[Integer]())
+              .add(Integer.valueOf(pi))
+        }
+      }
+      val out = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](
+        m.size() * 2)
+      m.forEach((sh, list) => out.put(sh,
+        Array.tabulate(list.size())(i => list.get(i).intValue())))
+      out
+    }
+    @inline private def foreachWindow(
+        s: org.apache.spark.unsafe.types.UTF8String)(
+        f: org.apache.spark.unsafe.types.UTF8String => Unit): Unit = {
+      val n = s.numChars()
+      val windows = math.max(1, n - k + 1)
+      var i = 0
+      while (i < windows) { f(s.substring(i, math.min(i + k, n))); i += 1 }
+    }
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val counts = new Array[Long](pids.length)
+      val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      val inv = inverted
+      foreachWindow(text) { sh =>
+        if (seen.add(sh)) {
+          val hits = inv.get(sh)
+          if (hits != null) {
+            var j = 0
+            while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+          }
+        }
+      }
+      val out = new java.util.ArrayList[Any]()
+      var p = 0
+      while (p < counts.length) {
+        if (counts(p) > 0L)
+          out.add(org.apache.spark.sql.catalyst.InternalRow(pids(p), counts(p)))
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sharedShingleCountsExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SharedShingleCountsExpr =
+      copy(child = newChild)
+  }
+
+  /** Shared 96-bit key law of the segment/window dedup family —
+    * (xxhash64 seed 42, crc32), both over the UTF-8 bytes, exactly
+    * Spark's `struct(xxhash64(s), crc32(s))`. */
+  @inline private[functions] def key96(bytes: Array[Byte]): (Long, Long) = {
+    val xx = XXH64.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 0, bytes.length)
+    (xx, crc.getValue)
+  }
+
+  /** Consecutive `segWords`-word segment keys of a text in ONE pass —
+    * the per-row half of the segment-dedup family
+    * ([[graft.operators.Dedup.dropDuplicateSegments]] /
+    * `dropFrequentSegments`): element i is the 96-bit [[key96]] of
+    * words [i·w, i·w+w) joined by one space. Bit-identical to the
+    * Column chain `transform(sequence(0, nseg-1), i ->
+    * struct(xxhash64(seg_i), crc32(seg_i)))` over
+    * `split(trim(text), "\s+")` — space-only trim, Java regex split
+    * (a leading tab/newline yields the leading empty token exactly as
+    * the builtin split does), nseg = max(1, ceil(nwords/w)), last
+    * segment short. The Column form paid an interpreted
+    * transform + slice + array_join per segment plus the seg STRING
+    * materialization through the explode; this emits only the keys. */
+  case class SegmentKeysExpr(child: Expression, segWords: Int)
+      extends UnaryExpression {
+    require(segWords >= 1, s"segWords=$segWords")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("xx", LongType, nullable = false),
+      StructField("crc", LongType, nullable = false))), containsNull = false)
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      var lo = 0
+      var hi = s.length
+      while (lo < hi && s.charAt(lo) == ' ') lo += 1
+      while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+      val words = s.substring(lo, hi).split("\\s+", -1)
+      val nseg = math.max(1, (words.length + segWords - 1) / segWords)
+      val out = new Array[Any](nseg)
+      var i = 0
+      while (i < nseg) {
+        val sb = new java.lang.StringBuilder
+        var j = i * segWords
+        val end = math.min(words.length, j + segWords)
+        while (j < end) {
+          if (j > i * segWords) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        val (xx, crc) = key96(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(xx, crc)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("segmentKeysExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SegmentKeysExpr =
+      copy(child = newChild)
+  }
+
+  /** Sliding character-window keys — the window sibling of
+    * [[SegmentKeysExpr]] for the duplicated-substring sweep
+    * ([[graft.operators.Dedup.duplicatedWindowStats]]): the [[key96]]
+    * of each `width`-code-point window at stride `stride` (windows
+    * only while fully inside the text; texts shorter than `width`
+    * emit an empty array). Bit-identical to the Column chain
+    * `transform(sequence(0, nWin-1), j -> struct(xxhash64(w_j),
+    * crc32(w_j)))` over `substr(j·stride+1, width)`. */
+  case class WindowKeysExpr(child: Expression, width: Int, stride: Int)
+      extends UnaryExpression {
+    require(width >= 1, s"width=$width")
+    require(stride >= 1, s"stride=$stride")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("xx", LongType, nullable = false),
+      StructField("crc", LongType, nullable = false))), containsNull = false)
+    /** Public for generated code (reference-object call from doGenCode). */
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val n = text.numChars()
+      if (n < width) return new GenericArrayData(Array.empty[Any])
+      val nWin = (n - width) / stride + 1
+      val out = new Array[Any](nWin)
+      var j = 0
+      while (j < nWin) {
+        val w = text.substring(j * stride, j * stride + width)
+        val (xx, crc) = key96(w.getBytes)
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(xx, crc)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("windowKeysExpr", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WindowKeysExpr =
+      copy(child = newChild)
+  }
+
   /** Johnson–Lindenstrauss-style random projection onto `dims`
     * Lehmer-LCG pseudo-random directions — the SAME direction
     * construction as [[HyperplaneBucketLcgExpr]] (seed, j, d ↦
@@ -1792,6 +1986,17 @@ object NativeExprs {
   def levenshteinBandedNative(left: Column, right: Column, k: Int): Column =
     ColumnBridge.column(LevenshteinBandedExpr(
       ColumnBridge.expression(left), ColumnBridge.expression(right), k))
+
+  def sharedShingleCountsNative(text: Column, k: Int,
+                                probes: Seq[(Long, String)]): Column =
+    ColumnBridge.column(SharedShingleCountsExpr(
+      ColumnBridge.expression(text), k, probes))
+
+  def segmentKeysNative(text: Column, segWords: Int): Column =
+    ColumnBridge.column(SegmentKeysExpr(ColumnBridge.expression(text), segWords))
+
+  def windowKeysNative(text: Column, width: Int, stride: Int): Column =
+    ColumnBridge.column(WindowKeysExpr(ColumnBridge.expression(text), width, stride))
 
   def hashedMarginsNative(text: Column, weights: Array[Array[Long]]): Column =
     ColumnBridge.column(HashedMarginsExpr(ColumnBridge.expression(text), weights))

@@ -669,21 +669,34 @@ object Dedup {
   /** Benchmark-contamination check: corpus documents sharing at least
     * `minOverlap` distinct k-gram shingles with any probe document
     * (the standard "is this eval set leaking into the training data"
-    * sweep). The probe set is small and broadcast; the corpus side
-    * streams through an equijoin on the shingle value — one shuffle-free
-    * broadcast join however large the corpus, never all-pairs. */
+    * sweep). The probe set is small BY CONTRACT (an eval set, not a
+    * corpus) and rides the expression as one reference object; the
+    * corpus side is ONE pure-map pass
+    * ([[graft.functions.NativeExprs.SharedShingleCountsExpr]]: each
+    * doc's distinct code-point k-windows looked up in the inverted
+    * probe-shingle map) filtered to n_shared >= minOverlap — no
+    * shingle array materialization, no per-shingle explode, no
+    * broadcast join, and no (c_id, p_id) count shuffle (the r15 jobs
+    * probe read the exploded form at 5.6 task-CPU-s on a corpus whose
+    * full scan costs 0.2). Counts are identical to the previous
+    * explode + broadcast-join + groupBy form: n_shared =
+    * |charShingles(c) ∩ charShingles(p)| either way (spec-pinned
+    * against the join formulation). Null-text probes contribute
+    * nothing (their shingle column was null → exploded away), exactly
+    * as before. */
   def contaminationPairs(corpus: DataFrame, probes: DataFrame,
                          idCol: String, textCol: String,
                          shingleK: Int = 8, minOverlap: Int = 10): DataFrame = {
-    val c = Repartition.forCompute(corpus)
-      .select(col(idCol).as("c_id"), explode(charShingles(col(textCol), shingleK)).as("sh"))
-    val p = probes
-      .select(col(idCol).as("p_id"), explode(charShingles(col(textCol), shingleK)).as("sh"))
-    // both sides explode DISTINCT shingles, so one joined row per
-    // shared shingle — count(*) IS the overlap
-    c.join(broadcast(p), "sh")
-      .groupBy("c_id", "p_id")
-      .agg(count(lit(1)).as("n_shared"))
+    val probeRows = probes.select(col(idCol).cast("long"), col(textCol))
+      .collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val counts = graft.functions.NativeExprs.sharedShingleCountsNative(
+      col(textCol), shingleK, probeRows)
+    Repartition.forCompute(corpus)
+      .select(col(idCol).as("c_id"), explode(counts).as("x"))
+      .select(col("c_id"), col("x.p_id").as("p_id"),
+        col("x.n_shared").as("n_shared"))
       .where(col("n_shared") >= minOverlap)
   }
 
@@ -850,8 +863,7 @@ object Dedup {
   def dropDuplicateSegments(df: DataFrame, idCol: String, textCol: String,
                             segWords: Int = 10): DataFrame = {
     require(segWords >= 1, s"segWords=$segWords")
-    val exploded = segmentsExploded(df, idCol, textCol, segWords)
-      .select(col(idCol), col("pos"), segKey(col("seg")).as("seg_k"))
+    val exploded = segmentKeysExploded(df, idCol, textCol, segWords)
     val firsts = exploded.groupBy("seg_k")
       .agg(min(struct(col(idCol), col("pos"))).as("first"))
     val survivors = exploded.join(firsts,
@@ -882,8 +894,7 @@ object Dedup {
                            segWords: Int = 10, maxDocFreq: Int = 2): DataFrame = {
     require(segWords >= 1, s"segWords=$segWords")
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq")
-    val exploded = segmentsExploded(df, idCol, textCol, segWords)
-      .select(col(idCol), col("pos"), segKey(col("seg")).as("seg_k"))
+    val exploded = segmentKeysExploded(df, idCol, textCol, segWords)
     val frequent = exploded.groupBy("seg_k")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .where(col("ndocs") > maxDocFreq)
@@ -893,22 +904,21 @@ object Dedup {
     reassembleFromPositions(df, survivors, idCol, textCol, segWords)
   }
 
-  /** (id, pos, seg) rows: consecutive `segWords`-word windows of the
-    * trimmed, whitespace-split text; every doc yields >= 1 segment. */
-  private def segmentsExploded(df: DataFrame, idCol: String, textCol: String,
-                               segWords: Int): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val nseg = greatest(
-      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
-    val segs = transform(sequence(lit(0), nseg - 1),
-      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
-    // forCompute: the split+slice explode is the CPU-dense stage of
+  /** (id, pos, seg_k) rows: the 96-bit [[segKey]]-law key of every
+    * consecutive `segWords`-word window, computed by ONE native pass
+    * per doc ([[graft.functions.NativeExprs.SegmentKeysExpr]] — no
+    * segment string is materialized or exploded; the keys are
+    * bit-identical to `segKey(array_join(slice(words, ...), " "))`,
+    * property-pinned). Every doc yields >= 1 segment. */
+  private def segmentKeysExploded(df: DataFrame, idCol: String,
+                                  textCol: String, segWords: Int): DataFrame =
+    // forCompute: the tokenize+hash explode is the CPU-dense stage of
     // every segment operator; a single-file read would otherwise run
     // it on one core (no-op whenever the input already has
     // ≥ parallelism partitions).
     Repartition.forCompute(df)
-      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
-  }
+      .select(col(idCol), posexplode(graft.functions.NativeExprs
+        .segmentKeysNative(col(textCol), segWords)).as(Seq("pos", "seg_k")))
 
   /** Physical shuffle key for a segment: (xxhash64, crc32) — 96
     * independent bits, ~12 bytes on the wire vs the multi-word text.
@@ -1045,13 +1055,12 @@ object Dedup {
     val nWin = when(len >= width,
       floor((len - width).cast("double") / stride).cast("long") + 1L)
       .otherwise(lit(0L))
-    val wins = when(nWin > 0,
-      transform(sequence(lit(0L), nWin - 1),
-        j => col(textCol).substr((j * stride + 1).cast("int"), lit(width))))
-      .otherwise(array().cast("array<string>"))
+    // window KEYS in one native pass (WindowKeysExpr — same [[segKey]]
+    // law per window, no window string materialized through the
+    // explode; property-pinned against the substr/transform chain)
     val exploded = graft.operators.Repartition.forCompute(df)
-      .select(col(idCol), explode(wins).as("w"))
-      .select(col(idCol), segKey(col("w")).as("wk"))
+      .select(col(idCol), explode(graft.functions.NativeExprs
+        .windowKeysNative(col(textCol), width, stride)).as("wk"))
     val dup = exploded.groupBy("wk")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .where(col("ndocs") >= minDocFreq)

@@ -222,6 +222,44 @@ object NativeExprsProps extends Properties("NativeExprs") {
   private val edStr: Gen[String] =
     Gen.listOf(edPiece).map(_.mkString.take(40))
 
+  // texts with mixed whitespace (tab/newline — the regex-split edge the
+  // space-only trim leaves in), unicode and repeats
+  private val wsDoc: Gen[String] = Gen.listOf(Gen.frequency(
+    (8, Gen.oneOf("tok", "a1", "b2", "líne", "中文")),
+    (3, Gen.oneOf(" ", "  ", "\t", "\n")),
+    (1, Gen.const("")))).map(_.mkString(" ").take(120))
+
+  property("segmentKeys == struct(xxhash64, crc32) over the split/slice segment chain") =
+    forAll(wsDoc, Gen.chooseNum(1, 4)) { (s, w) =>
+      val words = split(trim(lit(s)), "\\s+")
+      val nseg = greatest(
+        ceil(size(words).cast("double") / w).cast("int"), lit(1))
+      val segs = transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(words, i * w + 1, lit(w)), " "))
+      def keys(c: org.apache.spark.sql.Column): Seq[(Long, Long)] =
+        spark.range(1).select(c.as("k")).collect().head
+          .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1)))
+      keys(transform(segs, g => struct(xxhash64(g).as("xx"), crc32(g).as("crc")))) ==
+        keys(NativeExprs.segmentKeysNative(lit(s), w))
+    }
+
+  property("windowKeys == struct(xxhash64, crc32) over the substr window chain") =
+    forAll(wsDoc, Gen.chooseNum(2, 12), Gen.chooseNum(1, 5)) { (s, width, stride) =>
+      val len = length(lit(s))
+      val nWin = when(len >= width,
+        floor((len - width).cast("double") / stride).cast("long") + 1L)
+        .otherwise(lit(0L))
+      val wins = when(nWin > 0,
+        transform(sequence(lit(0L), nWin - 1),
+          j => lit(s).substr((j * stride + 1).cast("int"), lit(width))))
+        .otherwise(array().cast("array<string>"))
+      def keys(c: org.apache.spark.sql.Column): Seq[(Long, Long)] =
+        spark.range(1).select(c.as("k")).collect().head
+          .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1)))
+      keys(transform(wins, g => struct(xxhash64(g).as("xx"), crc32(g).as("crc")))) ==
+        keys(NativeExprs.windowKeysNative(lit(s), width, stride))
+    }
+
   property("levenshteinBanded == builtin levenshtein(l, r, k) incl. -1 above-threshold") =
     forAll(edStr, edStr, Gen.chooseNum(0, 6)) { (a, b, k) =>
       val row = spark.range(1).select(

@@ -2693,6 +2693,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // the index probes cache their top-k frame
   }
 
+  test("contaminationPairs (fused native pass) == explode+join+count formulation") {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    // fixture exercising every law edge: empty text (empty shingle!),
+    // short text (< k: one whole-text shingle), unicode (code-point
+    // windows), a shingle shared by TWO probes, duplicate windows
+    // inside one doc (distinct semantics), and exact probe copies
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "", 2L -> "shrt", 3L -> "héllo wörld héllo wörld héllo wörld",
+      4L -> "aaaaaaaaaaaaaaaaaaaaaa",
+      10L -> "the quick brown fox jumps over the lazy dog again and again",
+      11L -> "completely unrelated text with its own shingles here",
+      12L -> "héllo wörld héllo wörld and more unicode",
+      13L -> "", 14L -> "shrt")
+    val df = texts.toDF("doc_id", "text")
+    val corpus = df.where(col("doc_id") >= 10)
+    val probes = df.where(col("doc_id") < 10)
+    for (minOverlap <- Seq(1, 3, 10)) {
+      def rows(d: DataFrame): Set[(Long, Long, Long)] =
+        d.select("c_id", "p_id", "n_shared")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = rows(Dedup.contaminationPairs(
+        corpus, probes, "doc_id", "text", shingleK = 8, minOverlap = minOverlap))
+      // the previous formulation, inlined as the oracle
+      val c = corpus.select(col("doc_id").as("c_id"),
+        explode(TextFunctions.charShingles(col("text"), 8)).as("sh"))
+      val p = probes.select(col("doc_id").as("p_id"),
+        explode(TextFunctions.charShingles(col("text"), 8)).as("sh"))
+      val want = rows(c.join(broadcast(p), "sh")
+        .groupBy("c_id", "p_id").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minOverlap))
+      assert(got == want,
+        s"minOverlap=$minOverlap missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("vocab queries from the persisted postings == vocab queries from the corpus") {
     // the r14 srch_bm25_idx/bulk optimization derives the query vocab
     // from Σ tf over the postings instead of re-tokenizing the corpus;
